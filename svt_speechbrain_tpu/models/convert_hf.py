@@ -1,0 +1,171 @@
+"""Convert HuggingFace wav2vec2-family checkpoints to framework param pytrees.
+
+The reference loads ``transformers`` models from the HF hub at YAML-instantiation
+time (``MIR_ST500/huggingface_interface.py:179``). Here conversion is an
+explicit offline step: read a local checkpoint (safetensors preferred, torch
+``pytorch_model.bin`` fallback), emit the nested numpy/jnp dict expected by
+``models.wav2vec2.Wav2Vec2Encoder``.
+
+Layout changes (torch → TPU-native):
+- ``nn.Linear``   (out, in)           → ``w`` (in, out)  [transpose]
+- ``nn.Conv1d``   (out, in/groups, k) → ``w`` (k, in/groups, out)
+- weight-normed pos-conv ``weight_g`` (1, 1, k) → ``g`` (k, 1, 1);
+  ``weight_v`` like Conv1d. Handles both classic ``weight_g/weight_v`` and
+  the parametrize-style ``parametrizations.weight.original0/1`` key names.
+"""
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+
+def _t(x):
+    return np.ascontiguousarray(np.asarray(x).T)
+
+
+def _conv_w(x):
+    # (out, in/groups, k) -> (k, in/groups, out)
+    return np.ascontiguousarray(np.transpose(np.asarray(x), (2, 1, 0)))
+
+
+def load_state_dict(path):
+    """Load a flat name→numpy dict from a HF checkpoint directory or file."""
+    if os.path.isdir(path):
+        for candidate in ("model.safetensors", "pytorch_model.bin"):
+            f = os.path.join(path, candidate)
+            if os.path.exists(f):
+                path = f
+                break
+    if path.endswith(".safetensors"):
+        from safetensors.numpy import load_file
+
+        return load_file(path)
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    return {k: v.numpy() for k, v in sd.items()}
+
+
+def convert_wav2vec2_state_dict(sd, config):
+    """HF ``Wav2Vec2Model`` state dict → ``Wav2Vec2Encoder`` params."""
+    sd = {k.removeprefix("wav2vec2."): v for k, v in sd.items()}
+
+    def get(key):
+        return np.asarray(sd[key])
+
+    params = {}
+
+    # conv feature extractor
+    fe = {}
+    for i in range(len(config.conv_dim)):
+        pre = f"feature_extractor.conv_layers.{i}."
+        layer = {"conv": {"w": _conv_w(get(pre + "conv.weight"))}}
+        if pre + "conv.bias" in sd:
+            layer["conv"]["b"] = get(pre + "conv.bias")
+        if config.feat_extract_norm == "layer":
+            layer["layer_norm"] = {
+                "scale": get(pre + "layer_norm.weight"),
+                "bias": get(pre + "layer_norm.bias"),
+            }
+        elif i == 0:
+            layer["group_norm"] = {
+                "scale": get(pre + "layer_norm.weight"),
+                "bias": get(pre + "layer_norm.bias"),
+            }
+        fe[str(i)] = layer
+    params["feature_extractor"] = fe
+
+    params["feat_proj_ln"] = {
+        "scale": get("feature_projection.layer_norm.weight"),
+        "bias": get("feature_projection.layer_norm.bias"),
+    }
+    params["feat_proj"] = {
+        "w": _t(get("feature_projection.projection.weight")),
+        "b": get("feature_projection.projection.bias"),
+    }
+
+    # positional conv (weight-normed)
+    pc = "encoder.pos_conv_embed.conv."
+    if pc + "weight_g" in sd:
+        g, v = get(pc + "weight_g"), get(pc + "weight_v")
+    else:
+        g = get(pc + "parametrizations.weight.original0")
+        v = get(pc + "parametrizations.weight.original1")
+    params["pos_conv"] = {
+        "g": np.ascontiguousarray(np.transpose(g, (2, 1, 0))),  # (1,1,k)->(k,1,1)
+        "v": _conv_w(v),
+        "b": get(pc + "bias"),
+    }
+
+    params["encoder_ln"] = {
+        "scale": get("encoder.layer_norm.weight"),
+        "bias": get("encoder.layer_norm.bias"),
+    }
+
+    layers = {}
+    for i in range(config.num_layers):
+        pre = f"encoder.layers.{i}."
+        layers[str(i)] = {
+            "attn": {
+                "wq": _t(get(pre + "attention.q_proj.weight")),
+                "bq": get(pre + "attention.q_proj.bias"),
+                "wk": _t(get(pre + "attention.k_proj.weight")),
+                "bk": get(pre + "attention.k_proj.bias"),
+                "wv": _t(get(pre + "attention.v_proj.weight")),
+                "bv": get(pre + "attention.v_proj.bias"),
+                "wo": _t(get(pre + "attention.out_proj.weight")),
+                "bo": get(pre + "attention.out_proj.bias"),
+            },
+            "ln1": {
+                "scale": get(pre + "layer_norm.weight"),
+                "bias": get(pre + "layer_norm.bias"),
+            },
+            "ln2": {
+                "scale": get(pre + "final_layer_norm.weight"),
+                "bias": get(pre + "final_layer_norm.bias"),
+            },
+            "ffn1": {
+                "w": _t(get(pre + "feed_forward.intermediate_dense.weight")),
+                "b": get(pre + "feed_forward.intermediate_dense.bias"),
+            },
+            "ffn2": {
+                "w": _t(get(pre + "feed_forward.output_dense.weight")),
+                "b": get(pre + "feed_forward.output_dense.bias"),
+            },
+        }
+    params["layers"] = layers
+    return params
+
+
+def load_wav2vec2(path, config=None):
+    """Load + convert an HF wav2vec2 checkpoint; infers the config from
+    ``config.json`` when present."""
+    from svt_speechbrain_tpu.models.wav2vec2 import Wav2Vec2Config
+
+    if config is None:
+        import json
+
+        cfg_file = os.path.join(path, "config.json") if os.path.isdir(path) else None
+        if cfg_file and os.path.exists(cfg_file):
+            with open(cfg_file) as f:
+                hf = json.load(f)
+            config = Wav2Vec2Config(
+                hidden_size=hf["hidden_size"],
+                num_layers=hf["num_hidden_layers"],
+                num_heads=hf["num_attention_heads"],
+                ffn_size=hf["intermediate_size"],
+                conv_dim=tuple(hf["conv_dim"]),
+                conv_kernel=tuple(hf["conv_kernel"]),
+                conv_stride=tuple(hf["conv_stride"]),
+                feat_extract_norm=hf["feat_extract_norm"],
+                conv_bias=hf["conv_bias"],
+                num_conv_pos_embeddings=hf["num_conv_pos_embeddings"],
+                num_conv_pos_embedding_groups=hf["num_conv_pos_embedding_groups"],
+                do_stable_layer_norm=hf["do_stable_layer_norm"],
+                layer_norm_eps=hf.get("layer_norm_eps", 1e-5),
+            )
+        else:
+            config = Wav2Vec2Config.large_lv60()
+    sd = load_state_dict(path)
+    return convert_wav2vec2_state_dict(sd, config), config

@@ -1,0 +1,305 @@
+"""TPU-native wav2vec 2.0 encoder.
+
+The reference wraps HuggingFace ``Wav2Vec2Model`` behind
+``HuggingFaceWav2Vec2`` (``MIR_ST500/huggingface_interface.py:47``; framework
+twin ``speechbrain/lobes/models/huggingface_wav2vec.py:46``) and calls it as
+``wav → features`` at ~49.8 Hz. Here the architecture is implemented natively
+in JAX so the whole AMT forward graph is one XLA program:
+
+- strided-conv waveform frontend (7 layers: (512,k10,s5), 4×(512,k3,s2),
+  2×(512,k2,s2)), group-norm ("base"-style) or per-layer layer-norm
+  ("large"/lv60-style) + GELU;
+- feature projection (LayerNorm → Linear → dropout);
+- grouped conv positional embedding (k=128, groups=16, weight-normed) + GELU;
+- transformer encoder, post-LN ("base") or pre-LN/"stable layer norm"
+  ("large"), erf-GELU FFN;
+- optional wav/output global layer-norm replicating the SB bridge's
+  ``F.layer_norm(x, x.shape)`` (``huggingface_interface.py:288,296``).
+
+Weights convert 1:1 from HF checkpoints via
+``svt_speechbrain_tpu.models.convert_hf``.
+
+TPU notes: everything is static-shape; the conv frontend is 1-D convs that XLA
+lowers to MXU convolutions; attention is batched SDPA einsums (Pallas flash
+attention can be swapped in via ``ops.flash_attention`` for long windows).
+Compute dtype is configurable (bf16 params with f32 softmax/normalization
+accumulations by default on TPU).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from svt_speechbrain_tpu.nnet.core import Module, split_rngs, normal_init, kaiming_uniform, uniform_bias, glorot_uniform
+from svt_speechbrain_tpu.nnet.cnn import Conv1d, conv_output_length
+from svt_speechbrain_tpu.nnet.linear import Linear
+from svt_speechbrain_tpu.nnet.normalization import LayerNorm, GroupNorm, layer_norm, global_layer_norm
+from svt_speechbrain_tpu.nnet.attention import MultiheadAttention
+from svt_speechbrain_tpu.nnet.dropout import dropout as _dropout
+
+
+@dataclasses.dataclass
+class Wav2Vec2Config:
+    """Architecture hyperparameters. Defaults = wav2vec2-large-lv60, the
+    encoder the MIR-ST500 recipe trains (``hparams/train_audio_ssl.yaml:11``)."""
+
+    hidden_size: int = 1024
+    num_layers: int = 24
+    num_heads: int = 16
+    ffn_size: int = 4096
+    conv_dim: tuple = (512, 512, 512, 512, 512, 512, 512)
+    conv_kernel: tuple = (10, 3, 3, 3, 3, 2, 2)
+    conv_stride: tuple = (5, 2, 2, 2, 2, 2, 2)
+    feat_extract_norm: str = "layer"  # "layer" (large) | "group" (base)
+    conv_bias: bool = True            # True for "layer" norm mode
+    num_conv_pos_embeddings: int = 128
+    num_conv_pos_embedding_groups: int = 16
+    do_stable_layer_norm: bool = True  # pre-LN encoder (large); False = post-LN
+    layer_norm_eps: float = 1e-5
+    hidden_dropout: float = 0.1
+    attention_dropout: float = 0.1
+    activation_dropout: float = 0.1
+    feat_proj_dropout: float = 0.1
+    layerdrop: float = 0.0  # LayerDrop is disabled under jit (static graph)
+
+    @classmethod
+    def base(cls):
+        return cls(hidden_size=768, num_layers=12, num_heads=12, ffn_size=3072,
+                   feat_extract_norm="group", conv_bias=False,
+                   do_stable_layer_norm=False)
+
+    @classmethod
+    def large_lv60(cls):
+        return cls()
+
+    def output_length(self, num_samples: int) -> int:
+        """Frames produced for ``num_samples`` input samples (≈49.8 Hz at
+        16 kHz: stride 320, receptive field 400)."""
+        t = num_samples
+        for k, s in zip(self.conv_kernel, self.conv_stride):
+            t = conv_output_length(t, k, s, padding="valid")
+        return t
+
+
+class ConvFeatureExtractor(Module):
+    """Strided-conv waveform frontend (HF ``Wav2Vec2FeatureEncoder``)."""
+
+    def __init__(self, config: Wav2Vec2Config):
+        self.config = config
+        c = config
+        self.convs = []
+        in_ch = 1
+        for i, (dim, k, s) in enumerate(zip(c.conv_dim, c.conv_kernel, c.conv_stride)):
+            self.convs.append(Conv1d(dim, k, in_ch, stride=s, padding="valid", bias=c.conv_bias))
+            in_ch = dim
+
+    def init(self, rng):
+        keys = split_rngs(rng, len(self.convs) + 1)
+        params = {}
+        c = self.config
+        for i, conv in enumerate(self.convs):
+            layer = {"conv": conv.init(keys[i])}
+            if c.feat_extract_norm == "layer":
+                layer["layer_norm"] = LayerNorm(c.conv_dim[i], eps=c.layer_norm_eps).init(None)
+            elif i == 0:  # group mode: group-norm after the first conv only
+                layer["group_norm"] = GroupNorm(c.conv_dim[0], num_groups=c.conv_dim[0],
+                                                eps=c.layer_norm_eps).init(None)
+            params[str(i)] = layer
+        return params
+
+    def __call__(self, params, wav):
+        """wav: (B, T_samples) → (B, T_frames, conv_dim[-1])."""
+        c = self.config
+        x = wav[..., None]  # (B, T, 1)
+        for i, conv in enumerate(self.convs):
+            p = params[str(i)]
+            x = conv(p["conv"], x)
+            if c.feat_extract_norm == "layer":
+                x = LayerNorm(c.conv_dim[i], eps=c.layer_norm_eps)(p["layer_norm"], x)
+            elif i == 0:
+                x = GroupNorm(c.conv_dim[0], num_groups=c.conv_dim[0],
+                              eps=c.layer_norm_eps)(p["group_norm"], x)
+            x = jax.nn.gelu(x, approximate=False)
+        return x
+
+
+class ConvPositionalEmbedding(Module):
+    """Grouped conv positional embedding with weight-norm parameterization
+    (HF ``Wav2Vec2PositionalConvEmbedding``: k=128, groups=16, weight_norm
+    over dim=2, one right-most column trimmed for even kernels)."""
+
+    def __init__(self, config: Wav2Vec2Config):
+        self.config = config
+
+    def init(self, rng):
+        c = self.config
+        k = c.num_conv_pos_embeddings
+        d = c.hidden_size
+        in_per_group = d // c.num_conv_pos_embedding_groups
+        wkey, bkey = split_rngs(rng, 2)
+        fan_in = in_per_group * k
+        # torch layout: (out, in/groups, k); weight_norm dim=2 → g: (1, 1, k).
+        # We store v in our conv layout (k, in/groups, out) and g as (k, 1, 1).
+        v = kaiming_uniform(wkey, (k, in_per_group, d), fan_in=fan_in)
+        g = jnp.sqrt(jnp.sum(jnp.square(v), axis=(1, 2), keepdims=True))
+        return {
+            "v": v,
+            "g": g,
+            "b": uniform_bias(bkey, (d,), fan_in=fan_in),
+        }
+
+    def __call__(self, params, x):
+        c = self.config
+        k = c.num_conv_pos_embeddings
+        v = params["v"]
+        norm = jnp.sqrt(jnp.sum(jnp.square(v), axis=(1, 2), keepdims=True) + 1e-12)
+        w = v * (params["g"] / norm)
+        pad_total = k // 2 * 2
+        conv = Conv1d(c.hidden_size, k, c.hidden_size, stride=1, padding="valid",
+                      groups=c.num_conv_pos_embedding_groups, bias=True)
+        xp = jnp.pad(x, ((0, 0), (k // 2, k // 2), (0, 0)))
+        y = conv({"w": w, "b": params["b"]}, xp)
+        if k % 2 == 0:  # trim the extra rightmost frame (HF Wav2Vec2SamePadLayer)
+            y = y[:, :-1]
+        return jax.nn.gelu(y, approximate=False)
+
+
+class TransformerLayer(Module):
+    """One wav2vec2 encoder layer; pre- or post-LN per config."""
+
+    def __init__(self, config: Wav2Vec2Config):
+        c = config
+        self.config = c
+        self.attn = MultiheadAttention(c.num_heads, c.hidden_size, dropout=c.attention_dropout)
+        self.ffn1 = Linear(c.ffn_size, c.hidden_size)
+        self.ffn2 = Linear(c.hidden_size, c.ffn_size)
+        self.ln1 = LayerNorm(c.hidden_size, eps=c.layer_norm_eps)
+        self.ln2 = LayerNorm(c.hidden_size, eps=c.layer_norm_eps)
+
+    def init(self, rng):
+        ka, k1, k2, kl1, kl2 = split_rngs(rng, 5)
+        return {
+            "attn": self.attn.init(ka),
+            "ffn1": self.ffn1.init(k1),
+            "ffn2": self.ffn2.init(k2),
+            "ln1": self.ln1.init(kl1),
+            "ln2": self.ln2.init(kl2),
+        }
+
+    def __call__(self, params, x, key_padding_mask=None, rng=None, train=False):
+        c = self.config
+        rngs = split_rngs(rng, 4) if rng is not None else [None] * 4
+
+        def attn_block(h):
+            out = self.attn(params["attn"], h, h, h, key_padding_mask=key_padding_mask,
+                            rng=rngs[0], train=train, return_attn_weights=False)
+            return _dropout(out, c.hidden_dropout, rngs[1], train)
+
+        def ffn_block(h):
+            h = self.ffn1(params["ffn1"], h)
+            h = jax.nn.gelu(h, approximate=False)
+            h = _dropout(h, c.activation_dropout, rngs[2], train)
+            h = self.ffn2(params["ffn2"], h)
+            return _dropout(h, c.hidden_dropout, rngs[3], train)
+
+        if c.do_stable_layer_norm:  # pre-LN
+            x = x + attn_block(self.ln1(params["ln1"], x))
+            x = x + ffn_block(self.ln2(params["ln2"], x))
+        else:  # post-LN
+            x = self.ln1(params["ln1"], x + attn_block(x))
+            x = self.ln2(params["ln2"], x + ffn_block(x))
+        return x
+
+
+class Wav2Vec2Encoder(Module):
+    """Full wav2vec 2.0 encoder: wav (B, T_samples) → features (B, T_frames, d)."""
+
+    def __init__(self, config: Wav2Vec2Config):
+        c = config
+        self.config = c
+        self.feature_extractor = ConvFeatureExtractor(c)
+        self.feat_proj_ln = LayerNorm(c.conv_dim[-1], eps=c.layer_norm_eps)
+        self.feat_proj = Linear(c.hidden_size, c.conv_dim[-1])
+        self.pos_conv = ConvPositionalEmbedding(c)
+        self.encoder_ln = LayerNorm(c.hidden_size, eps=c.layer_norm_eps)
+        self.layers = [TransformerLayer(c) for _ in range(c.num_layers)]
+
+    def init(self, rng):
+        keys = split_rngs(rng, 4 + len(self.layers))
+        params = {
+            "feature_extractor": self.feature_extractor.init(keys[0]),
+            "feat_proj_ln": self.feat_proj_ln.init(keys[1]),
+            "feat_proj": self.feat_proj.init(keys[2]),
+            "pos_conv": self.pos_conv.init(keys[3]),
+            "encoder_ln": self.encoder_ln.init(None),
+            "layers": {str(i): l.init(k) for i, (l, k) in enumerate(zip(self.layers, keys[4:]))},
+        }
+        return params
+
+    def __call__(self, params, wav, key_padding_mask=None, rng=None, train=False):
+        c = self.config
+        x = self.feature_extractor(params["feature_extractor"], wav)
+        x = self.feat_proj_ln(params["feat_proj_ln"], x)
+        x = self.feat_proj(params["feat_proj"], x)
+        if rng is not None:
+            rng, sub = jax.random.split(rng)
+            x = _dropout(x, c.feat_proj_dropout, sub, train)
+
+        x = x + self.pos_conv(params["pos_conv"], x)
+        if not c.do_stable_layer_norm:
+            x = self.encoder_ln(params["encoder_ln"], x)
+        if rng is not None:
+            rng, sub = jax.random.split(rng)
+            x = _dropout(x, c.hidden_dropout, sub, train)
+
+        layer_rngs = split_rngs(rng, len(self.layers)) if rng is not None else [None] * len(self.layers)
+        for i, layer in enumerate(self.layers):
+            x = layer(params["layers"][str(i)], x, key_padding_mask=key_padding_mask,
+                      rng=layer_rngs[i], train=train)
+        if c.do_stable_layer_norm:
+            x = self.encoder_ln(params["encoder_ln"], x)
+        return x
+
+
+class HuggingFaceWav2Vec2(Module):
+    """Behavioural twin of the SB bridge (``MIR_ST500/huggingface_interface.py:47``):
+
+    ``forward(wav)``: optional whole-tensor input layer-norm (when the HF
+    processor would ``do_normalize``), encoder, optional whole-tensor output
+    layer-norm; ``freeze`` stops gradients (reference detaches,
+    ``huggingface_interface.py:273-277``).
+    """
+
+    def __init__(self, config: Wav2Vec2Config = None, output_norm=True,
+                 normalize_wav=True, freeze=False, freeze_feature_extractor=False):
+        self.config = config or Wav2Vec2Config.large_lv60()
+        self.output_norm = output_norm
+        self.normalize_wav = normalize_wav
+        self.freeze = freeze
+        self.freeze_feature_extractor = freeze_feature_extractor
+        self.encoder = Wav2Vec2Encoder(self.config)
+
+    def init(self, rng):
+        return {"encoder": self.encoder.init(rng)}
+
+    def __call__(self, params, wav, rng=None, train=False):
+        if self.freeze:
+            params = jax.lax.stop_gradient(params)
+            train = False
+        elif self.freeze_feature_extractor:
+            params = dict(params, encoder=dict(
+                params["encoder"],
+                feature_extractor=jax.lax.stop_gradient(params["encoder"]["feature_extractor"]),
+            ))
+        if self.normalize_wav:
+            wav = global_layer_norm(wav)
+        out = self.encoder(params["encoder"], wav, rng=rng, train=train)
+        if self.output_norm:
+            out = global_layer_norm(out)
+        return out
+
+    def extract_features(self, params, wav, rng=None, train=False):
+        return self(params, wav, rng=rng, train=train)

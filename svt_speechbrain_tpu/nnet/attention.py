@@ -1,0 +1,242 @@
+"""Attention modules (analogue of reference ``speechbrain/nnet/attention.py``).
+
+``MultiheadAttention`` mirrors the reference wrapper at ``attention.py:642``
+(batch-first, optional positional-embedding bias folded into the attention
+scores) with torch-``nn.MultiheadAttention``-compatible parameters (packed
+q/k/v projection + output projection) so converted checkpoints drop in.
+
+The inner scaled-dot-product runs as one batched einsum chain that XLA maps
+straight onto the MXU; for long sequences the Pallas flash-attention kernel in
+``svt_speechbrain_tpu.ops.flash_attention`` can be swapped in.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from svt_speechbrain_tpu.nnet.core import Module, glorot_uniform, split_rngs
+
+NEG_INF = -1e30
+
+
+def scaled_dot_product_attention(q, k, v, bias=None, mask=None, dropout_rate=0.0,
+                                 rng=None, train=False, return_weights=False):
+    """q,k,v: (B, H, T, Dh). ``bias`` broadcastable to (B, H, Tq, Tk) added to
+    scores; ``mask`` True = masked out."""
+    dh = q.shape[-1]
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+    scores = scores / np.sqrt(dh)
+    if bias is not None:
+        scores = scores + bias.astype(scores.dtype)
+    if mask is not None:
+        scores = jnp.where(mask, NEG_INF, scores)
+    weights = jax.nn.softmax(scores, axis=-1)
+    if train and rng is not None and dropout_rate > 0.0:
+        keep = 1.0 - dropout_rate
+        weights = weights * jax.random.bernoulli(rng, keep, weights.shape) / keep
+    out = jnp.einsum("bhqk,bhkd->bhqd", weights.astype(v.dtype), v,
+                     preferred_element_type=jnp.float32).astype(v.dtype)
+    if return_weights:
+        return out, weights
+    return out
+
+
+class MultiheadAttention(Module):
+    """Batch-first multi-head attention (reference ``attention.py:642``).
+
+    Call: ``out, weights = mha(params, query, key, value, attn_mask=...,
+    key_padding_mask=..., pos_embs=...)``.
+
+    - ``attn_mask``: bool (Tq, Tk) or (B*H/ H, Tq, Tk), True = disallowed —
+      torch convention.
+    - ``key_padding_mask``: bool (B, Tk), True = pad.
+    - ``pos_embs``: float bias broadcastable to (B, H, Tq, Tk), added to the
+      scores (the reference folds positional embeddings into the mask arg).
+    """
+
+    def __init__(self, nhead, d_model, dropout=0.0, kdim=None, vdim=None):
+        self.nhead = nhead
+        self.d_model = d_model
+        self.dropout = dropout
+        self.kdim = kdim or d_model
+        self.vdim = vdim or d_model
+        if d_model % nhead:
+            raise ValueError("d_model must be divisible by nhead")
+        self.head_dim = d_model // nhead
+
+    def init(self, rng):
+        kq, kk, kv, ko = split_rngs(rng, 4)
+        d = self.d_model
+        # torch packs q/k/v when kdim==vdim==d_model; we keep them separate but
+        # initialize identically (xavier_uniform over the packed matrix).
+        return {
+            "wq": glorot_uniform(kq, (d, d)),
+            "wk": glorot_uniform(kk, (self.kdim, d)),
+            "wv": glorot_uniform(kv, (self.vdim, d)),
+            "bq": jnp.zeros((d,), jnp.float32),
+            "bk": jnp.zeros((d,), jnp.float32),
+            "bv": jnp.zeros((d,), jnp.float32),
+            "wo": glorot_uniform(ko, (d, d)),
+            "bo": jnp.zeros((d,), jnp.float32),
+        }
+
+    def __call__(self, params, query, key, value, attn_mask=None,
+                 key_padding_mask=None, pos_embs=None, rng=None, train=False,
+                 return_attn_weights=True):
+        b, tq, _ = query.shape
+        tk = key.shape[1]
+        h, dh = self.nhead, self.head_dim
+
+        def proj(x, w, bias):
+            y = jnp.matmul(x, w.astype(x.dtype)) + bias.astype(x.dtype)
+            return y.reshape(b, -1, h, dh).transpose(0, 2, 1, 3)  # (B,H,T,Dh)
+
+        q = proj(query, params["wq"], params["bq"])
+        k = proj(key, params["wk"], params["bk"])
+        v = proj(value, params["wv"], params["bv"])
+
+        mask = None
+        if attn_mask is not None:
+            am = attn_mask
+            if am.ndim == 2:
+                am = am[None, None]
+            elif am.ndim == 3:
+                am = am.reshape(-1, h, tq, tk) if am.shape[0] == b * h else am[:, None]
+            mask = am
+        if key_padding_mask is not None:
+            kpm = key_padding_mask[:, None, None, :]  # (B,1,1,Tk)
+            mask = kpm if mask is None else jnp.logical_or(mask, kpm)
+
+        out, weights = scaled_dot_product_attention(
+            q, k, v, bias=pos_embs, mask=mask, dropout_rate=self.dropout,
+            rng=rng, train=train, return_weights=True,
+        )
+        out = out.transpose(0, 2, 1, 3).reshape(b, tq, self.d_model)
+        out = jnp.matmul(out, params["wo"].astype(out.dtype)) + params["bo"].astype(out.dtype)
+        if return_attn_weights:
+            return out, jnp.mean(weights, axis=1)  # torch averages over heads
+        return out
+
+
+class PositionalwiseFeedForward(Module):
+    """Transformer FFN applied per position (reference ``attention.py:781``)."""
+
+    def __init__(self, d_ffn, input_size, dropout=0.0, activation="relu"):
+        from svt_speechbrain_tpu.nnet.linear import Linear
+
+        self.d_ffn = d_ffn
+        self.input_size = input_size
+        self.dropout = dropout
+        self.activation = activation
+        self.ffn1 = Linear(d_ffn, input_size)
+        self.ffn2 = Linear(input_size, d_ffn)
+
+    def init(self, rng):
+        k1, k2 = split_rngs(rng, 2)
+        return {"ffn1": self.ffn1.init(k1), "ffn2": self.ffn2.init(k2)}
+
+    def __call__(self, params, x, rng=None, train=False):
+        from svt_speechbrain_tpu.nnet.dropout import dropout as _drop
+
+        h = self.ffn1(params["ffn1"], x)
+        h = jax.nn.relu(h) if self.activation == "relu" else jax.nn.gelu(h, approximate=False)
+        if rng is not None:
+            rng, sub = jax.random.split(rng)
+            h = _drop(h, self.dropout, sub, train)
+        return self.ffn2(params["ffn2"], h)
+
+
+class RelPosEncXL(Module):
+    """Transformer-XL style relative positional encoding generator
+    (reference ``attention.py:328``): emits sinusoidal embeddings for
+    positions ``T-1 .. -(T-1)``."""
+
+    def __init__(self, emb_dim):
+        self.emb_dim = emb_dim
+
+    def __call__(self, params, x):
+        del params
+        t = x.shape[1]
+        pos = jnp.arange(t - 1, -t, -1, dtype=jnp.float32)[:, None]
+        inv_freq = jnp.exp(jnp.arange(0, self.emb_dim, 2, dtype=jnp.float32)
+                           * -(np.log(10000.0) / self.emb_dim))
+        sinusoid = pos * inv_freq[None, :]
+        pe = jnp.zeros((2 * t - 1, self.emb_dim), jnp.float32)
+        pe = pe.at[:, 0::2].set(jnp.sin(sinusoid))
+        pe = pe.at[:, 1::2].set(jnp.cos(sinusoid))
+        return pe[None].astype(x.dtype)
+
+
+class RelPosMHAXL(Module):
+    """Relative-position multi-head attention (Transformer-XL / Conformer
+    style; reference ``attention.py:360``)."""
+
+    def __init__(self, embed_dim, num_heads, dropout=0.0, mask_pos_future=False):
+        self.embed_dim = embed_dim
+        self.num_heads = num_heads
+        self.dropout = dropout
+        self.mask_pos_future = mask_pos_future
+        self.head_dim = embed_dim // num_heads
+
+    def init(self, rng):
+        kq, kk, kv, ko, kp, ku, kvb = split_rngs(rng, 7)
+        d = self.embed_dim
+        return {
+            "wq": glorot_uniform(kq, (d, d)),
+            "wk": glorot_uniform(kk, (d, d)),
+            "wv": glorot_uniform(kv, (d, d)),
+            "wo": glorot_uniform(ko, (d, d)),
+            "bo": jnp.zeros((d,), jnp.float32),
+            "wpos": glorot_uniform(kp, (d, d)),
+            # learned global content/position biases u, v (Transformer-XL)
+            "u": glorot_uniform(ku, (self.num_heads, self.head_dim)),
+            "v": glorot_uniform(kvb, (self.num_heads, self.head_dim)),
+        }
+
+    @staticmethod
+    def _rel_shift(x):
+        """(B,H,Tq,2*Tk-1) → (B,H,Tq,Tk) Transformer-XL relative shift."""
+        b, h, tq, w = x.shape
+        tk = (w + 1) // 2
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (1, 0)))
+        x = x.reshape(b, h, w + 1, tq)
+        x = x[:, :, 1:].reshape(b, h, tq, w)
+        return x[:, :, :, :tk]
+
+    def __call__(self, params, query, key, value, pos_embs=None, attn_mask=None,
+                 key_padding_mask=None, rng=None, train=False):
+        b, tq, d = query.shape
+        tk = key.shape[1]
+        h, dh = self.num_heads, self.head_dim
+
+        q = jnp.matmul(query, params["wq"].astype(query.dtype)).reshape(b, tq, h, dh)
+        k = jnp.matmul(key, params["wk"].astype(key.dtype)).reshape(b, tk, h, dh).transpose(0, 2, 1, 3)
+        v = jnp.matmul(value, params["wv"].astype(value.dtype)).reshape(b, tk, h, dh).transpose(0, 2, 1, 3)
+        p = jnp.matmul(pos_embs, params["wpos"].astype(pos_embs.dtype))  # (1, 2T-1, d)
+        p = p.reshape(1, -1, h, dh).transpose(0, 2, 1, 3)  # (1,H,2T-1,Dh)
+
+        q_u = (q + params["u"].astype(q.dtype)).transpose(0, 2, 1, 3)  # (B,H,Tq,Dh)
+        q_v = (q + params["v"].astype(q.dtype)).transpose(0, 2, 1, 3)
+        ac = jnp.einsum("bhqd,bhkd->bhqk", q_u, k, preferred_element_type=jnp.float32)
+        bd = jnp.einsum("bhqd,bhkd->bhqk", q_v, jnp.broadcast_to(p, (b,) + p.shape[1:]),
+                        preferred_element_type=jnp.float32)
+        scores = (ac + self._rel_shift(bd)) / np.sqrt(dh)
+
+        mask = None
+        if attn_mask is not None:
+            mask = attn_mask[None, None] if attn_mask.ndim == 2 else attn_mask[:, None]
+        if key_padding_mask is not None:
+            kpm = key_padding_mask[:, None, None, :]
+            mask = kpm if mask is None else jnp.logical_or(mask, kpm)
+        if mask is not None:
+            scores = jnp.where(mask, NEG_INF, scores)
+        weights = jax.nn.softmax(scores, axis=-1)
+        if train and rng is not None and self.dropout > 0:
+            keep = 1.0 - self.dropout
+            weights = weights * jax.random.bernoulli(rng, keep, weights.shape) / keep
+        out = jnp.einsum("bhqk,bhkd->bhqd", weights.astype(v.dtype), v,
+                         preferred_element_type=jnp.float32).astype(v.dtype)
+        out = out.transpose(0, 2, 1, 3).reshape(b, tq, d)
+        out = jnp.matmul(out, params["wo"].astype(out.dtype)) + params["bo"].astype(out.dtype)
+        return out, jnp.mean(weights, axis=1)

@@ -1,0 +1,221 @@
+"""AMT label/decode library — note-event ⇄ frame-label transforms.
+
+Behavioural twin of the reference's recipe utilities
+(``MIR_ST500/utils.py:10-238``; identical copies ship in every N20EMv2
+recipe). These run on the host (numpy): ``note2frame`` executes offline/in the
+data pipeline, ``frame2note`` post-processes stitched song predictions after
+device inference. Golden tests in ``tests/test_amt_utils.py`` check exact
+agreement with the reference implementation over randomized inputs.
+
+Label format per frame: ``[onset, silence, octave, pitch_class]`` where
+``onset ∈ {0,1}``, ``silence ∈ {0,1}`` (the "offset/no-pitch" channel),
+``octave ∈ 0..4`` (4 = none), ``pitch_class ∈ 0..12`` (12 = none). Pitch range
+C2..B5 = MIDI 36..83 → 4 octaves × 12 classes.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+OCTAVE_START = 0
+OCTAVE_END = 3
+PITCH_CLASS_NUM = 12
+MIDI_BASE = 36  # C2
+
+
+def _octave_and_class(midi_pitch):
+    """Clamped octave index (0..3) and pitch class (0..11) for a MIDI pitch."""
+    octave = int(min(max(OCTAVE_START, (midi_pitch - MIDI_BASE) // PITCH_CLASS_NUM), OCTAVE_END)) - OCTAVE_START
+    pitch_class = midi_pitch % PITCH_CLASS_NUM
+    return octave, pitch_class
+
+
+def note2frame(gt_data, length, frame_size=1 / 49.8, pitch_shift=0):
+    """Convert note events ``[[onset_s, offset_s, midi], ...]`` to per-frame
+    labels of shape (length, 4). Reference: ``MIR_ST500/utils.py:10-79``.
+
+    Semantics reproduced exactly:
+    - a frame within ±frame_size/2 of the current note's onset is an onset
+      frame (``[1, 0, oct, cls]``), except when the previous emitted frame was
+      already an onset (then ``[0, 0, oct, cls]``);
+    - frames before the current note's onset (or after all notes) are silence
+      ``[0, 1, 4, 12]``;
+    - a frame within ±frame_size/2 of the offset emits ``[0, 1, oct, cls]``
+      and advances to the next note — unless the next note's onset also falls
+      in this frame, in which case the frame becomes that note's onset;
+    - other frames inside a note are voiced ``[0, 0, oct, cls]``.
+    """
+    labels = []
+    cur_note = 0
+    cur_onset = gt_data[cur_note][0]
+    cur_offset = gt_data[cur_note][1]
+    cur_pitch = gt_data[cur_note][2] + pitch_shift
+    half = frame_size / 2.0
+
+    for i in range(length):
+        t = i * frame_size
+
+        if abs(t - cur_onset) <= half:
+            octv, cls = _octave_and_class(cur_pitch)
+            onset_flag = 1 if (i == 0 or labels[-1][0] != 1) else 0
+            labels.append([onset_flag, 0, octv, cls])
+        elif t < cur_onset or cur_note >= len(gt_data):
+            labels.append([0, 1, OCTAVE_END + 1, PITCH_CLASS_NUM])
+        elif abs(t - cur_offset) <= half:
+            octv, cls = _octave_and_class(cur_pitch)
+            label = [0, 1, octv, cls]
+            cur_note += 1
+            if cur_note < len(gt_data):
+                cur_onset = gt_data[cur_note][0]
+                cur_offset = gt_data[cur_note][1]
+                cur_pitch = gt_data[cur_note][2] + pitch_shift
+                if abs(t - cur_onset) <= half:
+                    octv, cls = _octave_and_class(cur_pitch)
+                    label = [1, 0, octv, cls]
+            labels.append(label)
+        else:
+            octv, cls = _octave_and_class(cur_pitch)
+            labels.append([0, 0, octv, cls])
+
+    return np.array(labels)
+
+
+def onset_peaks(onset_probs, onset_thres, local_max_size=3):
+    """Vectorized onset peak-picking mask.
+
+    A frame ``i`` is a peak iff ``onset_probs[i] >= thres`` and it equals the
+    max of ``onset_probs[max(0, i-3) : min(i+4, n-1)]`` — including the
+    reference's quirk that the window's forward edge is clamped to ``n-1``
+    (exclusive), so the final frame is compared against a window that does not
+    contain itself (``MIR_ST500/utils.py:106-115``).
+    """
+    onset_probs = np.asarray(onset_probs, dtype=np.float64)
+    n = len(onset_probs)
+    peaks = np.zeros(n, dtype=bool)
+    if n == 0:
+        return peaks
+    # windowed max via stride tricks would need edge handling; n is small
+    # (song_len * 49.8 ≈ 1e4) so a per-frame max over a 7-wide slice is cheap.
+    for i in range(n):
+        lo = max(i - local_max_size, 0)
+        hi = min(i + local_max_size + 1, n - 1)
+        window = onset_probs[lo:hi]
+        if window.size and onset_probs[i] >= onset_thres and onset_probs[i] == window.max():
+            peaks[i] = True
+    return peaks
+
+
+def frame2note(frame_info, onset_thres, offset_thres, frame_size=1 / 49.8):
+    """Decode per-frame predictions into note events ``[on_s, off_s, midi]``.
+
+    Reference: ``MIR_ST500/utils.py:82-149``. ``frame_info`` is a sequence of
+    ``(onset_prob, offset_prob, octave_idx, pitch_class_idx)`` tuples.
+
+    State machine (reproduced exactly):
+    - an onset peak closes any open note (emitting it with the majority-vote
+      pitch) and opens a new one at the current time;
+    - otherwise ``offset_prob >= offset_thres`` closes the open note;
+    - while a note is open, each frame votes ``octave*12 + class`` unless the
+      octave is the none-bin (4) or the class is the none-bin (12);
+    - notes with no votes are dropped; an open note at the end is closed at
+      the final frame time.
+    """
+    n = len(frame_info)
+    onset_seq = np.array([frame_info[i][0] for i in range(n)], dtype=np.float64)
+    peaks = onset_peaks(onset_seq, onset_thres)
+
+    result = []
+    current_onset = None
+    pitch_counter = []
+    current_time = 0.0
+
+    for i in range(n):
+        current_time = frame_size * i
+        info = frame_info[i]
+
+        if peaks[i]:
+            if current_onset is not None and len(pitch_counter) > 0:
+                result.append([current_onset, current_time,
+                               max(set(pitch_counter), key=pitch_counter.count) + MIDI_BASE])
+            current_onset = current_time
+            pitch_counter = []
+        elif info[1] >= offset_thres:
+            if current_onset is not None:
+                if len(pitch_counter) > 0:
+                    result.append([current_onset, current_time,
+                                   max(set(pitch_counter), key=pitch_counter.count) + MIDI_BASE])
+                current_onset = None
+                pitch_counter = []
+
+        if current_onset is not None:
+            final_pitch = int(info[2] * 12 + info[3])
+            if info[2] != OCTAVE_END + 1 and info[3] != PITCH_CLASS_NUM:
+                pitch_counter.append(final_pitch)
+
+    if current_onset is not None and len(pitch_counter) > 0:
+        result.append([current_onset, current_time,
+                       max(set(pitch_counter), key=pitch_counter.count) + MIDI_BASE])
+
+    return result
+
+
+def frame2note_finegrain(frame_info, onset_thres, offset_thres, octave_class_num=4,
+                         pitch_class_num=12, frame_size=1 / 49.8):
+    """Fine-grained variant (reference ``MIR_ST500/utils.py:152-219``): pitch
+    votes are floats ``octave*12 + class * 12/pitch_class_num``, allowing a
+    finer pitch grid."""
+    n = len(frame_info)
+    onset_seq = np.array([frame_info[i][0] for i in range(n)], dtype=np.float64)
+    peaks = onset_peaks(onset_seq, onset_thres)
+
+    result = []
+    current_onset = None
+    pitch_counter = []
+    current_time = 0.0
+
+    for i in range(n):
+        current_time = frame_size * i
+        info = frame_info[i]
+
+        if peaks[i]:
+            if current_onset is not None and len(pitch_counter) > 0:
+                result.append([current_onset, current_time,
+                               max(set(pitch_counter), key=pitch_counter.count) + MIDI_BASE])
+            current_onset = current_time
+            pitch_counter = []
+        elif info[1] >= offset_thres:
+            if current_onset is not None:
+                if len(pitch_counter) > 0:
+                    result.append([current_onset, current_time,
+                                   max(set(pitch_counter), key=pitch_counter.count) + MIDI_BASE])
+                current_onset = None
+                pitch_counter = []
+
+        if current_onset is not None:
+            final_pitch = float(info[2] * 12 + info[3] * 12 / pitch_class_num)
+            if info[2] != octave_class_num and info[3] != pitch_class_num:
+                pitch_counter.append(final_pitch)
+
+    if current_onset is not None and len(pitch_counter) > 0:
+        result.append([current_onset, current_time,
+                       max(set(pitch_counter), key=pitch_counter.count) + MIDI_BASE])
+
+    return result
+
+
+class AverageMeter:
+    """Running average (reference ``MIR_ST500/utils.py:222-238``)."""
+
+    def __init__(self):
+        self.reset()
+
+    def reset(self):
+        self.val = 0
+        self.avg = 0
+        self.sum = 0
+        self.count = 0
+
+    def update(self, val, n=1):
+        self.val = val
+        self.sum += val * n
+        self.count += n
+        self.avg = self.sum / self.count

@@ -1,0 +1,142 @@
+"""Metric accumulation (analogue of reference ``speechbrain/utils/metric_stats.py``)."""
+from __future__ import annotations
+
+import numpy as np
+
+
+class MetricStats:
+    """Accumulate a per-batch metric and summarize (reference
+    ``metric_stats.py:16-153``). ``metric`` must return one score per batch
+    item (the reference calls loss functions with ``reduction='batch'``)."""
+
+    def __init__(self, metric, n_jobs=1, batch_eval=True):
+        self.metric = metric
+        self.n_jobs = n_jobs
+        self.batch_eval = batch_eval
+        self.clear()
+
+    def clear(self):
+        self.scores = []
+        self.ids = []
+        self.summary = {}
+
+    def append(self, ids, *args, **kwargs):
+        self.ids.extend(ids)
+        if self.batch_eval:
+            scores = self.metric(*args, **kwargs)
+            scores = np.asarray(scores).reshape(-1)
+            self.scores.extend(scores.tolist())
+        else:
+            for i in range(len(ids)):
+                one_args = [a[i] for a in args]
+                self.scores.append(float(self.metric(*one_args, **kwargs)))
+
+    def summarize(self, field=None):
+        min_index = int(np.argmin(self.scores)) if self.scores else 0
+        max_index = int(np.argmax(self.scores)) if self.scores else 0
+        self.summary = {
+            "average": float(np.mean(self.scores)) if self.scores else 0.0,
+            "min_score": float(self.scores[min_index]) if self.scores else 0.0,
+            "min_id": self.ids[min_index] if self.ids else "",
+            "max_score": float(self.scores[max_index]) if self.scores else 0.0,
+            "max_id": self.ids[max_index] if self.ids else "",
+        }
+        if field is not None:
+            return self.summary[field]
+        return self.summary
+
+    def write_stats(self, filestream, verbose=False):
+        if not self.summary:
+            self.summarize()
+        message = f"Average score: {self.summary['average']}\n"
+        message += f"Min error: {self.summary['min_score']} "
+        message += f"id: {self.summary['min_id']}\n"
+        message += f"Max error: {self.summary['max_score']} "
+        message += f"id: {self.summary['max_id']}\n"
+        filestream.write(message)
+        if verbose:
+            print(message)
+
+
+class BinaryMetricStats:
+    """Binary-classification metrics incl. EER threshold search
+    (reference ``metric_stats.py:317``)."""
+
+    def __init__(self, positive_label=1):
+        self.positive_label = positive_label
+        self.clear()
+
+    def clear(self):
+        self.ids = []
+        self.scores = []
+        self.labels = []
+        self.summary = {}
+
+    def append(self, ids, scores, labels):
+        self.ids.extend(ids)
+        self.scores.extend(np.asarray(scores).reshape(-1).tolist())
+        self.labels.extend(np.asarray(labels).reshape(-1).tolist())
+
+    def summarize(self, field=None, threshold=None, max_samples=None, beta=1, eps=1e-8):
+        scores = np.asarray(self.scores, dtype=np.float64)
+        labels = np.asarray(self.labels, dtype=np.float64)
+        if threshold is None:
+            positive_scores = scores[labels == 1]
+            negative_scores = scores[labels == 0]
+            if max_samples is not None:
+                positive_scores = positive_scores[:max_samples]
+                negative_scores = negative_scores[:max_samples]
+            eer, threshold = eer_threshold(positive_scores, negative_scores)
+
+        pred = (scores > threshold).astype(np.float64)
+        true = labels
+        tp = float(np.sum(pred * true))
+        tn = float(np.sum((1 - pred) * (1 - true)))
+        fp = float(np.sum(pred * (1 - true)))
+        fn = float(np.sum((1 - pred) * true))
+        self.summary = {
+            "TP": tp, "TN": tn, "FP": fp, "FN": fn, "threshold": float(threshold),
+            "FAR": fp / (fp + tn + eps),
+            "FRR": fn / (tp + fn + eps),
+            "DER": (fp + fn) / (tp + tn + eps),
+            "precision": tp / (tp + fp + eps),
+            "recall": tp / (tp + fn + eps),
+        }
+        p, r = self.summary["precision"], self.summary["recall"]
+        self.summary["F-score"] = (1 + beta ** 2) * p * r / ((beta ** 2) * p + r + eps)
+        self.summary["MCC"] = (tp * tn - fp * fn) / (
+            np.sqrt((tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)) + eps)
+        if field is not None:
+            return self.summary[field]
+        return self.summary
+
+
+def eer_threshold(positive_scores, negative_scores):
+    """Equal-error-rate and its threshold (reference ``metric_stats.py:455``
+    ``EER``)."""
+    thresholds = np.sort(np.unique(np.concatenate([positive_scores, negative_scores])))
+    best_eer, best_thr = 1.0, 0.0
+    best_gap = np.inf
+    for thr in thresholds:
+        far = float(np.mean(negative_scores >= thr)) if len(negative_scores) else 0.0
+        frr = float(np.mean(positive_scores < thr)) if len(positive_scores) else 0.0
+        gap = abs(far - frr)
+        if gap < best_gap:
+            best_gap = gap
+            best_eer = (far + frr) / 2
+            best_thr = float(thr)
+    return best_eer, best_thr
+
+
+def minDCF(positive_scores, negative_scores, c_miss=1.0, c_fa=1.0, p_target=0.01):
+    """Minimum detection cost function (reference ``metric_stats.py:509``)."""
+    thresholds = np.sort(np.unique(np.concatenate([positive_scores, negative_scores])))
+    best = (np.inf, 0.0)
+    for thr in thresholds:
+        p_miss = float(np.mean(positive_scores < thr)) if len(positive_scores) else 0.0
+        p_fa = float(np.mean(negative_scores >= thr)) if len(negative_scores) else 0.0
+        c_det = c_miss * p_miss * p_target + c_fa * p_fa * (1 - p_target)
+        if c_det < best[0]:
+            best = (c_det, float(thr))
+    c_def = min(c_miss * p_target, c_fa * (1 - p_target))
+    return best[0] / c_def, best[1]

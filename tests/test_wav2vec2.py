@@ -1,0 +1,113 @@
+"""wav2vec2 encoder: numeric parity vs HuggingFace ``transformers`` (torch CPU)
+on a small random-initialized model, plus frame-rate arithmetic."""
+import numpy as np
+import pytest
+
+from svt_speechbrain_tpu.models.wav2vec2 import (
+    Wav2Vec2Config, Wav2Vec2Encoder, HuggingFaceWav2Vec2,
+)
+from svt_speechbrain_tpu.models.convert_hf import convert_wav2vec2_state_dict
+
+
+def small_hf_config(stable_layer_norm):
+    from transformers import Wav2Vec2Config as HFConfig
+
+    return HFConfig(
+        hidden_size=32,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        intermediate_size=64,
+        conv_dim=(16, 16, 16),
+        conv_kernel=(10, 3, 2),
+        conv_stride=(5, 2, 2),
+        feat_extract_norm="layer" if stable_layer_norm else "group",
+        conv_bias=stable_layer_norm,
+        num_conv_pos_embeddings=16,
+        num_conv_pos_embedding_groups=4,
+        do_stable_layer_norm=stable_layer_norm,
+        hidden_dropout=0.0,
+        attention_dropout=0.0,
+        activation_dropout=0.0,
+        feat_proj_dropout=0.0,
+        layerdrop=0.0,
+    )
+
+
+def to_my_config(hf):
+    return Wav2Vec2Config(
+        hidden_size=hf.hidden_size,
+        num_layers=hf.num_hidden_layers,
+        num_heads=hf.num_attention_heads,
+        ffn_size=hf.intermediate_size,
+        conv_dim=tuple(hf.conv_dim),
+        conv_kernel=tuple(hf.conv_kernel),
+        conv_stride=tuple(hf.conv_stride),
+        feat_extract_norm=hf.feat_extract_norm,
+        conv_bias=hf.conv_bias,
+        num_conv_pos_embeddings=hf.num_conv_pos_embeddings,
+        num_conv_pos_embedding_groups=hf.num_conv_pos_embedding_groups,
+        do_stable_layer_norm=hf.do_stable_layer_norm,
+    )
+
+
+@pytest.mark.parametrize("stable_layer_norm", [True, False])
+def test_forward_matches_transformers(stable_layer_norm):
+    import torch
+    from transformers import Wav2Vec2Model
+
+    torch.manual_seed(0)
+    hf_cfg = small_hf_config(stable_layer_norm)
+    hf_model = Wav2Vec2Model(hf_cfg).eval()
+
+    wav = np.random.default_rng(0).normal(size=(2, 4000)).astype(np.float32)
+    with torch.no_grad():
+        expected = hf_model(torch.tensor(wav)).last_hidden_state.numpy()
+
+    cfg = to_my_config(hf_cfg)
+    sd = {k: v.numpy() for k, v in hf_model.state_dict().items()}
+    params = convert_wav2vec2_state_dict(sd, cfg)
+    model = Wav2Vec2Encoder(cfg)
+    got = np.asarray(model(params, wav))
+
+    assert got.shape == expected.shape
+    np.testing.assert_allclose(got, expected, atol=2e-4, rtol=1e-3)
+
+
+def test_output_length_is_49_8hz():
+    cfg = Wav2Vec2Config.large_lv60()
+    # 5 s at 16 kHz → ~249 frames (49.8 Hz)
+    t = cfg.output_length(5 * 16000)
+    assert t == 249
+    # stride 320 overall
+    assert cfg.output_length(16000 * 10) - cfg.output_length(16000 * 10 - 320) == 1
+
+
+def test_bridge_normalization_modes():
+    """The SB bridge's whole-tensor layer norms (huggingface_interface.py:288,296)."""
+    import jax
+
+    cfg = Wav2Vec2Config(hidden_size=32, num_layers=1, num_heads=4, ffn_size=64,
+                         conv_dim=(16, 16), conv_kernel=(10, 3), conv_stride=(5, 2),
+                         num_conv_pos_embeddings=16, num_conv_pos_embedding_groups=4)
+    bridge = HuggingFaceWav2Vec2(cfg, output_norm=True, normalize_wav=True)
+    params = bridge.init(jax.random.PRNGKey(0))
+    wav = np.random.default_rng(1).normal(size=(2, 2000)).astype(np.float32) * 7 + 3
+    out = np.asarray(bridge(params, wav))
+    # output_norm makes the whole output zero-mean/unit-var
+    assert abs(out.mean()) < 1e-3
+    assert abs(out.std() - 1.0) < 1e-2
+
+
+def test_freeze_stops_gradients():
+    import jax
+    import jax.numpy as jnp
+
+    cfg = Wav2Vec2Config(hidden_size=32, num_layers=1, num_heads=4, ffn_size=64,
+                         conv_dim=(16, 16), conv_kernel=(10, 3), conv_stride=(5, 2),
+                         num_conv_pos_embeddings=16, num_conv_pos_embedding_groups=4)
+    bridge = HuggingFaceWav2Vec2(cfg, freeze=True)
+    params = bridge.init(jax.random.PRNGKey(0))
+    wav = jnp.ones((1, 2000))
+
+    grads = jax.grad(lambda p: jnp.sum(bridge(p, wav)))(params)
+    assert all(float(jnp.abs(g).max()) == 0.0 for g in jax.tree_util.tree_leaves(grads))
