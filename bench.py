@@ -1,0 +1,79 @@
+#!/usr/bin/env python3
+"""Benchmark: batched AMT inference throughput (RTFx) on one TPU chip.
+
+Measures the north-star metric from BASELINE.json — realtime factor of the
+flagship wav2vec2-large AMT pipeline (encoder + frame heads + on-device
+prob/argmax compaction) over batched 5 s chunks, as audio-seconds transcribed
+per wall-clock second per chip. The reference never measured throughput; the
+driver's bar is ≥20× realtime (vs_baseline = rtfx / 20).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np  # noqa: E402
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+
+def main():
+    from svt_speechbrain_tpu.models.wav2vec2 import HuggingFaceWav2Vec2
+    from svt_speechbrain_tpu.nnet.linear import Linear
+    from svt_speechbrain_tpu.inference import BatchedAMTTranscriber
+
+    batch_size = int(os.environ.get("BENCH_BATCH", "32"))
+    chunk_seconds = 5.0
+    n_iters = int(os.environ.get("BENCH_ITERS", "20"))
+    warmup = 3
+
+    bridge = HuggingFaceWav2Vec2(source="facebook/wav2vec2-large-lv60",
+                                 output_norm=True, freeze=True)
+    head = Linear(input_size=1024, n_neurons=20)
+
+    rng = jax.random.PRNGKey(0)
+    k1, k2 = jax.random.split(rng)
+    params = {"wav2vec2": bridge.init(k1), "model": head.init(k2)}
+
+    transcriber = BatchedAMTTranscriber(
+        bridge, head, params, chunk_seconds=chunk_seconds,
+        batch_size=batch_size, compute_dtype=jnp.bfloat16)
+
+    # synthetic "songs" totaling n_iters batches of chunks — the benchmark
+    # times the REAL pipeline (host chunking, h2d, device forward with
+    # on-device prob/argmax compaction, d2h of compact outputs, host stitch)
+    rng = np.random.default_rng(0)
+    n_songs = 8
+    total_chunks = n_iters * batch_size
+    chunks_per_song = total_chunks // n_songs
+    songs = {
+        f"song{i}": (rng.normal(
+            size=int(chunks_per_song * chunk_seconds * 16000)) * 3000).astype(np.int16)
+        for i in range(n_songs)
+    }
+    audio_seconds = sum(len(w) for w in songs.values()) / 16000.0
+
+    # warmup / compile
+    warm = {"w": songs["song0"][: transcriber.chunk_samples * batch_size]}
+    for _ in range(warmup):
+        transcriber.predict_frames(warm)
+
+    start = time.perf_counter()
+    transcriber.predict_frames(songs)
+    elapsed = time.perf_counter() - start
+    rtfx = audio_seconds / elapsed
+
+    print(json.dumps({
+        "metric": "amt_inference_rtfx_w2v2_large",
+        "value": round(rtfx, 2),
+        "unit": "audio_sec_per_sec_per_chip",
+        "vs_baseline": round(rtfx / 20.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

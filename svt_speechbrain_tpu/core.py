@@ -271,6 +271,10 @@ class Brain:
 
         self._compiled_steps = {}
         self._compiled_eval = None
+        # batch keys that never reach the device (variable-shape host-side
+        # references like per-song note annotations — keeps jit signatures
+        # stable across songs)
+        self.host_only_keys = set()
 
     # --------------------------------------------------------- param access
     def _get_module_params(self, name):
@@ -414,12 +418,58 @@ class Brain:
             arrays = batch.numpy_arrays()
         else:
             arrays = batch
-        if self.precision == "bf16":
-            def cast(x):
-                x = np.asarray(x)
-                return x.astype(np.float32) if x.dtype == np.float64 else x
-            arrays = jax.tree_util.tree_map(cast, arrays)
+        if self.host_only_keys:
+            arrays = {k: v for k, v in arrays.items() if k not in self.host_only_keys}
+
+        # pad the batch axis to a multiple of the mesh size so the data axis
+        # shards evenly; padded rows carry relative length 0 so the masked
+        # losses ignore them, and "valid_rows" lets models exclude them from
+        # whole-tensor statistics.
+        leaves = [np.asarray(x) for x in jax.tree_util.tree_leaves(arrays)
+                  if np.asarray(x).ndim >= 1]
+        real_b = leaves[0].shape[0] if leaves else 0
+        target_b = int(-(-real_b // self.n_devices) * self.n_devices) if real_b else 0
+        self._real_batch_size = real_b
+        self._padded_batch_size = target_b
+
+        def pad_rows(x):
+            x = np.asarray(x)
+            if x.ndim == 0 or x.shape[0] != real_b or target_b == real_b:
+                return x
+            pads = [(0, target_b - real_b)] + [(0, 0)] * (x.ndim - 1)
+            return np.pad(x, pads)
+
+        arrays = jax.tree_util.tree_map(pad_rows, arrays)
+        if real_b and target_b != real_b:
+            arrays["valid_rows"] = np.pad(
+                np.ones(real_b, np.float32), (0, target_b - real_b))
+        elif real_b:
+            arrays["valid_rows"] = np.ones(real_b, np.float32)
+
+        def cast(x):
+            x = np.asarray(x)
+            if x.dtype == np.float64:
+                return x.astype(np.float32)
+            if x.dtype == np.int64:
+                return x.astype(np.int32)
+            return x
+
+        arrays = jax.tree_util.tree_map(cast, arrays)
         return mesh_lib.shard_batch(self.mesh, arrays)
+
+    def _trim_batch_rows(self, tree):
+        """Strip device-padding rows from per-batch outputs (host side)."""
+        real_b, padded_b = self._real_batch_size, self._padded_batch_size
+        if real_b == padded_b:
+            return tree
+
+        def trim(x):
+            x = np.asarray(x)
+            if x.ndim >= 1 and x.shape[0] == padded_b:
+                return x[:real_b]
+            return x
+
+        return jax.tree_util.tree_map(trim, tree)
 
     # ------------------------------------------------------------ train step
     def _cast_for_compute(self, tree):
@@ -530,7 +580,7 @@ class Brain:
         if self._compiled_eval is None:
             self._compiled_eval = self._make_eval_step()
         preds, loss = self._compiled_eval(self.params, arrays, stage)
-        preds_np = jax.tree_util.tree_map(np.asarray, preds)
+        preds_np = self._trim_batch_rows(jax.tree_util.tree_map(np.asarray, preds))
         loss_val = float(np.asarray(loss))
         self.on_evaluate_batch_end(batch, preds_np, loss_val, stage)
         return loss_val

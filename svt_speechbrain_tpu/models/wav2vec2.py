@@ -36,7 +36,7 @@ import jax.numpy as jnp
 from svt_speechbrain_tpu.nnet.core import Module, split_rngs, normal_init, kaiming_uniform, uniform_bias, glorot_uniform
 from svt_speechbrain_tpu.nnet.cnn import Conv1d, conv_output_length
 from svt_speechbrain_tpu.nnet.linear import Linear
-from svt_speechbrain_tpu.nnet.normalization import LayerNorm, GroupNorm, layer_norm, global_layer_norm
+from svt_speechbrain_tpu.nnet.normalization import LayerNorm, GroupNorm, layer_norm, global_layer_norm, per_item_layer_norm
 from svt_speechbrain_tpu.nnet.attention import MultiheadAttention
 from svt_speechbrain_tpu.nnet.dropout import dropout as _dropout
 
@@ -273,10 +273,26 @@ class HuggingFaceWav2Vec2(Module):
     ``huggingface_interface.py:273-277``).
     """
 
-    def __init__(self, config: Wav2Vec2Config = None, output_norm=True,
-                 normalize_wav=True, freeze=False, freeze_feature_extractor=False):
-        self.config = config or Wav2Vec2Config.large_lv60()
+    def __init__(self, source=None, save_path=None, config: Wav2Vec2Config = None,
+                 output_norm=True, normalize_wav=None, freeze=False,
+                 freeze_feature_extractor=False, arch_overrides=None):
+        if isinstance(source, Wav2Vec2Config):  # allow positional config
+            config, source = source, None
+        if config is None:
+            name = (source or "wav2vec2-large-lv60").lower()
+            config = Wav2Vec2Config.base() if "base" in name else Wav2Vec2Config.large_lv60()
+        if arch_overrides:
+            config = dataclasses.replace(
+                config, **{k: tuple(v) if isinstance(v, list) else v
+                           for k, v in arch_overrides.items()})
+        self.config = config
+        self.source = source
+        self.save_path = save_path
         self.output_norm = output_norm
+        if normalize_wav is None:
+            # HF processor do_normalize: True for lv60/robust/xlsr, False for base
+            name = (source or "").lower()
+            normalize_wav = not name.endswith("base") and "base-960h" not in name
         self.normalize_wav = normalize_wav
         self.freeze = freeze
         self.freeze_feature_extractor = freeze_feature_extractor
@@ -285,7 +301,29 @@ class HuggingFaceWav2Vec2(Module):
     def init(self, rng):
         return {"encoder": self.encoder.init(rng)}
 
-    def __call__(self, params, wav, rng=None, train=False):
+    def load_pretrained(self):
+        """Convert a local HF checkpoint under ``save_path`` (or ``source`` if
+        it's a path) to framework params, or None if unavailable.
+
+        The reference downloads from the HF hub at construction
+        (``huggingface_interface.py:179``); the zero-egress TPU build expects
+        a pre-fetched checkpoint directory.
+        """
+        import os
+
+        from svt_speechbrain_tpu.models.convert_hf import load_wav2vec2
+
+        for candidate in (self.save_path, self.source):
+            if candidate and os.path.exists(candidate):
+                params, _ = load_wav2vec2(candidate, self.config)
+                return {"encoder": params}
+        return None
+
+    def __call__(self, params, wav, rng=None, train=False, row_mask=None,
+                 per_item_norm=False):
+        """``per_item_norm=True`` normalizes each batch row independently —
+        identical to the reference at its batch_size=1 eval and invariant to
+        batch composition (the batched inference path uses this)."""
         if self.freeze:
             params = jax.lax.stop_gradient(params)
             train = False
@@ -295,11 +333,15 @@ class HuggingFaceWav2Vec2(Module):
                 feature_extractor=jax.lax.stop_gradient(params["encoder"]["feature_extractor"]),
             ))
         if self.normalize_wav:
-            wav = global_layer_norm(wav)
+            wav = (per_item_layer_norm(wav) if per_item_norm
+                   else global_layer_norm(wav, row_mask=row_mask))
         out = self.encoder(params["encoder"], wav, rng=rng, train=train)
         if self.output_norm:
-            out = global_layer_norm(out)
+            out = (per_item_layer_norm(out) if per_item_norm
+                   else global_layer_norm(out, row_mask=row_mask))
         return out
 
-    def extract_features(self, params, wav, rng=None, train=False):
-        return self(params, wav, rng=rng, train=train)
+    def extract_features(self, params, wav, rng=None, train=False, row_mask=None,
+                         per_item_norm=False):
+        return self(params, wav, rng=rng, train=train, row_mask=row_mask,
+                    per_item_norm=per_item_norm)

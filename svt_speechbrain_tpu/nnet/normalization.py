@@ -60,13 +60,36 @@ def layer_norm(x, scale=None, bias=None, eps=1e-05, axis=-1):
     return y.astype(dtype)
 
 
-def global_layer_norm(x, eps=1e-05):
+def global_layer_norm(x, eps=1e-05, row_mask=None):
     """Normalize over *all* elements of ``x`` (no affine). This replicates the
     reference's ``F.layer_norm(wav, wav.shape)`` input/output normalization in
-    the HF SSL bridge (``MIR_ST500/huggingface_interface.py:288,296``)."""
+    the HF SSL bridge (``MIR_ST500/huggingface_interface.py:288,296``).
+
+    ``row_mask`` (B,) with 1 for real batch rows excludes device-padding rows
+    from the statistics (the engine pads the batch axis to the mesh size);
+    with all-ones it is bit-identical to the unmasked version.
+    """
     x32 = x.astype(jnp.float32)
-    mean = jnp.mean(x32)
-    var = jnp.mean(jnp.square(x32 - mean))
+    if row_mask is None:
+        mean = jnp.mean(x32)
+        var = jnp.mean(jnp.square(x32 - mean))
+    else:
+        m = row_mask.astype(jnp.float32).reshape((-1,) + (1,) * (x.ndim - 1))
+        count = jnp.sum(m) * (x32.size / x32.shape[0])
+        mean = jnp.sum(x32 * m) / count
+        var = jnp.sum(jnp.square(x32 - mean) * m) / count
+    return ((x32 - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
+
+
+def per_item_layer_norm(x, eps=1e-05):
+    """Normalize each batch row over all of its elements — equivalent to the
+    reference's ``F.layer_norm(x, x.shape)`` at batch size 1 (its eval
+    regime), and the only batching-invariant choice for the batched
+    inference pipeline."""
+    x32 = x.astype(jnp.float32)
+    axes = tuple(range(1, x.ndim))
+    mean = jnp.mean(x32, axis=axes, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=axes, keepdims=True)
     return ((x32 - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
 
 

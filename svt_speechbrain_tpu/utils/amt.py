@@ -120,7 +120,10 @@ def frame2note(frame_info, onset_thres, offset_thres, frame_size=1 / 49.8):
       the final frame time.
     """
     n = len(frame_info)
-    onset_seq = np.array([frame_info[i][0] for i in range(n)], dtype=np.float64)
+    if isinstance(frame_info, np.ndarray):
+        onset_seq = np.asarray(frame_info[:, 0], dtype=np.float64)
+    else:
+        onset_seq = np.array([frame_info[i][0] for i in range(n)], dtype=np.float64)
     peaks = onset_peaks(onset_seq, onset_thres)
 
     result = []
@@ -155,6 +158,43 @@ def frame2note(frame_info, onset_thres, offset_thres, frame_size=1 / 49.8):
         result.append([current_onset, current_time,
                        max(set(pitch_counter), key=pitch_counter.count) + MIDI_BASE])
 
+    return result
+
+
+def frame2note_fast(frame_info, onset_thres, offset_thres, frame_size=1 / 49.8):
+    """Vectorized ``frame2note`` for the batched inference path.
+
+    Identical to ``frame2note`` except majority-vote ties break toward the
+    smallest pitch (bincount argmax) instead of CPython set-iteration order —
+    ties require two pitches with exactly equal vote counts in one note, which
+    is rare; the golden-parity eval path uses the exact decoder.
+    """
+    arr = np.asarray(frame_info, dtype=np.float64)
+    n = len(arr)
+    if n == 0:
+        return []
+    onset_seq = arr[:, 0]
+    peaks = onset_peaks(onset_seq, onset_thres)
+    offsets = (arr[:, 1] >= offset_thres) & ~peaks
+    votes_ok = (arr[:, 2] != OCTAVE_END + 1) & (arr[:, 3] != PITCH_CLASS_NUM)
+    pitches = (arr[:, 2] * 12 + arr[:, 3]).astype(np.int64)
+
+    peak_idx = np.flatnonzero(peaks)
+    if len(peak_idx) == 0:
+        return []
+    event_idx = np.flatnonzero(peaks | offsets)
+    result = []
+    for k, start in enumerate(peak_idx):
+        # segment ends at the next peak-or-offset event, else end of sequence
+        pos = np.searchsorted(event_idx, start + 1)
+        end = event_idx[pos] if pos < len(event_idx) else None
+        seg_end = end if end is not None else n
+        seg_votes = pitches[start:seg_end][votes_ok[start:seg_end]]
+        if len(seg_votes) == 0:
+            continue
+        pitch = int(np.bincount(seg_votes).argmax())
+        close_time = (end if end is not None else n - 1) * frame_size
+        result.append([start * frame_size, close_time, pitch + MIDI_BASE])
     return result
 
 

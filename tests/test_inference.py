@@ -1,0 +1,105 @@
+"""Batched inference pipeline: stitched frame outputs must match per-chunk
+single-utterance evaluation exactly, and the vectorized note decoder must
+match the exact one."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from svt_speechbrain_tpu.models.wav2vec2 import HuggingFaceWav2Vec2, Wav2Vec2Config
+from svt_speechbrain_tpu.nnet.linear import Linear
+from svt_speechbrain_tpu.inference import BatchedAMTTranscriber
+from svt_speechbrain_tpu.utils.amt import frame2note, frame2note_fast
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    cfg = Wav2Vec2Config(
+        hidden_size=32, num_layers=2, num_heads=4, ffn_size=64,
+        conv_dim=(16,) * 7, num_conv_pos_embeddings=16,
+        num_conv_pos_embedding_groups=4)
+    bridge = HuggingFaceWav2Vec2(config=cfg, output_norm=True, normalize_wav=True)
+    head = Linear(input_size=32, n_neurons=20)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    params = {"wav2vec2": bridge.init(k1), "model": head.init(k2)}
+    return bridge, head, params
+
+
+def test_batched_matches_single_chunk(tiny_model):
+    bridge, head, params = tiny_model
+    tr = BatchedAMTTranscriber(bridge, head, params, chunk_seconds=1.0,
+                               batch_size=4, compute_dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    songs = {
+        "a": rng.normal(size=int(2.5 * 16000)).astype(np.float32),  # 3 chunks
+        "b": rng.normal(size=int(1.0 * 16000)).astype(np.float32),  # 1 chunk
+    }
+    stitched = tr.predict_frames(songs)
+
+    # per-chunk single-item forward (the reference's batch_size=1 eval)
+    for name, wav in songs.items():
+        expected = []
+        cs = tr.chunk_samples
+        for i in range(-(-len(wav) // cs)):
+            part = wav[i * cs:(i + 1) * cs]
+            frames = bridge.config.output_length(len(part))
+            padded = np.zeros(cs, np.float32)
+            padded[:len(part)] = part
+            batch = np.stack([padded] * 4)  # same chunk replicated to batch
+            out = tr._forward(tr.params, jnp.asarray(batch))
+            onset, offset, octv, cls = [np.asarray(x)[0, :frames] for x in out]
+            expected.append(np.stack(
+                [onset, offset, octv.astype(np.float32), cls.astype(np.float32)], axis=-1))
+        expected = np.concatenate(expected, axis=0)
+        np.testing.assert_allclose(stitched[name], expected, atol=1e-6)
+
+
+def test_int16_feed_matches_float(tiny_model):
+    bridge, head, params = tiny_model
+    tr = BatchedAMTTranscriber(bridge, head, params, chunk_seconds=1.0,
+                               batch_size=2, compute_dtype=jnp.float32)
+    rng = np.random.default_rng(1)
+    pcm = (rng.normal(size=16000 * 2) * 3000).astype(np.int16)
+    out_i = tr.predict_frames({"s": pcm})["s"]
+    out_f = tr.predict_frames({"s": pcm.astype(np.float32) / 32768.0})["s"]
+    np.testing.assert_allclose(out_i, out_f, atol=1e-5)
+
+
+def test_transcribe_returns_notes(tiny_model):
+    bridge, head, params = tiny_model
+    tr = BatchedAMTTranscriber(bridge, head, params, chunk_seconds=1.0, batch_size=2)
+    rng = np.random.default_rng(2)
+    notes = tr.transcribe({"s": rng.normal(size=32000).astype(np.float32)})
+    assert "s" in notes
+    for on, off, midi in notes["s"]:
+        assert off > on
+        assert 36 <= midi <= 36 + 47
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_frame2note_fast_matches_exact(seed):
+    """On data without vote ties the vectorized decoder is identical."""
+    rng = np.random.default_rng(seed)
+    n = 600
+    # sparse onsets, confident consistent pitch per region → no ties
+    onset = (rng.random(n) ** 5)
+    offset = rng.random(n) * 0.7
+    octave = np.repeat(rng.integers(0, 4, size=n // 20 + 1), 20)[:n]
+    cls = np.repeat(rng.integers(0, 12, size=n // 20 + 1), 20)[:n]
+    arr = np.stack([onset, offset, octave.astype(float), cls.astype(float)], axis=-1)
+    exact = frame2note(arr, 0.4, 0.5)
+    fast = frame2note_fast(arr, 0.4, 0.5)
+    assert len(exact) == len(fast)
+    fs = 1 / 49.8
+    pitches = (arr[:, 2] * 12 + arr[:, 3]).astype(int)
+    votable = (arr[:, 2] != 4) & (arr[:, 3] != 12)
+    for a, b in zip(exact, fast):
+        assert abs(a[0] - b[0]) < 1e-9
+        assert abs(a[1] - b[1]) < 1e-9
+        if a[2] != b[2]:
+            # any pitch difference must be a genuine majority-vote tie
+            i0, i1 = round(a[0] / fs), round(a[1] / fs)
+            seg = pitches[i0:i1][votable[i0:i1]]
+            counts = np.bincount(seg, minlength=48)
+            assert counts[int(a[2]) - 36] == counts[int(b[2]) - 36] == counts.max()
