@@ -1,17 +1,11 @@
 #!/usr/bin/env python3
-"""Recipe: wav2vec2-based AMT on the MIR-ST500 dataset (TPU-native).
+"""Recipe: wav2vec2 audio AMT on N20EMv2 (mix-trainable with MIR-ST500).
 
-Behavioural twin of the reference recipe
-(``/root/reference/MIR_ST500/train_audio_ssl.py``): wav2vec2 encoder + 20-dim
-linear head; 4-term loss (onset BCE pos_weight, offset BCE, octave NLL,
-pitch-class NLL); two optimizers (Adam on the encoder, Adadelta on the head);
-linear-probe → finetune schedule; NewBob lr annealing on valid loss;
-song-stitched whole-song eval scored with COnPOff/COnP/COn F1.
-
-Run:
-> python train_audio_ssl.py hparams/train_audio_ssl.yaml --data_folder=/path
+Twin of ``/root/reference/N20EMv2/audio_only/train_audio_ssl.py``. Deltas
+from the MIR-ST500 recipe: offset BCE pos_weight, COff metrics, zero-metrics
+guard, noisy-input switch, ``mix_train`` CSV selection, checkpoint selection
+by max valid COnPOff_f1, model export for stage-2 fusion.
 """
-import functools
 import json
 import logging
 import os
@@ -19,39 +13,27 @@ import sys
 
 import numpy as np
 
-sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".."))
-
-import jax  # noqa: E402
-import optax  # noqa: E402
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "..", ".."))
 
 import svt_speechbrain_tpu as sb  # noqa: E402
 from svt_speechbrain_tpu.config import load_hyperyaml  # noqa: E402
 from svt_speechbrain_tpu.dataio import dataio, dataset  # noqa: E402
-from svt_speechbrain_tpu.utils.amt import frame2note, AverageMeter  # noqa: E402
-from svt_speechbrain_tpu.utils import transcription_eval  # noqa: E402
-from svt_speechbrain_tpu.utils.metric_stats import MetricStats  # noqa: E402
-from svt_speechbrain_tpu.parallel.distributed import run_on_main  # noqa: E402
+from svt_speechbrain_tpu.tasks.amt import AudioAMT  # noqa: E402
 
 logger = logging.getLogger(__name__)
 
 
-from svt_speechbrain_tpu.tasks.amt import AudioAMT  # noqa: E402
-
-
 class AMT(AudioAMT):
-    """MIR-ST500 audio AMT (reference ``MIR_ST500/train_audio_ssl.py:27``).
-
-    All machinery lives in ``svt_speechbrain_tpu.tasks.amt``; this recipe
-    binds the MIR-ST500 dataio and checkpoint policy (keep best by min valid
-    loss, reference ``:293-295``).
-    """
+    """N20EMv2 audio AMT (reference ``audio_only/train_audio_ssl.py``)."""
 
 
-def dataio_prepare(hparams):
-    """Datasets + host pipelines (reference ``:321-433``)."""
+def dataio_prepare(hparams, extract=False):
+    """Datasets + pipelines (reference ``:387-470``); ``extract`` keeps the
+    wav path in the outputs for the feature-dump path."""
     data_folder = hparams["data_folder"]
+    train_csv_path = hparams["mix_train_csv"] if hparams.get("mix_train") else hparams["train_csv"]
     train_data = dataset.DynamicItemDataset.from_csv(
-        csv_path=hparams["train_csv"], replacements={"data_root": data_folder})
+        csv_path=train_csv_path, replacements={"data_root": data_folder})
 
     if hparams["sorting"] in ("ascending", "descending"):
         train_data = train_data.filtered_sorted(
@@ -62,14 +44,11 @@ def dataio_prepare(hparams):
 
     valid_data = dataset.DynamicItemDataset.from_csv(
         csv_path=hparams["valid_csv"], replacements={"data_root": data_folder})
-    # NOTE: never filter/sort eval sets: utterances of each song must stay together
-
     test_datasets = {}
     for csv_file in hparams["test_csv"]:
         name = os.path.splitext(os.path.basename(csv_file))[0]
         test_datasets[name] = dataset.DynamicItemDataset.from_csv(
             csv_path=csv_file, replacements={"data_root": data_folder})
-
     datasets = [train_data, valid_data] + [i for k, i in test_datasets.items()]
 
     dur_threshold = hparams["dur_threshold"]
@@ -77,7 +56,12 @@ def dataio_prepare(hparams):
     frame_rate = hparams["frame_rate"]
 
     def audio_pipeline(wav, utter_id, utter_num):
-        """Read + utterance slice (reference ``:373-392``)."""
+        """Read (optionally the synthesized noisy version,
+        reference ``extract_ssl_feats.py:471-475``) + utterance slice."""
+        if hparams.get("add_noise"):
+            folder = os.path.dirname(wav)
+            wav = os.path.join(folder, "noise_data", hparams["noise_type"],
+                               f"SNR_{hparams['snr_db']}dB.wav")
         sig = dataio.read_audio(wav)
         assert sig.ndim == 1
         utter_id, utter_num = int(utter_id), int(utter_num)
@@ -91,7 +75,6 @@ def dataio_prepare(hparams):
                              takes=["wav", "utter_id", "utter_num"], provides="sig")
 
     def anno_items(frame_anno, song_anno, utter_id, utter_num):
-        """Frame labels + whole-song note references (reference ``:395-424``)."""
         utter_id, utter_num = int(utter_id), int(utter_num)
         with open(song_anno) as json_data:
             song = json.load(json_data)
@@ -112,48 +95,31 @@ def dataio_prepare(hparams):
         takes=["frame_anno", "song_anno", "utter_id", "utter_num"],
         provides=["anno", "cur_utter", "all_utter", "ref_intervals", "ref_pitchs"])
 
-    dataset.set_output_keys(
-        datasets,
-        ["id", "sig", "anno", "cur_utter", "all_utter", "ref_intervals", "ref_pitchs"])
+    keys = ["id", "sig", "anno", "cur_utter", "all_utter", "ref_intervals", "ref_pitchs"]
+    if extract:
+        keys.append("wav")
+    dataset.set_output_keys(datasets, keys)
     return train_data, valid_data, test_datasets
 
 
 if __name__ == "__main__":
     hparams_file, run_opts, overrides = sb.parse_arguments(sys.argv[1:])
-
     from svt_speechbrain_tpu.parallel.distributed import ddp_init_group
 
     ddp_init_group(run_opts)
-
     with open(hparams_file) as fin:
         hparams = load_hyperyaml(fin, overrides)
-
     sb.create_experiment_directory(
         experiment_directory=hparams["output_folder"],
-        hyperparams_to_save=hparams_file,
-        overrides=overrides,
-    )
+        hyperparams_to_save=hparams_file, overrides=overrides)
 
     train_data, valid_data, test_datasets = dataio_prepare(hparams)
-
-    amt_brain = AMT(
-        modules=hparams["modules"],
-        hparams=hparams,
-        run_opts=run_opts,
-        checkpointer=hparams["checkpointer"],
-    )
-
+    amt_brain = AMT(modules=hparams["modules"], hparams=hparams,
+                    run_opts=run_opts, checkpointer=hparams["checkpointer"])
     amt_brain.fit(
-        amt_brain.hparams.epoch_counter,
-        train_data,
-        valid_data,
+        amt_brain.hparams.epoch_counter, train_data, valid_data,
         train_loader_kwargs=hparams["train_dataloader_opts"],
-        valid_loader_kwargs=hparams["valid_dataloader_opts"],
-    )
-
+        valid_loader_kwargs=hparams["valid_dataloader_opts"])
     for k in test_datasets.keys():
-        amt_brain.evaluate(
-            test_datasets[k],
-            min_key="loss",
-            test_loader_kwargs=hparams["test_dataloader_opts"],
-        )
+        amt_brain.evaluate(test_datasets[k], max_key="COnPOff_f1",
+                           test_loader_kwargs=hparams["test_dataloader_opts"])

@@ -239,10 +239,17 @@ class Brain:
         seed = int(getattr(self.hparams, "seed", 1986))
         self.rng = jax.random.PRNGKey(seed)
         self.params = {}
+        self.states = {}  # modules with running statistics (BatchNorm)
         for name in self.module_names:
             self.rng, sub = jax.random.split(self.rng)
-            self.params[name] = getattr(self.modules, name).init(sub)
+            module = getattr(self.modules, name)
+            self.params[name] = module.init(sub)
+            if hasattr(module, "init_state"):
+                self.states[name] = module.init_state()
         self.params = mesh_lib.replicate(self.mesh, self.params)
+        self.stateful = bool(self.states)
+        if self.stateful:
+            self.states = mesh_lib.replicate(self.mesh, self.states)
 
         self.optimizers = {}
         self.opt_states = {}
@@ -262,6 +269,12 @@ class Brain:
                     name, PytreeHandle(
                         get=functools.partial(self._get_module_params, name),
                         set=functools.partial(self._set_module_params, name)))
+            if self.stateful:
+                self.checkpointer.add_recoverable(
+                    "model_states", PytreeHandle(
+                        get=lambda: self.states,
+                        set=lambda tree: setattr(
+                            self, "states", mesh_lib.replicate(self.mesh, tree))))
 
         total_params = count_params(self.params)
         if total_params > 0:
@@ -286,6 +299,11 @@ class Brain:
     def load_module_params(self, name, tree):
         """Install externally-loaded (e.g. HF-converted) parameters."""
         self._set_module_params(name, jax.tree_util.tree_map(jnp.asarray, tree))
+
+    def load_module_state(self, name, tree):
+        """Install externally-loaded running statistics (BatchNorm etc.)."""
+        self.states[name] = mesh_lib.replicate(
+            self.mesh, jax.tree_util.tree_map(jnp.asarray, tree))
 
     # ------------------------------------------------------------ overrides
     def compute_forward(self, params, batch, stage, rng=None):
@@ -489,20 +507,26 @@ class Brain:
         opt_items = [(name, cfg["tx"], cfg["modules"]) for name, cfg in self.optimizers.items()]
         trainable_names = [n for n in self.module_names if n not in frozen]
 
-        def train_step(params, opt_states, batch, rng):
+        def train_step(params, opt_states, model_states, batch, rng):
             frozen_params = {n: params[n] for n in frozen}
             train_params = {n: params[n] for n in trainable_names}
 
             def loss_fn(train_params):
                 merged = {**jax.lax.stop_gradient(frozen_params), **train_params}
                 merged = self._cast_for_compute(merged)
-                preds = self.compute_forward(merged, batch, Stage.TRAIN, rng)
+                if self.stateful:
+                    preds, new_states = self.compute_forward(
+                        merged, model_states, batch, Stage.TRAIN, rng)
+                else:
+                    preds = self.compute_forward(merged, batch, Stage.TRAIN, rng)
+                    new_states = model_states
                 loss = self.compute_objectives(preds, batch, Stage.TRAIN)
                 if isinstance(loss, tuple):
                     loss = loss[0]
-                return loss.astype(jnp.float32)
+                return loss.astype(jnp.float32), new_states
 
-            loss, grads = jax.value_and_grad(loss_fn)(train_params)
+            (loss, new_model_states), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(train_params)
 
             # reference check_gradients (core.py:882-924): clip global norm,
             # skip the step when the loss is nonfinite
@@ -529,9 +553,9 @@ class Brain:
                 for n in owned:
                     new_params[n] = select(updated[n], params[n])
                 new_opt_states[name] = select(new_state, opt_states[name])
-            return new_params, new_opt_states, loss, finite
+            return new_params, new_opt_states, new_model_states, loss, finite
 
-        return jax.jit(train_step, donate_argnums=(0, 1))
+        return jax.jit(train_step, donate_argnums=(0, 1, 2))
 
     def _get_train_step(self):
         key = self.frozen_modules
@@ -540,9 +564,12 @@ class Brain:
         return self._compiled_steps[key]
 
     def _make_eval_step(self):
-        def eval_step(params, batch, stage):
+        def eval_step(params, model_states, batch, stage):
             params = self._cast_for_compute(params)
-            preds = self.compute_forward(params, batch, stage, None)
+            if self.stateful:
+                preds, _ = self.compute_forward(params, model_states, batch, stage, None)
+            else:
+                preds = self.compute_forward(params, batch, stage, None)
             loss = self.compute_objectives(preds, batch, stage)
             if isinstance(loss, tuple):
                 loss = loss[0]
@@ -561,8 +588,8 @@ class Brain:
         arrays = self._batch_arrays(batch)
         self.rng, step_rng = jax.random.split(self.rng)
         train_step = self._get_train_step()
-        self.params, self.opt_states, loss, finite = train_step(
-            self.params, self.opt_states, arrays, step_rng)
+        self.params, self.opt_states, self.states, loss, finite = train_step(
+            self.params, self.opt_states, self.states, arrays, step_rng)
         loss_val = float(np.asarray(loss))
         if not bool(np.asarray(finite)):
             self.nonfinite_count += 1
@@ -579,7 +606,7 @@ class Brain:
         arrays = self._batch_arrays(batch)
         if self._compiled_eval is None:
             self._compiled_eval = self._make_eval_step()
-        preds, loss = self._compiled_eval(self.params, arrays, stage)
+        preds, loss = self._compiled_eval(self.params, self.states, arrays, stage)
         preds_np = self._trim_batch_rows(jax.tree_util.tree_map(np.asarray, preds))
         loss_val = float(np.asarray(loss))
         self.on_evaluate_batch_end(batch, preds_np, loss_val, stage)

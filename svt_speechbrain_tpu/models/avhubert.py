@@ -1,0 +1,264 @@
+"""TPU-native AV-HuBERT encoder (video/audio/audio-visual SSL).
+
+Rebuild of the vendored AV-HuBERT stack the reference uses for the
+video-only AMT recipe (``N20EMv2/video_only/hubert.py``; framework twin
+``speechbrain/lobes/models/hubert.py``), with the fairseq-specific plumbing
+(task registry, dataclass II, GradMultiply) replaced by plain functional
+modules:
+
+- dual-stream feature extractors: video = ``ResEncoder`` (Conv3D +
+  ResNet-18) + linear proj; audio = linear proj (``hubert.py:311-327``);
+- a missing modality is zero-filled at the fused width
+  (``hubert.py:697-705``);
+- modality fuse: channel concat (default) or add → layer_norm →
+  ``post_extract_proj`` (2048→1024 for "concat") (``hubert.py:707-721``);
+- wav2vec2-style transformer encoder (conv positional embedding + pre/post-LN
+  layers) (``hubert.py:733``);
+- ``extract_finetune`` is the inference entry (``hubert.py:688-739``).
+
+BatchNorm state (in the visual frontend) is threaded explicitly:
+``model(params, state, batch, train) → (feats, new_state)``.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from svt_speechbrain_tpu.nnet.core import Module, split_rngs, normal_init
+from svt_speechbrain_tpu.nnet.linear import Linear
+from svt_speechbrain_tpu.nnet.normalization import LayerNorm
+from svt_speechbrain_tpu.models.resnet import ResEncoder
+from svt_speechbrain_tpu.models.wav2vec2 import (
+    Wav2Vec2Config, ConvPositionalEmbedding, TransformerLayer,
+)
+from svt_speechbrain_tpu.nnet.dropout import dropout as _dropout
+
+
+@dataclasses.dataclass
+class AVHubertConfig:
+    """Subset of the reference's ``AVHubertConfig`` (``hubert.py:59-260``)
+    relevant at fine-tune/inference time. Defaults = AV-HuBERT large."""
+
+    encoder_layers: int = 24
+    encoder_embed_dim: int = 1024
+    encoder_ffn_embed_dim: int = 4096
+    encoder_attention_heads: int = 16
+    audio_feat_dim: int = 104
+    video_feat_dim: int = 512
+    modality_fuse: str = "concat"  # "concat" | "add"
+    conv_pos: int = 128
+    conv_pos_groups: int = 16
+    layer_norm_first: bool = True
+    dropout: float = 0.1
+    attention_dropout: float = 0.1
+    activation_dropout: float = 0.0
+    dropout_input: float = 0.1
+    relu_type: str = "prelu"
+
+    @classmethod
+    def large(cls):
+        return cls()
+
+    @classmethod
+    def base(cls):
+        return cls(encoder_layers=12, encoder_embed_dim=768,
+                   encoder_ffn_embed_dim=3072, encoder_attention_heads=12,
+                   layer_norm_first=False)
+
+    def encoder_cfg(self) -> Wav2Vec2Config:
+        return Wav2Vec2Config(
+            hidden_size=self.encoder_embed_dim,
+            num_layers=self.encoder_layers,
+            num_heads=self.encoder_attention_heads,
+            ffn_size=self.encoder_ffn_embed_dim,
+            num_conv_pos_embeddings=self.conv_pos,
+            num_conv_pos_embedding_groups=self.conv_pos_groups,
+            do_stable_layer_norm=self.layer_norm_first,
+            hidden_dropout=self.dropout,
+            attention_dropout=self.attention_dropout,
+            activation_dropout=self.activation_dropout,
+        )
+
+
+class AudioSubModel(Module):
+    """Audio-stream feature extractor: linear proj of precomputed features
+    (reference ``hubert.py:311-327`` with ``resnet=None``)."""
+
+    def __init__(self, config: AVHubertConfig):
+        self.proj = Linear(config.encoder_embed_dim, config.audio_feat_dim)
+
+    def init(self, rng):
+        return {"proj": self.proj.init(rng)}
+
+    def __call__(self, params, x):
+        # x: (B, T, audio_feat_dim) → (B, T, D)
+        return self.proj(params["proj"], x)
+
+
+class VideoSubModel(Module):
+    """Video-stream feature extractor: ResEncoder + linear proj."""
+
+    def __init__(self, config: AVHubertConfig):
+        self.resnet = ResEncoder(relu_type=config.relu_type)
+        self.proj = Linear(config.encoder_embed_dim, config.video_feat_dim)
+
+    def init(self, rng):
+        k1, k2 = split_rngs(rng, 2)
+        return {"resnet": self.resnet.init(k1), "proj": self.proj.init(k2)}
+
+    def init_state(self):
+        return {"resnet": self.resnet.init_state()}
+
+    def __call__(self, params, state, x, train=False, axis_name=None):
+        feats, resnet_state = self.resnet(params["resnet"], state["resnet"], x,
+                                          train=train, axis_name=axis_name)
+        return self.proj(params["proj"], feats), {"resnet": resnet_state}
+
+
+class AVHubertModel(Module):
+    """Dual-stream AV-HuBERT encoder (reference ``hubert.py:329-739``)."""
+
+    def __init__(self, config: AVHubertConfig = None):
+        self.config = config or AVHubertConfig.large()
+        c = self.config
+        self.feature_extractor_audio = AudioSubModel(c)
+        self.feature_extractor_video = VideoSubModel(c)
+        self.embed = c.encoder_embed_dim * 2 if c.modality_fuse == "concat" else c.encoder_embed_dim
+        self.layer_norm = LayerNorm(self.embed)
+        self.post_extract_proj = (Linear(c.encoder_embed_dim, self.embed)
+                                  if self.embed != c.encoder_embed_dim else None)
+        enc_cfg = c.encoder_cfg()
+        self.enc_cfg = enc_cfg
+        self.pos_conv = ConvPositionalEmbedding(enc_cfg)
+        self.encoder_ln = LayerNorm(c.encoder_embed_dim)
+        self.layers = [TransformerLayer(enc_cfg) for _ in range(c.encoder_layers)]
+
+    def init(self, rng):
+        keys = split_rngs(rng, 6 + len(self.layers))
+        params = {
+            "feature_extractor_audio": self.feature_extractor_audio.init(keys[0]),
+            "feature_extractor_video": self.feature_extractor_video.init(keys[1]),
+            "layer_norm": self.layer_norm.init(None),
+            "pos_conv": self.pos_conv.init(keys[2]),
+            "encoder_ln": self.encoder_ln.init(None),
+            "layers": {str(i): l.init(k) for i, (l, k)
+                       in enumerate(zip(self.layers, keys[6:]))},
+            # mask embedding exists for checkpoint compatibility (pretraining)
+            "mask_emb": jax.random.uniform(keys[3], (self.config.audio_feat_dim,)),
+        }
+        if self.post_extract_proj is not None:
+            params["post_extract_proj"] = self.post_extract_proj.init(keys[4])
+        return params
+
+    def init_state(self):
+        return {"feature_extractor_video": self.feature_extractor_video.init_state()}
+
+    def extract_finetune(self, params, state, source, train=False, rng=None,
+                         axis_name=None):
+        """``source``: dict with "video" (B, T, H, W, 1) and/or "audio"
+        (B, T, F); a missing modality is zero-filled. Returns
+        ``(features (B, T, D), new_state)``. Reference ``hubert.py:688-739``.
+        """
+        c = self.config
+        src_audio = source.get("audio")
+        src_video = source.get("video")
+        new_state = state
+
+        if src_audio is not None and src_video is None:
+            feats_audio = self.feature_extractor_audio(params["feature_extractor_audio"], src_audio)
+            feats_video = jnp.zeros_like(feats_audio)
+        elif src_audio is None and src_video is not None:
+            feats_video, vs = self.feature_extractor_video(
+                params["feature_extractor_video"], state["feature_extractor_video"],
+                src_video, train=train, axis_name=axis_name)
+            new_state = {"feature_extractor_video": vs}
+            feats_audio = jnp.zeros_like(feats_video)
+        else:
+            feats_video, vs = self.feature_extractor_video(
+                params["feature_extractor_video"], state["feature_extractor_video"],
+                src_video, train=train, axis_name=axis_name)
+            new_state = {"feature_extractor_video": vs}
+            feats_audio = self.feature_extractor_audio(params["feature_extractor_audio"], src_audio)
+
+        if c.modality_fuse == "concat":
+            features = jnp.concatenate([feats_audio, feats_video], axis=-1)
+        else:
+            features = feats_audio + feats_video
+
+        features = self.layer_norm(params["layer_norm"], features)
+        if self.post_extract_proj is not None:
+            features = self.post_extract_proj(params["post_extract_proj"], features)
+        if rng is not None:
+            rng, sub = jax.random.split(rng)
+            features = _dropout(features, c.dropout_input, sub, train)
+
+        x = features + self.pos_conv(params["pos_conv"], features)
+        if not c.layer_norm_first:
+            x = self.encoder_ln(params["encoder_ln"], x)
+        if rng is not None:
+            rng, sub = jax.random.split(rng)
+            x = _dropout(x, c.dropout, sub, train)
+        layer_rngs = split_rngs(rng, len(self.layers)) if rng is not None else [None] * len(self.layers)
+        for i, layer in enumerate(self.layers):
+            x = layer(params["layers"][str(i)], x, rng=layer_rngs[i], train=train)
+        if c.layer_norm_first:
+            x = self.encoder_ln(params["encoder_ln"], x)
+        return x, new_state
+
+
+class FairseqAVHubert(Module):
+    """Bridge with the reference's fairseq-interface semantics
+    (``N20EMv2/video_only/fairseq_interface.py:198,350``): freeze switch,
+    pretrained-checkpoint loading, ``extract_features`` over a modality dict.
+    """
+
+    def __init__(self, source=None, save_path=None, config: AVHubertConfig = None,
+                 freeze=False, output_norm=False, arch_overrides=None):
+        if isinstance(source, AVHubertConfig):
+            config, source = source, None
+        config = config or AVHubertConfig.large()
+        if arch_overrides:
+            config = dataclasses.replace(config, **arch_overrides)
+        self.config = config
+        self.source = source
+        self.save_path = save_path
+        self.freeze = freeze
+        self.output_norm = output_norm
+        self.model = AVHubertModel(config)
+
+    def init(self, rng):
+        return {"model": self.model.init(rng)}
+
+    def init_state(self):
+        return {"model": self.model.init_state()}
+
+    def __call__(self, params, state, source, train=False, rng=None, axis_name=None):
+        if self.freeze:
+            params = jax.lax.stop_gradient(params)
+            train = False
+        out, new_state = self.model.extract_finetune(
+            params["model"], state["model"], source, train=train, rng=rng,
+            axis_name=axis_name)
+        if self.output_norm:
+            from svt_speechbrain_tpu.nnet.normalization import global_layer_norm
+
+            out = global_layer_norm(out)
+        return out, {"model": new_state}
+
+    def extract_features(self, params, state, source, **kw):
+        return self(params, state, source, **kw)
+
+    def load_pretrained(self):
+        """Convert a local fairseq AV-HuBERT checkpoint; returns
+        ``(params, state)`` trees or None."""
+        import os
+
+        from svt_speechbrain_tpu.models.convert_fairseq import load_avhubert
+
+        for candidate in (self.save_path, self.source):
+            if candidate and os.path.exists(str(candidate)):
+                params, state = load_avhubert(candidate, self.config)
+                return {"model": params}, {"model": state}
+        return None

@@ -1,0 +1,149 @@
+"""Convert fairseq AV-HuBERT checkpoints to framework param/state pytrees.
+
+The reference loads AV-HuBERT via
+``fairseq.checkpoint_utils.load_model_ensemble_and_task``
+(``N20EMv2/video_only/fairseq_interface.py:230``), which needs the whole
+fairseq task registry. Here conversion is a plain state-dict mapping:
+torch layouts → channel-last framework layouts, BatchNorm running statistics
+split into the explicit state tree.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+
+def _t(x):
+    return np.ascontiguousarray(np.asarray(x).T)
+
+
+def _conv2d_w(x):  # (out, in, kh, kw) -> (kh, kw, in, out)
+    return np.ascontiguousarray(np.transpose(np.asarray(x), (2, 3, 1, 0)))
+
+
+def _conv3d_w(x):  # (out, in, kt, kh, kw) -> (kt, kh, kw, in, out)
+    return np.ascontiguousarray(np.transpose(np.asarray(x), (2, 3, 4, 1, 0)))
+
+
+def load_fairseq_state_dict(path):
+    """Flat name → numpy dict from a fairseq checkpoint file."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    sd = ckpt.get("model", ckpt)
+    if hasattr(sd, "items"):
+        return {k: np.asarray(v) for k, v in sd.items() if hasattr(v, "numpy") or isinstance(v, np.ndarray)}
+    raise ValueError(f"Unrecognized checkpoint format at {path}")
+
+
+def _convert_bn(sd, prefix):
+    params = {"scale": np.asarray(sd[prefix + "weight"]),
+              "bias": np.asarray(sd[prefix + "bias"])}
+    state = {"mean": np.asarray(sd[prefix + "running_mean"]),
+             "var": np.asarray(sd[prefix + "running_var"])}
+    return params, state
+
+
+def _convert_basic_block(sd, prefix, has_downsample):
+    params = {
+        "conv1": {"w": _conv2d_w(sd[prefix + "conv1.weight"])},
+        "conv2": {"w": _conv2d_w(sd[prefix + "conv2.weight"])},
+        "relu1": {"alpha": np.asarray(sd[prefix + "relu1.weight"])},
+        "relu2": {"alpha": np.asarray(sd[prefix + "relu2.weight"])},
+    }
+    state = {}
+    params["bn1"], state["bn1"] = _convert_bn(sd, prefix + "bn1.")
+    params["bn2"], state["bn2"] = _convert_bn(sd, prefix + "bn2.")
+    if has_downsample:
+        params["down_conv"] = {"w": _conv2d_w(sd[prefix + "downsample.0.weight"])}
+        params["down_bn"], state["down_bn"] = _convert_bn(sd, prefix + "downsample.1.")
+    return params, state
+
+
+def convert_resnet(sd, prefix="feature_extractor_video.resnet."):
+    """ResEncoder weights (frontend3D + trunk) → (params, state)."""
+    params = {"frontend_conv": {"w": _conv3d_w(sd[prefix + "frontend3D.0.weight"])},
+              "frontend_act": {"alpha": np.asarray(sd[prefix + "frontend3D.2.weight"])}}
+    state = {}
+    params["frontend_bn"], state["frontend_bn"] = _convert_bn(sd, prefix + "frontend3D.1.")
+    trunk_p, trunk_s = {}, {}
+    layers = (2, 2, 2, 2)
+    for s, n_blocks in enumerate(layers):
+        for b in range(n_blocks):
+            tprefix = f"{prefix}trunk.layer{s + 1}.{b}."
+            has_down = (tprefix + "downsample.0.weight") in sd
+            p, st = _convert_basic_block(sd, tprefix, has_down)
+            trunk_p[f"layer{s + 1}_{b}"] = p
+            trunk_s[f"layer{s + 1}_{b}"] = st
+    params["trunk"] = trunk_p
+    state["trunk"] = trunk_s
+    return params, state
+
+
+def convert_avhubert_state_dict(sd, config):
+    """fairseq ``av_hubert`` state dict → (params, state) for ``AVHubertModel``."""
+    params = {}
+    state = {}
+
+    params["feature_extractor_audio"] = {
+        "proj": {"w": _t(sd["feature_extractor_audio.proj.weight"]),
+                 "b": np.asarray(sd["feature_extractor_audio.proj.bias"])}}
+    resnet_p, resnet_s = convert_resnet(sd)
+    params["feature_extractor_video"] = {
+        "resnet": resnet_p,
+        "proj": {"w": _t(sd["feature_extractor_video.proj.weight"]),
+                 "b": np.asarray(sd["feature_extractor_video.proj.bias"])}}
+    state["feature_extractor_video"] = {"resnet": resnet_s}
+
+    params["layer_norm"] = {"scale": np.asarray(sd["layer_norm.weight"]),
+                            "bias": np.asarray(sd["layer_norm.bias"])}
+    if "post_extract_proj.weight" in sd:
+        params["post_extract_proj"] = {"w": _t(sd["post_extract_proj.weight"]),
+                                       "b": np.asarray(sd["post_extract_proj.bias"])}
+    params["mask_emb"] = np.asarray(sd["mask_emb"]) if "mask_emb" in sd else np.zeros(
+        (config.audio_feat_dim,), np.float32)
+
+    pc = "encoder.pos_conv.0."
+    if pc + "weight_g" in sd:
+        g, v = np.asarray(sd[pc + "weight_g"]), np.asarray(sd[pc + "weight_v"])
+    else:
+        g = np.asarray(sd[pc + "parametrizations.weight.original0"])
+        v = np.asarray(sd[pc + "parametrizations.weight.original1"])
+    params["pos_conv"] = {
+        "g": np.ascontiguousarray(np.transpose(g, (2, 1, 0))),
+        "v": np.ascontiguousarray(np.transpose(v, (2, 1, 0))),
+        "b": np.asarray(sd[pc + "bias"]),
+    }
+
+    params["encoder_ln"] = {"scale": np.asarray(sd["encoder.layer_norm.weight"]),
+                            "bias": np.asarray(sd["encoder.layer_norm.bias"])}
+    layers = {}
+    for i in range(config.encoder_layers):
+        pre = f"encoder.layers.{i}."
+        layers[str(i)] = {
+            "attn": {
+                "wq": _t(sd[pre + "self_attn.q_proj.weight"]),
+                "bq": np.asarray(sd[pre + "self_attn.q_proj.bias"]),
+                "wk": _t(sd[pre + "self_attn.k_proj.weight"]),
+                "bk": np.asarray(sd[pre + "self_attn.k_proj.bias"]),
+                "wv": _t(sd[pre + "self_attn.v_proj.weight"]),
+                "bv": np.asarray(sd[pre + "self_attn.v_proj.bias"]),
+                "wo": _t(sd[pre + "self_attn.out_proj.weight"]),
+                "bo": np.asarray(sd[pre + "self_attn.out_proj.bias"]),
+            },
+            "ln1": {"scale": np.asarray(sd[pre + "self_attn_layer_norm.weight"]),
+                    "bias": np.asarray(sd[pre + "self_attn_layer_norm.bias"])},
+            "ln2": {"scale": np.asarray(sd[pre + "final_layer_norm.weight"]),
+                    "bias": np.asarray(sd[pre + "final_layer_norm.bias"])},
+            "ffn1": {"w": _t(sd[pre + "fc1.weight"]),
+                     "b": np.asarray(sd[pre + "fc1.bias"])},
+            "ffn2": {"w": _t(sd[pre + "fc2.weight"]),
+                     "b": np.asarray(sd[pre + "fc2.bias"])},
+        }
+    params["layers"] = layers
+    return params, state
+
+
+def load_avhubert(path, config):
+    """Load + convert; returns (params, state)."""
+    sd = load_fairseq_state_dict(path)
+    return convert_avhubert_state_dict(sd, config)
