@@ -21,10 +21,25 @@ NEG_INF = -1e30
 
 
 def scaled_dot_product_attention(q, k, v, bias=None, mask=None, dropout_rate=0.0,
-                                 rng=None, train=False, return_weights=False):
+                                 rng=None, train=False, return_weights=False,
+                                 impl="auto"):
     """q,k,v: (B, H, T, Dh). ``bias`` broadcastable to (B, H, Tq, Tk) added to
-    scores; ``mask`` True = masked out."""
+    scores; ``mask`` True = masked out.
+
+    ``impl``: "auto" dispatches unmasked long-sequence attention to the
+    Pallas flash kernel on TPU; "flash" forces it; "xla" forces the einsum
+    path (always used when weights/mask/bias/dropout are needed).
+    """
     dh = q.shape[-1]
+    flashable = (bias is None and mask is None and not return_weights
+                 and not (train and rng is not None and dropout_rate > 0.0))
+    if flashable and impl != "xla":
+        from svt_speechbrain_tpu.ops.flash_attention import (
+            flash_attention, flash_attention_available)
+
+        long_seq = k.shape[2] >= 1024
+        if impl == "flash" or (impl == "auto" and long_seq and flash_attention_available()):
+            return flash_attention(q, k, v)
     scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
     scores = scores / np.sqrt(dh)
     if bias is not None:
