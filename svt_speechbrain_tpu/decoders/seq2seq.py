@@ -1,0 +1,233 @@
+"""Seq2seq decoding (analogue of reference ``speechbrain/decoders/seq2seq.py``).
+
+A searcher wraps a step function ``forward_step(inp_tokens, memory, enc_states,
+enc_lens) → (log_probs, memory, attn)`` — supplied by model adapters — and
+runs greedy or beam search host-side with jnp math per step (decoding is off
+the TPU training hot path; batched beams keep the device busy during the
+matmuls).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+class S2SBaseSearcher:
+    """Reference ``seq2seq.py:15``."""
+
+    def __init__(self, bos_index, eos_index, min_decode_ratio, max_decode_ratio):
+        self.bos_index = bos_index
+        self.eos_index = eos_index
+        self.min_decode_ratio = min_decode_ratio
+        self.max_decode_ratio = max_decode_ratio
+
+    def forward_step(self, inp_tokens, memory, enc_states, enc_lens):
+        raise NotImplementedError
+
+    def reset_mem(self, batch_size):
+        return None
+
+
+class S2SGreedySearcher(S2SBaseSearcher):
+    """Greedy decoding (reference ``seq2seq.py:181``)."""
+
+    def __call__(self, enc_states, enc_lens):
+        batch_size = enc_states.shape[0]
+        memory = self.reset_mem(batch_size)
+        inp_tokens = jnp.full((batch_size,), self.bos_index, jnp.int32)
+        max_steps = int(enc_states.shape[1] * self.max_decode_ratio)
+        log_probs_lst = []
+        tokens = []
+        for _ in range(max_steps):
+            log_probs, memory, _ = self.forward_step(
+                inp_tokens, memory, enc_states, enc_lens)
+            inp_tokens = jnp.argmax(log_probs, axis=-1).astype(jnp.int32)
+            log_probs_lst.append(log_probs)
+            tokens.append(inp_tokens)
+        tokens = np.stack([np.asarray(t) for t in tokens], axis=1)
+        hyps, scores = [], []
+        all_log_probs = np.stack([np.asarray(lp) for lp in log_probs_lst], axis=1)
+        for b in range(batch_size):
+            seq = tokens[b].tolist()
+            if self.eos_index in seq:
+                seq = seq[:seq.index(self.eos_index)]
+            hyps.append(seq)
+            scores.append(float(all_log_probs[b, np.arange(len(tokens[b])),
+                                              tokens[b]].sum()))
+        return hyps, scores
+
+
+class S2SRNNGreedySearcher(S2SGreedySearcher):
+    """Greedy search over an embedding + AttentionalRNNDecoder + linear
+    stack (reference ``seq2seq.py:242``)."""
+
+    def __init__(self, embedding, decoder, linear, params, **kwargs):
+        super().__init__(**kwargs)
+        self.emb = embedding
+        self.dec = decoder
+        self.fc = linear
+        self.params = params  # {"emb":..., "dec":..., "fc":...}
+
+    def reset_mem(self, batch_size):
+        return {"hs": None,
+                "c": jnp.zeros((batch_size, self.dec.enc_proj.input_size
+                                if hasattr(self.dec.enc_proj, "input_size") else 0))}
+
+    def __call__(self, enc_states, enc_lens):
+        self._enc_dim = enc_states.shape[-1]
+        return super().__call__(enc_states, enc_lens)
+
+    def forward_step(self, inp_tokens, memory, enc_states, enc_lens):
+        e = self.emb(self.params["emb"], inp_tokens)
+        hs = memory["hs"]
+        c = memory["c"]
+        if c.shape[-1] != enc_states.shape[-1]:
+            c = jnp.zeros((inp_tokens.shape[0], enc_states.shape[-1]))
+        dec_out, hs, c, w = self.dec.forward_step(
+            self.params["dec"], e, hs, c, enc_states, enc_lens)
+        log_probs = jax.nn.log_softmax(self.fc(self.params["fc"], dec_out), axis=-1)
+        return log_probs, {"hs": hs, "c": c}, w
+
+
+class S2SBeamSearcher(S2SBaseSearcher):
+    """Batched beam search with length penalties and optional eos thresholding
+    (reference ``seq2seq.py:286``). Subclasses/adapters supply
+    ``forward_step`` and ``permute_mem``."""
+
+    def __init__(self, bos_index, eos_index, min_decode_ratio, max_decode_ratio,
+                 beam_size, scorer=None, return_topk=False, topk=1,
+                 using_eos_threshold=True, eos_threshold=1.5,
+                 length_normalization=True, length_rewarding=0,
+                 minus_inf=-1e20):
+        super().__init__(bos_index, eos_index, min_decode_ratio, max_decode_ratio)
+        self.beam_size = beam_size
+        self.scorer = scorer
+        self.return_topk = return_topk
+        self.topk = topk
+        self.using_eos_threshold = using_eos_threshold
+        self.eos_threshold = eos_threshold
+        self.length_normalization = length_normalization
+        self.length_rewarding = length_rewarding
+        self.minus_inf = minus_inf
+
+    def permute_mem(self, memory, index):
+        """Reorder recurrent state after top-k; default none."""
+        return memory
+
+    def __call__(self, enc_states, enc_lens):
+        batch_size = enc_states.shape[0]
+        beam = self.beam_size
+        # expand encoder states to beams
+        enc_states_b = jnp.repeat(enc_states, beam, axis=0)
+        enc_lens_b = jnp.repeat(jnp.asarray(enc_lens), beam, axis=0)
+        memory = self.reset_mem(batch_size * beam)
+
+        inp_tokens = jnp.full((batch_size * beam,), self.bos_index, jnp.int32)
+        # only the first beam of each batch is alive initially
+        scores = jnp.full((batch_size, beam), self.minus_inf)
+        scores = scores.at[:, 0].set(0.0).reshape(-1)
+
+        hyps = [[] for _ in range(batch_size * beam)]
+        finished = [[] for _ in range(batch_size)]  # (tokens, score)
+        max_steps = int(enc_states.shape[1] * self.max_decode_ratio)
+        min_steps = int(enc_states.shape[1] * self.min_decode_ratio)
+
+        for step in range(max_steps):
+            log_probs, memory, attn = self.forward_step(
+                inp_tokens, memory, enc_states_b, enc_lens_b)
+            vocab = log_probs.shape[-1]
+            log_probs = np.asarray(log_probs)
+            if step < min_steps:
+                log_probs[:, self.eos_index] = self.minus_inf
+            if self.using_eos_threshold:
+                max_probs = log_probs.max(axis=-1)
+                thresh = self.eos_threshold * max_probs
+                bad_eos = log_probs[:, self.eos_index] < thresh
+                log_probs[bad_eos, self.eos_index] = self.minus_inf
+
+            cand = np.asarray(scores)[:, None] + log_probs  # (B*beam, V)
+            cand = cand.reshape(batch_size, beam * vocab)
+            top_scores_idx = np.argsort(-cand, axis=1)[:, :beam]
+            top_scores = np.take_along_axis(cand, top_scores_idx, axis=1)
+            beam_idx = top_scores_idx // vocab  # within-batch beam index
+            tok_idx = top_scores_idx % vocab
+
+            flat_beam_idx = (beam_idx + np.arange(batch_size)[:, None] * beam).reshape(-1)
+            new_hyps = [hyps[i] + [int(t)] for i, t in
+                        zip(flat_beam_idx, tok_idx.reshape(-1))]
+            hyps = new_hyps
+            scores = jnp.asarray(top_scores.reshape(-1))
+            inp_tokens = jnp.asarray(tok_idx.reshape(-1), jnp.int32)
+            memory = self.permute_mem(memory, jnp.asarray(flat_beam_idx))
+
+            # collect finished
+            ended = np.asarray(inp_tokens) == self.eos_index
+            for i in np.flatnonzero(ended):
+                b = i // beam
+                seq = hyps[i][:-1]
+                score = float(np.asarray(scores)[i])
+                if self.length_normalization:
+                    score = score / max(len(seq) + 1, 1)
+                score = score + self.length_rewarding * (len(seq) + 1)
+                finished[b].append((seq, score))
+                scores = scores.at[i].set(self.minus_inf)
+        # fall back to best alive hypothesis when nothing finished
+        out_hyps, out_scores = [], []
+        scores_np = np.asarray(scores)
+        for b in range(batch_size):
+            if not finished[b]:
+                i = b * beam + int(np.argmax(scores_np[b * beam:(b + 1) * beam]))
+                seq = hyps[i]
+                sc = float(scores_np[i])
+                if self.length_normalization:
+                    sc /= max(len(seq), 1)
+                finished[b].append((seq, sc))
+            ranked = sorted(finished[b], key=lambda t: -t[1])
+            if self.return_topk:
+                out_hyps.append([h for h, s in ranked[:self.topk]])
+                out_scores.append([s for h, s in ranked[:self.topk]])
+            else:
+                out_hyps.append(ranked[0][0])
+                out_scores.append(ranked[0][1])
+        return out_hyps, out_scores
+
+
+class S2SRNNBeamSearcher(S2SBeamSearcher):
+    """Beam search over embedding + AttentionalRNNDecoder + linear
+    (reference ``seq2seq.py:699``)."""
+
+    def __init__(self, embedding, decoder, linear, params, temperature=1.0, **kwargs):
+        super().__init__(**kwargs)
+        self.emb = embedding
+        self.dec = decoder
+        self.fc = linear
+        self.params = params
+        self.temperature = temperature
+
+    def reset_mem(self, batch_size):
+        return {"hs": None, "c": None, "batch_size": batch_size}
+
+    def forward_step(self, inp_tokens, memory, enc_states, enc_lens):
+        e = self.emb(self.params["emb"], inp_tokens)
+        c = memory["c"]
+        if c is None:
+            c = jnp.zeros((inp_tokens.shape[0], enc_states.shape[-1]))
+        dec_out, hs, c, w = self.dec.forward_step(
+            self.params["dec"], e, memory["hs"], c, enc_states, enc_lens)
+        log_probs = jax.nn.log_softmax(
+            self.fc(self.params["fc"], dec_out) / self.temperature, axis=-1)
+        return log_probs, {"hs": hs, "c": c, "batch_size": memory["batch_size"]}, w
+
+    def permute_mem(self, memory, index):
+        hs = memory["hs"]
+        if hs is not None:
+            def sel(s):
+                if isinstance(s, tuple):
+                    return tuple(x[index] for x in s)
+                return s[index]
+
+            hs = [sel(s) for s in hs]
+        c = memory["c"][index] if memory["c"] is not None else None
+        return {"hs": hs, "c": c, "batch_size": memory["batch_size"]}

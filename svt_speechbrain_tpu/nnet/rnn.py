@@ -1,0 +1,336 @@
+"""Recurrent networks (analogue of reference ``speechbrain/nnet/RNN.py``).
+
+Recurrences are ``lax.scan`` over time — XLA compiles the cell body into one
+fused program per step; multi-layer/bidirectional stacks vectorize the batch
+and feature math onto the MXU. Parameters follow torch layouts (w_ih, w_hh,
+b_ih, b_hh per layer/direction) so converted checkpoints drop in.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from svt_speechbrain_tpu.nnet.core import Module, split_rngs, uniform_bias
+from svt_speechbrain_tpu.nnet.linear import Linear
+
+
+def _rnn_uniform(rng, shape, hidden_size):
+    bound = 1.0 / np.sqrt(hidden_size)
+    return jax.random.uniform(rng, shape, jnp.float32, -bound, bound)
+
+
+class _RNNBase(Module):
+    GATES = 1
+
+    def __init__(self, hidden_size, input_shape=None, input_size=None,
+                 num_layers=1, bias=True, dropout=0.0, bidirectional=False,
+                 re_init=True):
+        if input_size is None and input_shape is not None:
+            input_size = int(np.prod(input_shape[2:]))
+        self.hidden_size = hidden_size
+        self.input_size = input_size
+        self.num_layers = num_layers
+        self.bias = bias
+        self.dropout = dropout
+        self.bidirectional = bidirectional
+
+    def init(self, rng):
+        params = {}
+        n_dir = 2 if self.bidirectional else 1
+        g = self.GATES
+        keys = split_rngs(rng, self.num_layers * n_dir * 4)
+        ki = 0
+        for layer in range(self.num_layers):
+            in_size = self.input_size if layer == 0 else self.hidden_size * n_dir
+            for d in range(n_dir):
+                name = f"l{layer}" + ("_rev" if d else "")
+                p = {
+                    "w_ih": _rnn_uniform(keys[ki], (in_size, g * self.hidden_size), self.hidden_size),
+                    "w_hh": _rnn_uniform(keys[ki + 1], (self.hidden_size, g * self.hidden_size), self.hidden_size),
+                }
+                if self.bias:
+                    p["b_ih"] = _rnn_uniform(keys[ki + 2], (g * self.hidden_size,), self.hidden_size)
+                    p["b_hh"] = _rnn_uniform(keys[ki + 3], (g * self.hidden_size,), self.hidden_size)
+                params[name] = p
+                ki += 4
+        return params
+
+    def _cell(self, p, x_t, state):
+        raise NotImplementedError
+
+    def _init_state(self, batch):
+        return jnp.zeros((batch, self.hidden_size))
+
+    def _run_direction(self, p, x, reverse=False, h0=None):
+        if reverse:
+            x = jnp.flip(x, axis=1)
+        state0 = self._init_state(x.shape[0]) if h0 is None else h0
+
+        def step(state, x_t):
+            new_state = self._cell(p, x_t, state)
+            out = new_state[0] if isinstance(new_state, tuple) else new_state
+            return new_state, out
+
+        xs = jnp.moveaxis(x, 1, 0)  # (T, B, F)
+        final, outs = jax.lax.scan(step, state0, xs)
+        outs = jnp.moveaxis(outs, 0, 1)
+        if reverse:
+            outs = jnp.flip(outs, axis=1)
+        return outs, final
+
+    def __call__(self, params, x, hx=None, rng=None, train=False):
+        """x: (batch, time, features) → (output, final_states)."""
+        from svt_speechbrain_tpu.nnet.dropout import dropout as _drop
+
+        if x.ndim == 4:  # (B, T, C, F) → flatten
+            x = x.reshape(x.shape[0], x.shape[1], -1)
+        finals = []
+        for layer in range(self.num_layers):
+            fwd, f_final = self._run_direction(params[f"l{layer}"], x)
+            if self.bidirectional:
+                bwd, b_final = self._run_direction(params[f"l{layer}_rev"], x, reverse=True)
+                x = jnp.concatenate([fwd, bwd], axis=-1)
+                finals.append((f_final, b_final))
+            else:
+                x = fwd
+                finals.append(f_final)
+            if train and rng is not None and self.dropout > 0 and layer < self.num_layers - 1:
+                rng, sub = jax.random.split(rng)
+                x = _drop(x, self.dropout, sub, True)
+        return x, finals
+
+
+class RNN(_RNNBase):
+    """Vanilla tanh/relu RNN (reference ``RNN.py:54``)."""
+
+    GATES = 1
+
+    def __init__(self, *args, nonlinearity="tanh", **kwargs):
+        super().__init__(*args, **kwargs)
+        self.act = jnp.tanh if nonlinearity == "tanh" else jax.nn.relu
+
+    def _cell(self, p, x_t, h):
+        z = x_t @ p["w_ih"] + h @ p["w_hh"]
+        if self.bias:
+            z = z + p["b_ih"] + p["b_hh"]
+        return self.act(z)
+
+
+class LSTM(_RNNBase):
+    """LSTM (reference ``RNN.py:156``); torch gate order i, f, g, o."""
+
+    GATES = 4
+
+    def _init_state(self, batch):
+        return (jnp.zeros((batch, self.hidden_size)),
+                jnp.zeros((batch, self.hidden_size)))
+
+    def _cell(self, p, x_t, state):
+        h, c = state
+        z = x_t @ p["w_ih"] + h @ p["w_hh"]
+        if self.bias:
+            z = z + p["b_ih"] + p["b_hh"]
+        i, f, g, o = jnp.split(z, 4, axis=-1)
+        i, f, o = jax.nn.sigmoid(i), jax.nn.sigmoid(f), jax.nn.sigmoid(o)
+        g = jnp.tanh(g)
+        c_new = f * c + i * g
+        h_new = o * jnp.tanh(c_new)
+        return (h_new, c_new)
+
+    def _run_direction(self, p, x, reverse=False, h0=None):
+        if reverse:
+            x = jnp.flip(x, axis=1)
+        state0 = self._init_state(x.shape[0]) if h0 is None else h0
+
+        def step(state, x_t):
+            new_state = self._cell(p, x_t, state)
+            return new_state, new_state[0]
+
+        xs = jnp.moveaxis(x, 1, 0)
+        final, outs = jax.lax.scan(step, state0, xs)
+        outs = jnp.moveaxis(outs, 0, 1)
+        if reverse:
+            outs = jnp.flip(outs, axis=1)
+        return outs, final
+
+
+class GRU(_RNNBase):
+    """GRU (reference ``RNN.py:272``); torch gate order r, z, n."""
+
+    GATES = 3
+
+    def _cell(self, p, x_t, h):
+        gi = x_t @ p["w_ih"]
+        gh = h @ p["w_hh"]
+        if self.bias:
+            gi = gi + p["b_ih"]
+            gh = gh + p["b_hh"]
+        i_r, i_z, i_n = jnp.split(gi, 3, axis=-1)
+        h_r, h_z, h_n = jnp.split(gh, 3, axis=-1)
+        r = jax.nn.sigmoid(i_r + h_r)
+        z = jax.nn.sigmoid(i_z + h_z)
+        n = jnp.tanh(i_n + r * h_n)
+        return (1 - z) * n + z * h
+
+
+class LiGRU(_RNNBase):
+    """Light GRU: no reset gate, ReLU + batch-norm-free variant
+    (reference ``RNN.py:386``; the original uses per-layer BN on w_ih — we
+    use layer norm for stateless purity, noted deviation)."""
+
+    GATES = 2
+
+    def __init__(self, *args, nonlinearity="relu", normalization="layernorm", **kwargs):
+        super().__init__(*args, **kwargs)
+        self.act = jax.nn.relu if nonlinearity == "relu" else jnp.tanh
+        self.normalization = normalization
+
+    def _cell(self, p, x_t, h):
+        gi = x_t @ p["w_ih"]
+        if self.normalization == "layernorm":
+            from svt_speechbrain_tpu.nnet.normalization import layer_norm
+
+            gi = layer_norm(gi, None, None)
+        gh = h @ p["w_hh"]
+        z_in, n_in = jnp.split(gi + gh, 2, axis=-1)
+        z = jax.nn.sigmoid(z_in)
+        n = self.act(n_in)
+        return z * h + (1 - z) * n
+
+
+class QuasiRNN(Module):
+    """Quasi-RNN: conv gates + recurrent pooling (reference ``RNN.py:1126``)."""
+
+    def __init__(self, hidden_size, input_shape=None, input_size=None,
+                 num_layers=1, zoneout=0.0, bidirectional=False, **kwargs):
+        if input_size is None and input_shape is not None:
+            input_size = int(np.prod(input_shape[2:]))
+        self.hidden_size = hidden_size
+        self.input_size = input_size
+        self.num_layers = num_layers
+        self.bidirectional = bidirectional
+
+    def init(self, rng):
+        params = {}
+        n_dir = 2 if self.bidirectional else 1
+        keys = split_rngs(rng, self.num_layers)
+        for layer in range(self.num_layers):
+            in_size = self.input_size if layer == 0 else self.hidden_size * n_dir
+            lin = Linear(3 * self.hidden_size * n_dir, in_size * 2)
+            params[f"l{layer}"] = lin.init(keys[layer])
+        return params
+
+    def __call__(self, params, x, hx=None):
+        n_dir = 2 if self.bidirectional else 1
+        for layer in range(self.num_layers):
+            # window-2 conv: concat current and previous frame
+            prev = jnp.pad(x, ((0, 0), (1, 0), (0, 0)))[:, :-1]
+            source = jnp.concatenate([x, prev], axis=-1)
+            y = jnp.matmul(source, params[f"l{layer}"]["w"]) + params[f"l{layer}"]["b"]
+            z, f, o = jnp.split(y, 3, axis=-1)
+            z, f, o = jnp.tanh(z), jax.nn.sigmoid(f), jax.nn.sigmoid(o)
+
+            def pool(z, f):
+                def step(c, zf):
+                    z_t, f_t = zf
+                    c_new = f_t * c + (1 - f_t) * z_t
+                    return c_new, c_new
+
+                c0 = jnp.zeros_like(z[:, 0])
+                _, cs = jax.lax.scan(step, c0, (jnp.moveaxis(z, 1, 0), jnp.moveaxis(f, 1, 0)))
+                return jnp.moveaxis(cs, 0, 1)
+
+            if self.bidirectional:
+                zf, zb = jnp.split(z, 2, axis=-1)
+                ff, fb = jnp.split(f, 2, axis=-1)
+                of, ob = jnp.split(o, 2, axis=-1)
+                cf = pool(zf, ff)
+                cb = jnp.flip(pool(jnp.flip(zb, 1), jnp.flip(fb, 1)), 1)
+                x = jnp.concatenate([of * cf, ob * cb], axis=-1)
+            else:
+                x = o * pool(z, f)
+        return x, None
+
+
+class AttentionalRNNDecoder(Module):
+    """GRU/LSTM decoder with content-based attention over encoder states
+    (reference ``RNN.py:1399``). Step-wise API for beam search:
+    ``forward_step(params, inp_t, hs, c, enc_states, enc_len)``."""
+
+    def __init__(self, rnn_type, attn_type, hidden_size, attn_dim, num_layers,
+                 enc_dim, input_size, nonlinearity="relu", re_init=True,
+                 normalization="batchnorm", scaling=1.0, channels=None,
+                 kernel_size=None, bias=True, dropout=0.0):
+        self.rnn_type = rnn_type
+        self.hidden_size = hidden_size
+        self.num_layers = num_layers
+        cell_cls = {"gru": GRU, "lstm": LSTM, "rnn": RNN}[rnn_type]
+        self.rnn = cell_cls(hidden_size, input_size=input_size + enc_dim,
+                            num_layers=num_layers)
+        self.enc_proj = Linear(attn_dim, enc_dim)
+        self.dec_proj = Linear(attn_dim, hidden_size)
+        self.attn_v = Linear(1, attn_dim, bias=False)
+        self.out_proj = Linear(hidden_size, hidden_size + enc_dim)
+        self.scaling = scaling
+
+    def init(self, rng):
+        k1, k2, k3, k4, k5 = split_rngs(rng, 5)
+        return {"rnn": self.rnn.init(k1), "enc_proj": self.enc_proj.init(k2),
+                "dec_proj": self.dec_proj.init(k3), "attn_v": self.attn_v.init(k4),
+                "out_proj": self.out_proj.init(k5)}
+
+    def _attend(self, params, enc_states, enc_len, dec_state):
+        """Content-based additive attention (reference ``attention.py:23``)."""
+        keys = self.enc_proj(params["enc_proj"], enc_states)  # (B, T, A)
+        query = self.dec_proj(params["dec_proj"], dec_state)[:, None]  # (B, 1, A)
+        scores = self.attn_v(params["attn_v"], jnp.tanh(keys + query))[..., 0]
+        if enc_len is not None:
+            t = enc_states.shape[1]
+            mask = jnp.arange(t)[None, :] < (jnp.asarray(enc_len) * t)[:, None]
+            scores = jnp.where(mask, scores, -1e30)
+        w = jax.nn.softmax(scores * self.scaling, axis=-1)
+        context = jnp.einsum("bt,btf->bf", w, enc_states)
+        return context, w
+
+    def forward_step(self, params, inp_t, hs, context, enc_states, enc_len):
+        """One decode step: input embedding (B, E) + previous context."""
+        b = inp_t.shape[0]
+        if hs is None:
+            hs = [self.rnn._init_state(b) for _ in range(self.num_layers)]
+        cell_in = jnp.concatenate([inp_t, context], axis=-1)[:, None]
+        out, hs = self._rnn_step(params, cell_in, hs)
+        dec_out = out[:, 0]
+        context, w = self._attend(params, enc_states, enc_len, dec_out)
+        combined = jnp.concatenate([dec_out, context], axis=-1)
+        return self.out_proj(params["out_proj"], combined), hs, context, w
+
+    def _rnn_step(self, params, x, hs):
+        outs = []
+        new_hs = []
+        h = x
+        for layer in range(self.num_layers):
+            p = params["rnn"][f"l{layer}"]
+            state = hs[layer]
+            new_state = self.rnn._cell(p, h[:, 0], state)
+            out = new_state[0] if isinstance(new_state, tuple) else new_state
+            h = out[:, None]
+            new_hs.append(new_state)
+        return h, new_hs
+
+    def __call__(self, params, inp, enc_states, enc_len=None):
+        """Teacher-forced full-sequence decode: inp (B, U, E)."""
+        b = inp.shape[0]
+        context0 = jnp.zeros((b, enc_states.shape[-1]))
+
+        hs = None
+        outs = []
+        attns = []
+        context = context0
+        for u in range(inp.shape[1]):  # U is small (labels); python loop unrolls
+            out, hs, context, w = self.forward_step(
+                params, inp[:, u], hs, context, enc_states, enc_len)
+            outs.append(out)
+            attns.append(w)
+        return jnp.stack(outs, axis=1), jnp.stack(attns, axis=1)

@@ -1,0 +1,305 @@
+"""Waveform-domain augmentation (analogue of reference
+``speechbrain/processing/speech_augmentation.py``).
+
+All modules are pure functions of (params, x, lengths, rng) with static
+shapes — random spans become masks, random resampling factors pick from a
+static set of branches — so they fuse into the jitted train step.
+"""
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from svt_speechbrain_tpu.nnet.core import Module
+from svt_speechbrain_tpu.processing.signal_processing import (
+    compute_amplitude, dB_to_amplitude, notch_filter, convolve1d, reverberate,
+)
+
+
+class AddNoise(Module):
+    """Mix noise at a random SNR (reference ``speech_augmentation.py:30``).
+    Without a noise corpus, white noise is used (the reference's fallback)."""
+
+    def __init__(self, csv_file=None, snr_low=0, snr_high=0, pad_noise=False,
+                 mix_prob=1.0, start_index=None, normalize=False, noise_funct=None):
+        self.snr_low = snr_low
+        self.snr_high = snr_high
+        self.mix_prob = mix_prob
+        self.normalize = normalize
+        self.noise_funct = noise_funct  # callable (rng, shape) -> noise
+
+    def __call__(self, params, waveforms, lengths=None, rng=None):
+        del params
+        if rng is None:
+            return waveforms
+        b, t = waveforms.shape[:2]
+        lengths = jnp.ones((b,)) if lengths is None else jnp.asarray(lengths)
+        abs_len = (lengths * t)[:, None]
+        k1, k2, k3 = jax.random.split(rng, 3)
+
+        clean_amplitude = compute_amplitude(waveforms, abs_len)
+        snr = jax.random.uniform(k1, (b, 1), minval=self.snr_low, maxval=self.snr_high)
+        factor = 1 / (dB_to_amplitude(snr) + 1)
+        new_noise_amplitude = factor * clean_amplitude
+        noisy = waveforms * (1 - factor)
+
+        if self.noise_funct is not None:
+            noise = self.noise_funct(k2, waveforms.shape)
+        else:
+            noise = jax.random.normal(k2, waveforms.shape)
+        noise_amplitude = compute_amplitude(noise, abs_len)
+        noise = noise * (new_noise_amplitude / (noise_amplitude + 1e-14))
+        noisy = noisy + noise
+
+        keep = jax.random.uniform(k3, (b, 1)) > self.mix_prob
+        out = jnp.where(keep, waveforms, noisy)
+        if self.normalize:
+            peak = jnp.max(jnp.abs(out), axis=1, keepdims=True)
+            out = out / jnp.maximum(peak, 1.0)
+        return out
+
+
+class AddReverb(Module):
+    """Convolve with an impulse response (reference ``:279``). The RIR is
+    supplied by ``rir_funct`` (corpus loading is host-side)."""
+
+    def __init__(self, csv_file=None, reverb_prob=1.0, rir_scale_factor=1.0,
+                 rir_funct=None):
+        self.reverb_prob = reverb_prob
+        self.rir_scale_factor = rir_scale_factor
+        self.rir_funct = rir_funct
+
+    def __call__(self, params, waveforms, lengths=None, rng=None):
+        del params, lengths
+        if rng is None or self.rir_funct is None:
+            return waveforms
+        k1, k2 = jax.random.split(rng)
+        rir = self.rir_funct(k1)
+        reverbed = reverberate(waveforms, rir)
+        keep = jax.random.uniform(k2, ()) > self.reverb_prob
+        return jnp.where(keep, waveforms, reverbed)
+
+
+class SpeedPerturb(Module):
+    """Resample-based speed perturbation (reference ``:403``): pick one of
+    ``speeds`` (percent) per batch. Static shapes: each speed is a separate
+    branch via ``lax.switch``; outputs are cut/padded to the input length."""
+
+    def __init__(self, orig_freq, speeds=[90, 100, 110], perturb_prob=1.0):
+        self.orig_freq = orig_freq
+        self.speeds = speeds
+        self.perturb_prob = perturb_prob
+        self.resamplers = [
+            Resample(orig_freq=orig_freq, new_freq=orig_freq * speed // 100)
+            for speed in speeds
+        ]
+
+    def __call__(self, params, waveform, lengths=None, rng=None):
+        del params, lengths
+        if rng is None:
+            return waveform
+        k1, k2 = jax.random.split(rng)
+        t = waveform.shape[1]
+
+        def branch(resampler):
+            def fn(wav):
+                out = resampler(None, wav)
+                if out.shape[1] >= t:
+                    return out[:, :t]
+                return jnp.pad(out, ((0, 0), (0, t - out.shape[1])))
+            return fn
+
+        idx = jax.random.randint(k1, (), 0, len(self.speeds))
+        perturbed = jax.lax.switch(idx, [branch(r) for r in self.resamplers], waveform)
+        keep = jax.random.uniform(k2, ()) > self.perturb_prob
+        return jnp.where(keep, waveform, perturbed)
+
+
+class Resample(Module):
+    """Polyphase windowed-sinc resampling (reference ``:479``, after
+    torchaudio's kaldi-compatible resampler)."""
+
+    def __init__(self, orig_freq=16000, new_freq=16000, lowpass_filter_width=6):
+        self.orig_freq = orig_freq
+        self.new_freq = new_freq
+        self.lowpass_filter_width = lowpass_filter_width
+        g = math.gcd(int(orig_freq), int(new_freq))
+        self.up = int(new_freq) // g
+        self.down = int(orig_freq) // g
+
+    def __call__(self, params, waveforms):
+        del params
+        if self.orig_freq == self.new_freq:
+            return waveforms
+        from scipy.signal import resample_poly
+
+        # polyphase resampling is host-side math on static shapes; under jit
+        # use pure_callback-free approach: precompute via scipy on concrete
+        # arrays, else fall back to jnp linear interpolation.
+        if isinstance(waveforms, np.ndarray):
+            return resample_poly(waveforms, self.up, self.down, axis=1).astype(
+                waveforms.dtype)
+        t = waveforms.shape[1]
+        new_t = int(round(t * self.up / self.down))
+        pos = jnp.linspace(0.0, t - 1.0, new_t)
+        left = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, t - 1)
+        right = jnp.clip(left + 1, 0, t - 1)
+        frac = pos - left
+        return (waveforms[:, left] * (1 - frac) + waveforms[:, right] * frac)
+
+
+class AddBabble(Module):
+    """Simulate babble by rotating other batch utterances in
+    (reference ``:792``)."""
+
+    def __init__(self, speaker_count=3, snr_low=0, snr_high=0, mix_prob=1.0):
+        self.speaker_count = speaker_count
+        self.snr_low = snr_low
+        self.snr_high = snr_high
+        self.mix_prob = mix_prob
+
+    def __call__(self, params, waveforms, lengths=None, rng=None):
+        del params
+        if rng is None:
+            return waveforms
+        b, t = waveforms.shape[:2]
+        lengths = jnp.ones((b,)) if lengths is None else jnp.asarray(lengths)
+        abs_len = (lengths * t)[:, None]
+        k1, k2 = jax.random.split(rng)
+        clean_amplitude = compute_amplitude(waveforms, abs_len)
+        snr = jax.random.uniform(k1, (b, 1), minval=self.snr_low, maxval=self.snr_high)
+        factor = 1 / (dB_to_amplitude(snr) + 1)
+        noise_amplitude = factor * clean_amplitude
+        out = waveforms * (1 - factor)
+        babble = jnp.roll(waveforms, 1, axis=0)
+        for i in range(1, self.speaker_count):
+            babble = babble + jnp.roll(waveforms, 1 + i, axis=0)
+        babble_amp = compute_amplitude(babble, abs_len)
+        babble = babble * (noise_amplitude / (babble_amp + 1e-14))
+        noisy = out + babble
+        keep = jax.random.uniform(k2, (b, 1)) > self.mix_prob
+        return jnp.where(keep, waveforms, noisy)
+
+
+class DropFreq(Module):
+    """Random notch filters in the frequency domain (reference ``:876``)."""
+
+    def __init__(self, drop_freq_low=1e-14, drop_freq_high=1, drop_count_low=1,
+                 drop_count_high=2, drop_width=0.05, drop_prob=1):
+        self.drop_freq_low = drop_freq_low
+        self.drop_freq_high = drop_freq_high
+        self.drop_count_low = drop_count_low
+        self.drop_count_high = drop_count_high
+        self.drop_width = drop_width
+        self.drop_prob = drop_prob
+
+    def __call__(self, params, waveforms, rng=None):
+        del params
+        if rng is None:
+            return waveforms
+        keys = jax.random.split(rng, self.drop_count_high + 2)
+        dropped = waveforms[..., None] if waveforms.ndim == 2 else waveforms
+        drop_count = jax.random.randint(
+            keys[0], (), self.drop_count_low, self.drop_count_high + 1)
+        filter_length = 101
+        out = dropped
+        for i in range(self.drop_count_high):
+            freq = jax.random.uniform(keys[i + 1], (),
+                                      minval=self.drop_freq_low,
+                                      maxval=self.drop_freq_high)
+            # static-shape notch at a traced frequency: synthesize the kernel
+            pad = filter_length // 2
+            inputs = jnp.arange(filter_length) - pad
+            nwin = jnp.sin(jnp.pi / (filter_length - 1) * jnp.arange(filter_length))
+            drop_w = self.drop_width
+
+            def sinc(x):
+                return jnp.where(x == 0, 1.0, jnp.sin(jnp.pi * x) / (jnp.pi * x))
+
+            lowk = sinc((freq - drop_w) * inputs) * nwin
+            lowk = lowk / jnp.sum(lowk)
+            s = sinc((freq + drop_w) * inputs) * nwin
+            highk = (-(s / jnp.sum(s))).at[pad].add(1.0)
+            kernel = (lowk + highk)[None, :, None]
+            filtered = convolve1d(out, kernel, padding=pad)
+            out = jnp.where(i < drop_count, filtered, out)
+        out = out[..., 0] if waveforms.ndim == 2 else out
+        keep = jax.random.uniform(keys[-1], ()) > self.drop_prob
+        return jnp.where(keep, waveforms, out)
+
+
+class DropChunk(Module):
+    """Zero (or noise-fill) random time chunks (reference ``:980``)."""
+
+    def __init__(self, drop_length_low=100, drop_length_high=1000,
+                 drop_count_low=1, drop_count_high=10, drop_start=0,
+                 drop_end=None, drop_prob=1, noise_factor=0.0):
+        self.drop_length_low = drop_length_low
+        self.drop_length_high = drop_length_high
+        self.drop_count_low = drop_count_low
+        self.drop_count_high = drop_count_high
+        self.drop_start = drop_start
+        self.drop_end = drop_end
+        self.drop_prob = drop_prob
+        self.noise_factor = noise_factor
+
+    def __call__(self, params, waveforms, lengths=None, rng=None):
+        del params
+        if rng is None:
+            return waveforms
+        b, t = waveforms.shape[:2]
+        lengths = jnp.ones((b,)) if lengths is None else jnp.asarray(lengths)
+        abs_len = lengths * t
+        keys = jax.random.split(rng, 4)
+        drop_counts = jax.random.randint(
+            keys[0], (b,), self.drop_count_low, self.drop_count_high + 1)
+        mask = jnp.ones((b, t), waveforms.dtype)
+        ar = jnp.arange(t)[None, :]
+        for i in range(self.drop_count_high):
+            ki = jax.random.fold_in(keys[1], i)
+            k_len, k_start = jax.random.split(ki)
+            length = jax.random.randint(k_len, (b,), self.drop_length_low,
+                                        self.drop_length_high + 1)
+            end = self.drop_end if self.drop_end is not None else t
+            if end < 0:
+                end = t + end
+            start_max = jnp.maximum(end - length, self.drop_start + 1)
+            start = jax.random.randint(k_start, (b,), self.drop_start,
+                                       jnp.maximum(self.drop_start + 1, 1)) * 0 + (
+                jax.random.uniform(k_start, (b,)) * (start_max - self.drop_start)
+            ).astype(jnp.int32) + self.drop_start
+            span = (ar >= start[:, None]) & (ar < (start + length)[:, None])
+            active = (i < drop_counts)[:, None]
+            mask = jnp.where(span & active, 0.0, mask)
+        dropped = waveforms * mask
+        if self.noise_factor > 0:
+            clean_amplitude = compute_amplitude(waveforms, abs_len[:, None])
+            noise = jax.random.uniform(keys[2], waveforms.shape, minval=-1, maxval=1)
+            noise = noise * 2 * clean_amplitude * self.noise_factor
+            dropped = dropped + noise * (1 - mask)
+        keep = jax.random.uniform(keys[3], (b, 1)) > self.drop_prob
+        return jnp.where(keep, waveforms, dropped)
+
+
+class DoClip(Module):
+    """Random amplitude clipping (reference ``:1143``)."""
+
+    def __init__(self, clip_low=0.5, clip_high=1, clip_prob=1):
+        self.clip_low = clip_low
+        self.clip_high = clip_high
+        self.clip_prob = clip_prob
+
+    def __call__(self, params, waveforms, rng=None):
+        del params
+        if rng is None:
+            return waveforms
+        k1, k2 = jax.random.split(rng)
+        clip_value = jax.random.uniform(k1, (), minval=self.clip_low,
+                                        maxval=self.clip_high)
+        clipped = jnp.clip(waveforms, -clip_value, clip_value)
+        keep = jax.random.uniform(k2, ()) > self.clip_prob
+        return jnp.where(keep, waveforms, clipped)

@@ -140,3 +140,62 @@ def minDCF(positive_scores, negative_scores, c_miss=1.0, c_fa=1.0, p_target=0.01
             best = (c_det, float(thr))
     c_def = min(c_miss * p_target, c_fa * (1 - p_target))
     return best[0] / c_def, best[1]
+
+
+class ErrorRateStats(MetricStats):
+    """Word/character error rate with alignments (reference
+    ``metric_stats.py:189``). ``append`` takes padded prediction/target
+    token batches (+ optional lengths and id→token decoders)."""
+
+    def __init__(self, merge_tokens=False, split_tokens=False, space_token="_"):
+        self.clear()
+        self.merge_tokens = merge_tokens
+        self.split_tokens = split_tokens
+        self.space_token = space_token
+
+    def clear(self):
+        self.scores = []
+        self.ids = []
+        self.summary = {}
+
+    def append(self, ids, predict, target, predict_len=None, target_len=None,
+               ind2lab=None):
+        from svt_speechbrain_tpu.utils import edit_distance
+        from svt_speechbrain_tpu.utils.data_utils import undo_padding
+
+        self.ids.extend(ids)
+        if predict_len is not None:
+            predict = undo_padding(predict, predict_len)
+        if target_len is not None:
+            target = undo_padding(target, target_len)
+        if ind2lab is not None:
+            predict = [ind2lab(u) for u in predict]
+            target = [ind2lab(u) for u in target]
+        if self.merge_tokens:
+            predict = ["".join(str(s) for s in u).replace(self.space_token, " ").split()
+                       for u in predict]
+            target = ["".join(str(s) for s in u).replace(self.space_token, " ").split()
+                      for u in target]
+        if self.split_tokens:
+            predict = [list("".join(str(s) for s in u)) for u in predict]
+            target = [list("".join(str(s) for s in u)) for u in target]
+        scores = edit_distance.wer_details_for_batch(ids, target, predict, True)
+        self.scores.extend(scores)
+
+    def summarize(self, field=None):
+        from svt_speechbrain_tpu.utils import edit_distance
+
+        self.summary = edit_distance.wer_summary(self.scores)
+        self.summary["error_rate"] = self.summary["WER"]
+        if field is not None:
+            return self.summary[field]
+        return self.summary
+
+    def write_stats(self, filestream):
+        if not self.summary:
+            self.summarize()
+        print(f"%WER {self.summary['WER']:.2f} [ {self.summary['num_edits']} / "
+              f"{self.summary['num_scored_tokens']}, "
+              f"{self.summary['insertions']} ins, "
+              f"{self.summary['deletions']} del, "
+              f"{self.summary['substitutions']} sub ]", file=filestream)
