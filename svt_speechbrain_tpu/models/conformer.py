@@ -1,0 +1,134 @@
+"""Conformer encoder (analogue of reference
+``speechbrain/lobes/models/transformer/Conformer.py``)."""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from svt_speechbrain_tpu.nnet.core import Module, split_rngs
+from svt_speechbrain_tpu.nnet.linear import Linear
+from svt_speechbrain_tpu.nnet.cnn import Conv1d
+from svt_speechbrain_tpu.nnet.normalization import LayerNorm
+from svt_speechbrain_tpu.nnet.attention import RelPosMHAXL, RelPosEncXL, MultiheadAttention
+from svt_speechbrain_tpu.nnet.activations import Swish
+from svt_speechbrain_tpu.nnet.dropout import dropout as _dropout
+
+
+class ConvolutionModule(Module):
+    """Pointwise → GLU → depthwise → LayerNorm+Swish → pointwise
+    (reference ``Conformer.py:24``; BatchNorm swapped for LayerNorm)."""
+
+    def __init__(self, input_size, kernel_size=31, bias=True, causal=False,
+                 dilation=1):
+        self.causal = causal
+        self.pw1 = Linear(2 * input_size, input_size, bias=bias)
+        self.dw = Conv1d(input_size, kernel_size, input_size, groups=input_size,
+                         padding="causal" if causal else "same",
+                         dilation=dilation, bias=bias)
+        self.norm = LayerNorm(input_size)
+        self.pw2 = Linear(input_size, input_size, bias=bias)
+        self.pre_norm = LayerNorm(input_size)
+
+    def init(self, rng):
+        k1, k2, k3 = split_rngs(rng, 3)
+        return {"pre_norm": self.pre_norm.init(None), "pw1": self.pw1.init(k1),
+                "dw": self.dw.init(k2), "norm": self.norm.init(None),
+                "pw2": self.pw2.init(k3)}
+
+    def __call__(self, params, x):
+        h = self.pre_norm(params["pre_norm"], x)
+        h = self.pw1(params["pw1"], h)
+        a, b = jnp.split(h, 2, axis=-1)
+        h = a * jax.nn.sigmoid(b)  # GLU
+        h = self.dw(params["dw"], h)
+        h = self.norm(params["norm"], h)
+        h = h * jax.nn.sigmoid(h)  # swish
+        return self.pw2(params["pw2"], h)
+
+
+class ConformerEncoderLayer(Module):
+    """Half-FFN → MHSA(rel-pos) → conv module → half-FFN → LN
+    (reference ``Conformer.py:101``)."""
+
+    def __init__(self, d_model, d_ffn, nhead, kernel_size=31, dropout=0.0,
+                 causal=False, attention_type="RelPosMHAXL"):
+        self.attention_type = attention_type
+        if attention_type == "RelPosMHAXL":
+            self.mha = RelPosMHAXL(d_model, nhead, dropout, mask_pos_future=causal)
+        else:
+            self.mha = MultiheadAttention(nhead, d_model, dropout=dropout)
+        self.conv = ConvolutionModule(d_model, kernel_size, causal=causal)
+        self.ffn1 = (Linear(d_ffn, d_model), Linear(d_model, d_ffn))
+        self.ffn2 = (Linear(d_ffn, d_model), Linear(d_model, d_ffn))
+        self.norm_ff1 = LayerNorm(d_model)
+        self.norm_mha = LayerNorm(d_model)
+        self.norm_ff2 = LayerNorm(d_model)
+        self.norm_out = LayerNorm(d_model)
+        self.dropout = dropout
+        self.swish = Swish()
+
+    def init(self, rng):
+        keys = split_rngs(rng, 6)
+        return {
+            "mha": self.mha.init(keys[0]), "conv": self.conv.init(keys[1]),
+            "ffn1_a": self.ffn1[0].init(keys[2]), "ffn1_b": self.ffn1[1].init(keys[3]),
+            "ffn2_a": self.ffn2[0].init(keys[4]), "ffn2_b": self.ffn2[1].init(keys[5]),
+            "norm_ff1": self.norm_ff1.init(None), "norm_mha": self.norm_mha.init(None),
+            "norm_ff2": self.norm_ff2.init(None), "norm_out": self.norm_out.init(None),
+        }
+
+    def _half_ffn(self, params, x, which, rng, train):
+        h = self.ffn1 if which == 1 else self.ffn2
+        pa, pb = params[f"ffn{which}_a"], params[f"ffn{which}_b"]
+        norm = params[f"norm_ff{which}"]
+        ln = self.norm_ff1 if which == 1 else self.norm_ff2
+        y = ln(norm, x)
+        y = h[0](pa, y)
+        y = self.swish(None, y)
+        y = _dropout(y, self.dropout, rng, train)
+        return h[1](pb, y)
+
+    def __call__(self, params, x, pos_embs=None, src_key_padding_mask=None,
+                 rng=None, train=False):
+        rngs = split_rngs(rng, 4) if rng is not None else [None] * 4
+        x = x + 0.5 * self._half_ffn(params, x, 1, rngs[0], train)
+        h = self.norm_mha(params["norm_mha"], x)
+        if self.attention_type == "RelPosMHAXL":
+            attn_out, _ = self.mha(params["mha"], h, h, h, pos_embs=pos_embs,
+                                   key_padding_mask=src_key_padding_mask,
+                                   rng=rngs[1], train=train)
+        else:
+            attn_out, _ = self.mha(params["mha"], h, h, h,
+                                   key_padding_mask=src_key_padding_mask,
+                                   rng=rngs[1], train=train)
+        x = x + _dropout(attn_out, self.dropout, rngs[2], train)
+        x = x + self.conv(params["conv"], x)
+        x = x + 0.5 * self._half_ffn(params, x, 2, rngs[3], train)
+        return self.norm_out(params["norm_out"], x)
+
+
+class ConformerEncoder(Module):
+    """Conformer encoder stack (reference ``Conformer.py:300``)."""
+
+    def __init__(self, num_layers, d_model, d_ffn, nhead, kernel_size=31,
+                 dropout=0.0, causal=False, attention_type="RelPosMHAXL"):
+        self.layers = [
+            ConformerEncoderLayer(d_model, d_ffn, nhead, kernel_size, dropout,
+                                  causal, attention_type)
+            for _ in range(num_layers)
+        ]
+        self.pos_enc = RelPosEncXL(d_model) if attention_type == "RelPosMHAXL" else None
+        self.attention_type = attention_type
+
+    def init(self, rng):
+        keys = split_rngs(rng, len(self.layers))
+        return {str(i): l.init(k) for i, (l, k) in enumerate(zip(self.layers, keys))}
+
+    def __call__(self, params, x, src_key_padding_mask=None, rng=None, train=False):
+        pos_embs = self.pos_enc(None, x) if self.pos_enc is not None else None
+        rngs = split_rngs(rng, len(self.layers)) if rng is not None else [None] * len(self.layers)
+        for i, layer in enumerate(self.layers):
+            x = layer(params[str(i)], x, pos_embs=pos_embs,
+                      src_key_padding_mask=src_key_padding_mask,
+                      rng=rngs[i], train=train)
+        return x

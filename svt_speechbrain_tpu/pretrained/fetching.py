@@ -1,0 +1,56 @@
+"""Artifact fetching (analogue of reference ``speechbrain/pretrained/fetching.py``).
+
+``fetch`` resolves a filename from a local dir, a URL, or (when the
+huggingface_hub package and network are available) an HF-hub repo, and
+symlinks it into ``savedir`` (reference ``fetching.py:26``). The TPU build is
+zero-egress by default, so remote sources require the file to already be
+cached locally.
+"""
+from __future__ import annotations
+
+import logging
+import os
+import pathlib
+import urllib.request
+
+logger = logging.getLogger(__name__)
+
+
+def fetch(filename, source, savedir="./pretrained_model_checkpoints",
+          overwrite=False, save_filename=None, use_auth_token=False):
+    if save_filename is None:
+        save_filename = filename
+    savedir = pathlib.Path(savedir)
+    savedir.mkdir(parents=True, exist_ok=True)
+    destination = savedir / save_filename
+    if destination.exists() and not overwrite:
+        return destination
+
+    if pathlib.Path(source).is_dir():
+        # local directory: symlink
+        sourcefile = pathlib.Path(source) / filename
+        if not sourcefile.exists():
+            raise FileNotFoundError(sourcefile)
+        if destination.is_symlink():
+            destination.unlink()
+        destination.symlink_to(sourcefile.absolute())
+        return destination
+
+    if str(source).startswith(("http:", "https:")):
+        logger.info(f"Downloading {source}/{filename} to {destination}")
+        urllib.request.urlretrieve(f"{source}/{filename}", destination)
+        return destination
+
+    # treat as an HF hub repo id
+    try:
+        import huggingface_hub
+
+        fetched = huggingface_hub.hf_hub_download(repo_id=source, filename=filename,
+                                                  cache_dir=savedir)
+        if destination.is_symlink():
+            destination.unlink()
+        destination.symlink_to(pathlib.Path(fetched).absolute())
+        return destination
+    except Exception as e:
+        raise FileNotFoundError(
+            f"Could not fetch {filename} from {source}: {e}") from e

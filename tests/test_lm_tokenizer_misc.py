@@ -1,0 +1,145 @@
+"""LM / tokenizer / pretrainer / hpopt / config-system tests."""
+import io
+import json
+import os
+
+import numpy as np
+import pytest
+
+
+def test_arpa_and_backoff_lm():
+    from svt_speechbrain_tpu.lm.arpa import read_arpa
+    from svt_speechbrain_tpu.lm.ngram import BackoffNgramLM, ngram_evaluation_details, ngram_perplexity
+
+    arpa = """\
+\\data\\
+ngram 1=3
+ngram 2=2
+
+\\1-grams:
+-0.5\ta\t-0.3
+-0.7\tb\t-0.2
+-1.0\t</s>
+
+\\2-grams:
+-0.2\ta b
+-0.4\tb </s>
+
+\\end\\
+"""
+    num, ngrams, backoffs = read_arpa(io.StringIO(arpa))
+    assert num == {1: 3, 2: 2}
+    lm = BackoffNgramLM(ngrams, backoffs)
+    # direct bigram hit
+    assert abs(lm.logprob("b", ("a",)) - (-0.2)) < 1e-9
+    # backoff: P(a | b) = backoff(b) + P(a)
+    assert abs(lm.logprob("a", ("b",)) - (-0.2 + -0.5)) < 1e-9
+    details = ngram_evaluation_details([["a", "b"]], lm)
+    assert np.isfinite(details[0]["neglogprob"])
+    assert ngram_perplexity(details) > 0
+
+
+def test_char_word_tokenizers():
+    from svt_speechbrain_tpu.tokenizers.sentence_piece import CharTokenizer, WordTokenizer
+
+    ct = CharTokenizer().fit(["hello", "world"])
+    ids = ct.encode("hello")
+    assert ct.decode(ids) == "hello"
+    wt = WordTokenizer().fit(["the quick fox", "lazy dog"])
+    assert wt.decode(wt.encode("quick dog")) == "quick dog"
+
+
+def test_pretrainer_roundtrip(tmp_path):
+    import jax
+
+    from svt_speechbrain_tpu.nnet.linear import Linear
+    from svt_speechbrain_tpu.utils.checkpoints import PytreeHandle, _save_obj
+    from svt_speechbrain_tpu.utils.parameter_transfer import Pretrainer
+
+    lin = Linear(4, 3)
+    params = {"v": lin.init(jax.random.PRNGKey(0))}
+    src = tmp_path / "source"
+    src.mkdir()
+    handle = PytreeHandle(get=lambda: params["v"], set=lambda t: params.update(v=t))
+    _save_obj(handle, str(src / "model.ckpt"))
+
+    params2 = {"v": lin.init(jax.random.PRNGKey(1))}
+    handle2 = PytreeHandle(get=lambda: params2["v"], set=lambda t: params2.update(v=t))
+    pre = Pretrainer(collect_in=str(tmp_path / "collected"),
+                     loadables={"model": handle2},
+                     paths={"model": str(src / "model.ckpt")})
+    pre.collect_files()
+    pre.load_collected()
+    for a, b in zip(jax.tree_util.tree_leaves(params["v"]),
+                    jax.tree_util.tree_leaves(params2["v"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_hpopt_generic_reporter(capsys):
+    import io as _io
+
+    from svt_speechbrain_tpu.utils import hpopt
+
+    out = _io.StringIO()
+    ctx = hpopt.HyperparameterOptimizationContext(
+        reporter_kwargs={"output": out})
+    param_file, run_opts, overrides = ctx.parse_arguments(
+        ["params.yaml", "--hpopt", "true", "--hpopt_mode", "generic",
+         "--device", "cpu"])
+    assert ctx.enabled
+    assert param_file == "params.yaml"
+    with ctx:
+        hpopt.report_result({"objective": 0.42})
+    assert json.loads(out.getvalue())["objective"] == 0.42
+
+
+def test_config_system_features(tmp_path):
+    from svt_speechbrain_tpu.config import load_hyperyaml
+
+    yaml_src = """
+a: 3
+b: !ref <a> * 2
+c: !ref results/<a>
+lin: !new:svt_speechbrain_tpu.nnet.linear.Linear
+   input_size: !ref <a>
+   n_neurons: 2
+modules:
+   lin: !ref <lin>
+factory: !name:svt_speechbrain_tpu.nnet.losses.bce_loss
+   reduction: batch
+"""
+    h = load_hyperyaml(yaml_src)
+    assert h["b"] == 6
+    assert h["c"] == "results/3"
+    assert h["lin"].input_size == 3
+    assert h["modules"]["lin"] is h["lin"]  # aliasing preserved
+    import functools
+
+    assert isinstance(h["factory"], functools.partial)
+
+    with pytest.raises(Exception):
+        load_hyperyaml("x: !PLACEHOLDER\n")
+    # overridden placeholder is fine
+    assert load_hyperyaml("x: !PLACEHOLDER\n", "x: 5")["x"] == 5
+
+
+def test_singing_transcriber_interface():
+    import jax
+
+    from svt_speechbrain_tpu.models.wav2vec2 import HuggingFaceWav2Vec2, Wav2Vec2Config
+    from svt_speechbrain_tpu.nnet.linear import Linear
+    from svt_speechbrain_tpu.pretrained.interfaces import SingingTranscriber
+
+    cfg = Wav2Vec2Config(hidden_size=32, num_layers=1, num_heads=4, ffn_size=64,
+                         conv_dim=(16,) * 7, num_conv_pos_embeddings=16,
+                         num_conv_pos_embedding_groups=4)
+    bridge = HuggingFaceWav2Vec2(config=cfg, output_norm=True)
+    head = Linear(input_size=32, n_neurons=20)
+    iface = SingingTranscriber(
+        modules={"wav2vec2": bridge, "model": head},
+        hparams={"frame_rate": 49.8, "onset_threshold": 0.4, "offset_threshold": 0.5},
+        batch_size=2, chunk_seconds=1.0)
+    iface.init_params()
+    wav = np.random.default_rng(0).normal(size=32000).astype(np.float32)
+    notes = iface.transcribe_batch({"s": wav})["s"]
+    assert isinstance(notes, list)
