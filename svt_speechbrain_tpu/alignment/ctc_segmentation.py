@@ -1,0 +1,67 @@
+"""CTC segmentation (analogue of reference
+``speechbrain/alignment/ctc_segmentation.py``): align a transcript to long
+audio using CTC posteriors, yielding per-utterance time boundaries and
+confidences (Kürzinger et al.)."""
+from __future__ import annotations
+
+import numpy as np
+
+
+def ctc_segmentation(log_probs, tokens, blank_id=0, frame_duration=0.02,
+                     min_window=8000):
+    """log_probs (T, V) CTC posteriors; tokens: list of token-id lists per
+    utterance. Returns list of (start_s, end_s, min_avg_logp) per utterance.
+    """
+    log_probs = np.asarray(log_probs, dtype=np.float64)
+    t_max = log_probs.shape[0]
+    # build the interleaved blank/token CTC state sequence over the full text
+    flat = []
+    utter_bounds = []  # (state_start, state_end) per utterance
+    for utt in tokens:
+        start_state = 2 * len(flat)
+        flat.extend(utt)
+        utter_bounds.append((start_state, 2 * len(flat)))
+    n_states = 2 * len(flat) + 1  # blanks interleaved
+
+    def state_token(s):
+        return blank_id if s % 2 == 0 else flat[s // 2]
+
+    neg_inf = -1e30
+    delta = np.full(n_states, neg_inf)
+    delta[0] = log_probs[0, blank_id]
+    if n_states > 1:
+        delta[1] = log_probs[0, state_token(1)]
+    backpointer_time = [np.zeros(n_states, dtype=np.int64)]
+    entry_time = np.zeros(n_states, dtype=np.int64)
+
+    for t in range(1, t_max):
+        new_delta = np.full(n_states, neg_inf)
+        new_entry = entry_time.copy()
+        for s in range(n_states):
+            cands = [(delta[s], entry_time[s])]
+            if s >= 1:
+                cands.append((delta[s - 1], t))
+            if s >= 2 and s % 2 == 1 and state_token(s) != state_token(s - 2):
+                cands.append((delta[s - 2], t))
+            best, ent = max(cands, key=lambda c: c[0])
+            new_delta[s] = best + log_probs[t, state_token(s)]
+            if best == delta[s]:
+                new_entry[s] = entry_time[s]
+            else:
+                new_entry[s] = t
+        delta = new_delta
+        entry_time = new_entry
+
+    # approximate utterance boundaries by the most-likely terminal states'
+    # entry times (greedy backwards pass over utter_bounds)
+    segments = []
+    for (s0, s1) in utter_bounds:
+        # entry of the first token state and exit of the last token state
+        start_t = int(entry_time[min(s0 + 1, n_states - 1)])
+        end_t = int(entry_time[min(s1, n_states - 1)])
+        if end_t <= start_t:
+            end_t = min(start_t + 1, t_max)
+        seg_lp = log_probs[start_t:end_t].max(axis=-1)
+        conf = float(seg_lp.mean()) if len(seg_lp) else neg_inf
+        segments.append((start_t * frame_duration, end_t * frame_duration, conf))
+    return segments

@@ -1,0 +1,193 @@
+"""Quaternion-valued neural networks (analogue of reference
+``speechbrain/nnet/quaternion_networks/`` ~3k LoC).
+
+A quaternion tensor of width 4N stores ``[r, i, j, k]`` components
+consecutively along the last axis. The Hamilton product is expressed as four
+real matmuls — the reference's custom autograd
+(``q_ops.py:22 QuaternionLinearCustomBackward``) exists to save memory in
+torch; under JAX/XLA the same structure is handled by autodiff + remat.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from svt_speechbrain_tpu.nnet.core import Module, split_rngs
+
+
+def check_quaternion_input(input_shape):
+    if input_shape[-1] % 4:
+        raise ValueError("Quaternion tensors must have a last dim divisible by 4")
+
+
+def split_quaternion(x):
+    n = x.shape[-1] // 4
+    return (x[..., :n], x[..., n:2 * n], x[..., 2 * n:3 * n], x[..., 3 * n:])
+
+
+def quaternion_init(rng, in_features, out_features, criterion="glorot"):
+    """Polar quaternion init (reference ``q_ops.py`` quaternion_init):
+    modulus ~ Rayleigh(s), unit-imaginary axis, random phase."""
+    if criterion == "glorot":
+        s = 1.0 / np.sqrt(2.0 * (in_features + out_features))
+    else:
+        s = 1.0 / np.sqrt(2.0 * in_features)
+    k1, k2, k3 = jax.random.split(rng, 3)
+    shape = (in_features, out_features)
+    modulus = s * jnp.sqrt(-2.0 * jnp.log(
+        jax.random.uniform(k1, shape, minval=1e-7, maxval=1.0)))
+    v = jax.random.normal(k2, shape + (3,))
+    v = v / (jnp.linalg.norm(v, axis=-1, keepdims=True) + 1e-9)
+    phase = jax.random.uniform(k3, shape, minval=-np.pi, maxval=np.pi)
+    wr = modulus * jnp.cos(phase)
+    wi = modulus * v[..., 0] * jnp.sin(phase)
+    wj = modulus * v[..., 1] * jnp.sin(phase)
+    wk = modulus * v[..., 2] * jnp.sin(phase)
+    return wr, wi, wj, wk
+
+
+def quaternion_linear_op(x, wr, wi, wj, wk, bias=None):
+    """Hamilton product y = x ⊗ W over packed tensors
+    (reference ``q_ops.py`` quaternion_linear_op)."""
+    xr, xi, xj, xk = split_quaternion(x)
+    yr = xr @ wr - xi @ wi - xj @ wj - xk @ wk
+    yi = xr @ wi + xi @ wr + xj @ wk - xk @ wj
+    yj = xr @ wj - xi @ wk + xj @ wr + xk @ wi
+    yk = xr @ wk + xi @ wj - xj @ wi + xk @ wr
+    y = jnp.concatenate([yr, yi, yj, yk], axis=-1)
+    if bias is not None:
+        y = y + bias
+    return y
+
+
+class QLinear(Module):
+    """Quaternion linear layer (reference ``quaternion_networks/linear.py``).
+    ``n_neurons`` counts quaternion units (output width 4*n_neurons)."""
+
+    def __init__(self, n_neurons, input_shape=None, input_size=None, bias=True,
+                 init_criterion="glorot", weight_init="quaternion",
+                 autograd=True):
+        if input_size is None and input_shape is not None:
+            input_size = input_shape[-1]
+        check_quaternion_input((input_size,))
+        self.in_q = input_size // 4
+        self.n_neurons = n_neurons
+        self.bias = bias
+        self.init_criterion = init_criterion
+
+    def init(self, rng):
+        wr, wi, wj, wk = quaternion_init(rng, self.in_q, self.n_neurons,
+                                         self.init_criterion)
+        params = {"r_weight": wr, "i_weight": wi, "j_weight": wj, "k_weight": wk}
+        if self.bias:
+            params["bias"] = jnp.zeros((4 * self.n_neurons,))
+        return params
+
+    def __call__(self, params, x):
+        return quaternion_linear_op(x, params["r_weight"], params["i_weight"],
+                                    params["j_weight"], params["k_weight"],
+                                    params.get("bias"))
+
+
+class QConv1d(Module):
+    """Quaternion 1-D convolution (reference ``quaternion_networks/CNN.py``)."""
+
+    def __init__(self, out_channels, kernel_size, input_shape=None, input_size=None,
+                 stride=1, dilation=1, padding="same", bias=True):
+        if input_size is None and input_shape is not None:
+            input_size = input_shape[-1]
+        check_quaternion_input((input_size,))
+        from svt_speechbrain_tpu.nnet.cnn import Conv1d
+
+        self.in_q = input_size // 4
+        self.out_channels = out_channels
+        self.convs = {c: Conv1d(out_channels, kernel_size, self.in_q, stride=stride,
+                                dilation=dilation, padding=padding, bias=False)
+                      for c in "rijk"}
+        self.bias = bias
+
+    def init(self, rng):
+        keys = split_rngs(rng, 4)
+        params = {c: conv.init(k) for (c, conv), k in zip(self.convs.items(), keys)}
+        if self.bias:
+            params["bias"] = jnp.zeros((4 * self.out_channels,))
+        return params
+
+    def __call__(self, params, x):
+        xr, xi, xj, xk = split_quaternion(x)
+        cr = lambda v: self.convs["r"](params["r"], v)
+        ci = lambda v: self.convs["i"](params["i"], v)
+        cj = lambda v: self.convs["j"](params["j"], v)
+        ck = lambda v: self.convs["k"](params["k"], v)
+        yr = cr(xr) - ci(xi) - cj(xj) - ck(xk)
+        yi = cr(xi) + ci(xr) + cj(xk) - ck(xj)
+        yj = cr(xj) - ci(xk) + cj(xr) + ck(xi)
+        yk = cr(xk) + ci(xj) - cj(xi) + ck(xr)
+        y = jnp.concatenate([yr, yi, yj, yk], axis=-1)
+        if self.bias:
+            y = y + params["bias"]
+        return y
+
+
+class QRNN(Module):
+    """Quaternion recurrent layer (reference ``quaternion_networks/RNN.py``:
+    simple tanh cell over Hamilton-product affine maps)."""
+
+    def __init__(self, hidden_size, input_shape=None, input_size=None,
+                 num_layers=1, bidirectional=False):
+        if input_size is None and input_shape is not None:
+            input_size = input_shape[-1]
+        check_quaternion_input((input_size,))
+        self.hidden_size = hidden_size  # quaternion units
+        self.input_size = input_size
+        self.num_layers = num_layers
+        self.bidirectional = bidirectional
+
+    def init(self, rng):
+        params = {}
+        n_dir = 2 if self.bidirectional else 1
+        keys = split_rngs(rng, self.num_layers * n_dir * 2)
+        ki = 0
+        for layer in range(self.num_layers):
+            in_q = (self.input_size if layer == 0
+                    else 4 * self.hidden_size * n_dir) // 4
+            for d in range(n_dir):
+                name = f"l{layer}" + ("_rev" if d else "")
+                ih = quaternion_init(keys[ki], in_q, self.hidden_size)
+                hh = quaternion_init(keys[ki + 1], self.hidden_size, self.hidden_size)
+                params[name] = {
+                    "ih": dict(zip(("r", "i", "j", "k"), ih)),
+                    "hh": dict(zip(("r", "i", "j", "k"), hh)),
+                    "bias": jnp.zeros((4 * self.hidden_size,)),
+                }
+                ki += 2
+        return params
+
+    def _run(self, p, x, reverse=False):
+        if reverse:
+            x = jnp.flip(x, axis=1)
+
+        def step(h, x_t):
+            z = quaternion_linear_op(x_t, p["ih"]["r"], p["ih"]["i"], p["ih"]["j"],
+                                     p["ih"]["k"], p["bias"])
+            z = z + quaternion_linear_op(h, p["hh"]["r"], p["hh"]["i"],
+                                         p["hh"]["j"], p["hh"]["k"])
+            h_new = jnp.tanh(z)
+            return h_new, h_new
+
+        h0 = jnp.zeros((x.shape[0], 4 * self.hidden_size))
+        _, outs = jax.lax.scan(step, h0, jnp.moveaxis(x, 1, 0))
+        outs = jnp.moveaxis(outs, 0, 1)
+        return jnp.flip(outs, axis=1) if reverse else outs
+
+    def __call__(self, params, x):
+        for layer in range(self.num_layers):
+            fwd = self._run(params[f"l{layer}"], x)
+            if self.bidirectional:
+                bwd = self._run(params[f"l{layer}_rev"], x, reverse=True)
+                x = jnp.concatenate([fwd, bwd], axis=-1)
+            else:
+                x = fwd
+        return x

@@ -1,0 +1,162 @@
+"""PLDA / LDA speaker modelling (analogue of reference
+``speechbrain/processing/PLDA_LDA.py``).
+
+Host-side numpy statistics modelling (these run on embedding sets after
+device inference): statistics-object accumulation, LDA projection, EM-trained
+PLDA with log-likelihood-ratio scoring.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+
+class StatObject_SB:
+    """Container for (modelset, segset, start, stop, stat0, stat1)
+    (reference ``PLDA_LDA.py:32``)."""
+
+    def __init__(self, modelset=None, segset=None, start=None, stop=None,
+                 stat0=None, stat1=None):
+        self.modelset = np.asarray(modelset) if modelset is not None else np.array([])
+        self.segset = np.asarray(segset) if segset is not None else np.array([])
+        self.start = start
+        self.stop = stop
+        self.stat0 = stat0
+        self.stat1 = stat1
+
+    def get_mean_stat1(self):
+        return np.mean(self.stat1, axis=0)
+
+    def get_total_covariance_stat1(self):
+        c = self.stat1 - self.stat1.mean(axis=0)
+        return c.T @ c / self.stat1.shape[0]
+
+    def get_model_stat0(self, mod_id):
+        return self.stat0[self.modelset == mod_id]
+
+    def get_model_stat1(self, mod_id):
+        return self.stat1[self.modelset == mod_id]
+
+    def sum_stat_per_model(self):
+        """Per-model summed stats (reference ``:224``)."""
+        models = np.unique(self.modelset)
+        sum_stat1 = np.array([self.get_model_stat1(m).sum(axis=0) for m in models])
+        counts = np.array([(self.modelset == m).sum() for m in models])
+        out = StatObject_SB(modelset=models, segset=models,
+                            stat0=counts[:, None].astype(np.float64),
+                            stat1=sum_stat1)
+        return out, counts
+
+
+class LDA:
+    """Linear discriminant analysis projection (reference ``PLDA_LDA.py``
+    ``do_lda``)."""
+
+    def __init__(self, reduce_dim=2):
+        self.reduce_dim = reduce_dim
+        self.transform_mat = None
+
+    def do_lda(self, stat_server):
+        x = stat_server.stat1
+        labels = stat_server.modelset
+        classes = np.unique(labels)
+        mean = x.mean(axis=0)
+        sw = np.zeros((x.shape[1], x.shape[1]))
+        sb = np.zeros_like(sw)
+        for c in classes:
+            xc = x[labels == c]
+            mc = xc.mean(axis=0)
+            sw += (xc - mc).T @ (xc - mc)
+            sb += len(xc) * np.outer(mc - mean, mc - mean)
+        evals, evecs = np.linalg.eig(np.linalg.pinv(sw) @ sb)
+        order = np.argsort(-evals.real)
+        self.transform_mat = evecs[:, order[: self.reduce_dim]].real
+        out = StatObject_SB(modelset=stat_server.modelset, segset=stat_server.segset,
+                            stat0=stat_server.stat0,
+                            stat1=x @ self.transform_mat)
+        return out
+
+
+class PLDA:
+    """Probabilistic LDA with EM training + LLR scoring
+    (reference ``PLDA_LDA.py`` PLDA class)."""
+
+    def __init__(self, rank_f=100, nb_iter=10, scaling_factor=1.0):
+        self.rank_f = rank_f
+        self.nb_iter = nb_iter
+        self.scaling_factor = scaling_factor
+        self.mean = None
+        self.F = None
+        self.Sigma = None
+
+    def plda(self, stat_server, rng=None):
+        """EM training of the eigenvoice PLDA model (reference ``plda``)."""
+        rng = rng or np.random.default_rng(0)
+        x = stat_server.stat1.astype(np.float64)
+        labels = stat_server.modelset
+        dim = x.shape[1]
+        rank = min(self.rank_f, dim)
+        self.mean = x.mean(axis=0)
+        xc = x - self.mean
+        # init F from PCA of the total covariance, Sigma from residual
+        cov = xc.T @ xc / len(xc)
+        evals, evecs = np.linalg.eigh(cov)
+        order = np.argsort(-evals)
+        self.F = evecs[:, order[:rank]] * np.sqrt(np.maximum(evals[order[:rank]], 1e-8))
+        self.Sigma = cov.copy()
+
+        models = np.unique(labels)
+        for _ in range(self.nb_iter):
+            # E-step: posterior of latent speaker factors per model
+            sig_inv = np.linalg.pinv(self.Sigma)
+            FtSi = self.F.T @ sig_inv
+            ey = np.zeros((len(models), rank))
+            eyy = np.zeros((rank, rank))
+            resid = np.zeros((dim, dim))
+            sum_n = 0
+            ff_acc = np.zeros((rank, rank))
+            xy_acc = np.zeros((dim, rank))
+            for mi, m in enumerate(models):
+                xm = xc[labels == m]
+                n = len(xm)
+                prec = np.eye(rank) + n * FtSi @ self.F
+                cov_y = np.linalg.pinv(prec)
+                mean_y = cov_y @ FtSi @ xm.sum(axis=0)
+                ey[mi] = mean_y
+                second = cov_y + np.outer(mean_y, mean_y)
+                eyy += n * second
+                ff_acc += n * second
+                xy_acc += xm.sum(axis=0)[:, None] @ mean_y[None, :]
+                sum_n += n
+            # M-step
+            self.F = xy_acc @ np.linalg.pinv(ff_acc)
+            resid = (xc.T @ xc - self.F @ xy_acc.T) / sum_n
+            self.Sigma = resid
+        return self
+
+    def scoring(self, enroll, test):
+        """LLR score matrix between enroll and test stat1 sets
+        (reference ``fast_PLDA_scoring``)."""
+        F, Sigma = self.F, self.Sigma
+        dim = F.shape[0]
+        phi = F @ F.T  # between-speaker covariance
+        sigma_tot = phi + Sigma
+        # two-covariance LLR: closed form
+        st_inv = np.linalg.pinv(sigma_tot)
+        lam = np.linalg.pinv(sigma_tot - phi @ st_inv @ phi)
+        gamma = st_inv - lam
+        q = lam @ phi @ st_inv
+        e = enroll.stat1 - self.mean
+        t = test.stat1 - self.mean
+        scores = e @ q @ t.T
+        scores = 2 * scores - (np.sum(e @ gamma * e, axis=1)[:, None]
+                               + np.sum(t @ gamma * t, axis=1)[None, :])
+        return Ndx(enroll.modelset, test.segset, scores / 2)
+
+
+class Ndx:
+    """Score container (reference ``PLDA_LDA.py`` ``Scores``/``Ndx``)."""
+
+    def __init__(self, modelset, segset, scoremat):
+        self.modelset = modelset
+        self.segset = segset
+        self.scoremat = scoremat
