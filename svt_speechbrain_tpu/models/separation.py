@@ -1,0 +1,213 @@
+"""Source-separation models (analogue of reference
+``speechbrain/lobes/models/conv_tasnet.py`` and ``dual_path.py`` /
+SepFormer).
+
+Conv-TasNet: learned encoder → TCN mask network → overlap-add decoder.
+Dual-path: chunked intra/inter processing with transformer blocks
+(SepFormer when both are transformers).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from svt_speechbrain_tpu.nnet.core import Module, split_rngs
+from svt_speechbrain_tpu.nnet.cnn import Conv1d, ConvTranspose1d
+from svt_speechbrain_tpu.nnet.linear import Linear
+from svt_speechbrain_tpu.nnet.normalization import LayerNorm, layer_norm
+from svt_speechbrain_tpu.models.transformer import TransformerEncoder, PositionalEncoding
+
+
+class TasNetEncoder(Module):
+    """Waveform → latent frames via strided conv + ReLU
+    (reference ``conv_tasnet.py`` Encoder / ``dual_path.py:Encoder``)."""
+
+    def __init__(self, kernel_size=16, out_channels=256, stride=None):
+        self.stride = stride or kernel_size // 2
+        self.conv = Conv1d(out_channels, kernel_size, 1, stride=self.stride,
+                           padding="valid", bias=False)
+
+    def init(self, rng):
+        return {"conv": self.conv.init(rng)}
+
+    def __call__(self, params, wav):
+        return jax.nn.relu(self.conv(params["conv"], wav[..., None]))
+
+
+class TasNetDecoder(Module):
+    """Latent frames → waveform via transposed conv (reference Decoder)."""
+
+    def __init__(self, kernel_size=16, in_channels=256, stride=None):
+        self.stride = stride or kernel_size // 2
+        self.deconv = ConvTranspose1d(1, kernel_size, in_channels,
+                                      stride=self.stride, bias=False)
+
+    def init(self, rng):
+        return {"deconv": self.deconv.init(rng)}
+
+    def __call__(self, params, h):
+        return self.deconv(params["deconv"], h)[..., 0]
+
+
+class TemporalBlock(Module):
+    """TCN block: 1x1 conv → PReLU → norm → depthwise dilated conv → 1x1
+    with residual (reference ``conv_tasnet.py`` TemporalBlock)."""
+
+    def __init__(self, channels, hidden, kernel_size, dilation):
+        self.conv_in = Conv1d(hidden, 1, channels, padding="valid")
+        self.dconv = Conv1d(hidden, kernel_size, hidden, dilation=dilation,
+                            padding="same", groups=hidden)
+        self.conv_out = Conv1d(channels, 1, hidden, padding="valid")
+        self.norm1 = LayerNorm(hidden)
+        self.norm2 = LayerNorm(hidden)
+
+    def init(self, rng):
+        k1, k2, k3 = split_rngs(rng, 3)
+        return {"conv_in": self.conv_in.init(k1), "dconv": self.dconv.init(k2),
+                "conv_out": self.conv_out.init(k3),
+                "norm1": self.norm1.init(None), "norm2": self.norm2.init(None)}
+
+    def __call__(self, params, x):
+        h = jax.nn.relu(self.conv_in(params["conv_in"], x))
+        h = self.norm1(params["norm1"], h)
+        h = jax.nn.relu(self.dconv(params["dconv"], h))
+        h = self.norm2(params["norm2"], h)
+        return x + self.conv_out(params["conv_out"], h)
+
+
+class MaskNet(Module):
+    """TCN mask estimation (reference ``conv_tasnet.py`` MaskNet): stacked
+    dilated blocks → per-source sigmoid masks."""
+
+    def __init__(self, in_channels=256, bn_channels=128, hidden=512,
+                 kernel_size=3, n_blocks=8, n_repeats=3, n_sources=2):
+        self.n_sources = n_sources
+        self.in_channels = in_channels
+        self.bottleneck = Conv1d(bn_channels, 1, in_channels, padding="valid")
+        self.blocks = []
+        for _ in range(n_repeats):
+            for b in range(n_blocks):
+                self.blocks.append(TemporalBlock(bn_channels, hidden,
+                                                 kernel_size, 2 ** b))
+        self.mask_conv = Conv1d(n_sources * in_channels, 1, bn_channels,
+                                padding="valid")
+
+    def init(self, rng):
+        keys = split_rngs(rng, len(self.blocks) + 2)
+        params = {"bottleneck": self.bottleneck.init(keys[0]),
+                  "mask_conv": self.mask_conv.init(keys[-1])}
+        for i, blk in enumerate(self.blocks):
+            params[f"block{i}"] = blk.init(keys[i + 1])
+        return params
+
+    def __call__(self, params, h):
+        x = self.bottleneck(params["bottleneck"], layer_norm(h))
+        for i in range(len(self.blocks)):
+            x = self.blocks[i](params[f"block{i}"], x)
+        masks = jax.nn.sigmoid(self.mask_conv(params["mask_conv"], x))
+        b, t, _ = masks.shape
+        return masks.reshape(b, t, self.n_sources, self.in_channels)
+
+
+class ConvTasNet(Module):
+    """Full Conv-TasNet separator: wav (B, T) → sources (B, n_src, T')."""
+
+    def __init__(self, n_sources=2, enc_kernel=16, enc_channels=256,
+                 bn_channels=128, hidden=512, n_blocks=8, n_repeats=3):
+        self.encoder = TasNetEncoder(enc_kernel, enc_channels)
+        self.masknet = MaskNet(enc_channels, bn_channels, hidden, 3,
+                               n_blocks, n_repeats, n_sources)
+        self.decoder = TasNetDecoder(enc_kernel, enc_channels)
+        self.n_sources = n_sources
+
+    def init(self, rng):
+        k1, k2, k3 = split_rngs(rng, 3)
+        return {"encoder": self.encoder.init(k1), "masknet": self.masknet.init(k2),
+                "decoder": self.decoder.init(k3)}
+
+    def __call__(self, params, wav):
+        h = self.encoder(params["encoder"], wav)  # (B, T', C)
+        masks = self.masknet(params["masknet"], h)  # (B, T', S, C)
+        outs = []
+        for s in range(self.n_sources):
+            outs.append(self.decoder(params["decoder"], h * masks[:, :, s]))
+        return jnp.stack(outs, axis=1)
+
+
+class DualPathModel(Module):
+    """Dual-path (SepFormer-style) mask network: chunk → intra-chunk
+    transformer → inter-chunk transformer → masks
+    (reference ``dual_path.py:Dual_Path_Model`` + SBTransformerBlock)."""
+
+    def __init__(self, in_channels=256, d_model=128, n_sources=2, chunk_size=50,
+                 num_layers=2, nhead=4, d_ffn=256, num_dp_blocks=2):
+        self.chunk_size = chunk_size
+        self.n_sources = n_sources
+        self.in_channels = in_channels
+        self.proj_in = Linear(d_model, in_channels)
+        self.pos = PositionalEncoding(d_model)
+        self.intra = [TransformerEncoder(num_layers, nhead, d_ffn, d_model=d_model)
+                      for _ in range(num_dp_blocks)]
+        self.inter = [TransformerEncoder(num_layers, nhead, d_ffn, d_model=d_model)
+                      for _ in range(num_dp_blocks)]
+        self.proj_out = Linear(n_sources * in_channels, d_model)
+
+    def init(self, rng):
+        keys = split_rngs(rng, 2 * len(self.intra) + 2)
+        params = {"proj_in": self.proj_in.init(keys[0]),
+                  "proj_out": self.proj_out.init(keys[-1])}
+        for i, (a, e) in enumerate(zip(self.intra, self.inter)):
+            params[f"intra{i}"] = a.init(keys[1 + 2 * i])
+            params[f"inter{i}"] = e.init(keys[2 + 2 * i])
+        return params
+
+    def __call__(self, params, h):
+        """h: (B, T, C) encoder output → (B, T, S, C) masks."""
+        b, t, _ = h.shape
+        cs = self.chunk_size
+        pad = (-t) % cs
+        x = jnp.pad(h, ((0, 0), (0, pad), (0, 0)))
+        x = self.proj_in(params["proj_in"], x)
+        n_chunks = x.shape[1] // cs
+        d = x.shape[-1]
+        x = x.reshape(b, n_chunks, cs, d)
+        for i in range(len(self.intra)):
+            # intra-chunk: fold chunks into batch
+            xi = x.reshape(b * n_chunks, cs, d)
+            xi = xi + self.pos(None, xi)
+            xi, _ = self.intra[i](params[f"intra{i}"], xi)
+            x = xi.reshape(b, n_chunks, cs, d)
+            # inter-chunk: fold positions into batch
+            xo = x.transpose(0, 2, 1, 3).reshape(b * cs, n_chunks, d)
+            xo = xo + self.pos(None, xo)
+            xo, _ = self.inter[i](params[f"inter{i}"], xo)
+            x = xo.reshape(b, cs, n_chunks, d).transpose(0, 2, 1, 3)
+        x = x.reshape(b, n_chunks * cs, d)[:, :t]
+        masks = jax.nn.relu(self.proj_out(params["proj_out"], x))
+        return masks.reshape(b, t, self.n_sources, self.in_channels)
+
+
+class SepFormer(Module):
+    """Encoder + dual-path masking + decoder (reference SepformerWrapper)."""
+
+    def __init__(self, n_sources=2, enc_kernel=16, enc_channels=256,
+                 d_model=128, chunk_size=50, num_layers=2, nhead=4, d_ffn=256):
+        self.encoder = TasNetEncoder(enc_kernel, enc_channels)
+        self.masknet = DualPathModel(enc_channels, d_model, n_sources,
+                                     chunk_size, num_layers, nhead, d_ffn)
+        self.decoder = TasNetDecoder(enc_kernel, enc_channels)
+        self.n_sources = n_sources
+
+    def init(self, rng):
+        k1, k2, k3 = split_rngs(rng, 3)
+        return {"encoder": self.encoder.init(k1), "masknet": self.masknet.init(k2),
+                "decoder": self.decoder.init(k3)}
+
+    def __call__(self, params, wav):
+        h = self.encoder(params["encoder"], wav)
+        masks = self.masknet(params["masknet"], h)
+        outs = [self.decoder(params["decoder"], h * masks[:, :, s])
+                for s in range(self.n_sources)]
+        return jnp.stack(outs, axis=1)

@@ -232,3 +232,44 @@ def ctc_loss(log_probs, targets, input_lens, target_lens, blank_index, reduction
     if reduction == "sum":
         return jnp.sum(per_seq)
     return per_seq
+
+
+def cal_si_snr(source, estimate_source, eps=1e-8):
+    """Scale-invariant SNR per (batch, source) in dB
+    (reference ``losses.py:130`` cal_si_snr). Shapes (B, T, C)."""
+    source = jnp.asarray(source, jnp.float32)
+    estimate_source = jnp.asarray(estimate_source, jnp.float32)
+    s = source - jnp.mean(source, axis=1, keepdims=True)
+    e = estimate_source - jnp.mean(estimate_source, axis=1, keepdims=True)
+    dot = jnp.sum(e * s, axis=1, keepdims=True)
+    s_energy = jnp.sum(s * s, axis=1, keepdims=True) + eps
+    proj = dot * s / s_energy
+    noise = e - proj
+    ratio = jnp.sum(proj ** 2, axis=1) / (jnp.sum(noise ** 2, axis=1) + eps)
+    return 10 * jnp.log10(ratio + eps)  # (B, C)
+
+
+class PitWrapper:
+    """Permutation-invariant training wrapper (reference ``losses.py:86``):
+    evaluates ``base_loss`` under every source permutation and takes the best.
+    ``base_loss(source, estimate)`` must return per-(batch, source) losses."""
+
+    def __init__(self, base_loss):
+        self.base_loss = base_loss
+
+    def __call__(self, source, estimate_source):
+        import itertools
+
+        n_src = source.shape[-1]
+        losses = []
+        for perm in itertools.permutations(range(n_src)):
+            permuted = estimate_source[..., list(perm)]
+            losses.append(jnp.mean(self.base_loss(source, permuted), axis=-1))
+        all_perms = jnp.stack(losses, axis=-1)  # (B, n_perms)
+        return jnp.min(all_perms, axis=-1)
+
+
+def get_si_snr_with_pitwrapper(source, estimate_source):
+    """Negative SI-SNR with PIT (reference ``losses.py:760``); scalar mean."""
+    pit = PitWrapper(lambda s, e: -cal_si_snr(s, e))
+    return jnp.mean(pit(source, estimate_source))

@@ -1,0 +1,41 @@
+"""Non-negative matrix factorization for source separation (analogue of
+reference ``speechbrain/processing/NMF.py`` + ``decomposition.py``)."""
+from __future__ import annotations
+
+import numpy as np
+
+
+def nmf_factorize(V, rank=20, n_iter=100, eps=1e-10, seed=0):
+    """Multiplicative-update NMF: V ≈ W H with KL divergence
+    (reference ``decomposition.py``)."""
+    rng = np.random.default_rng(seed)
+    V = np.maximum(np.asarray(V, dtype=np.float64), eps)
+    f, t = V.shape
+    W = rng.random((f, rank)) + eps
+    H = rng.random((rank, t)) + eps
+    ones = np.ones_like(V)
+    for _ in range(n_iter):
+        WH = W @ H + eps
+        H *= (W.T @ (V / WH)) / (W.T @ ones + eps)
+        WH = W @ H + eps
+        W *= ((V / WH) @ H.T) / (ones @ H.T + eps)
+        W /= W.sum(axis=0, keepdims=True) + eps
+    return W, H
+
+
+def separate_sources(mixture_mag, W1, W2, n_iter=100, eps=1e-10, seed=0):
+    """Wiener-style separation with two pre-trained spectral dictionaries
+    (reference ``NMF.py`` separate)."""
+    rng = np.random.default_rng(seed)
+    V = np.maximum(np.asarray(mixture_mag, dtype=np.float64), eps)
+    W = np.concatenate([W1, W2], axis=1)
+    k1 = W1.shape[1]
+    H = rng.random((W.shape[1], V.shape[1])) + eps
+    ones = np.ones_like(V)
+    for _ in range(n_iter):
+        WH = W @ H + eps
+        H *= (W.T @ (V / WH)) / (W.T @ ones + eps)
+    V1 = W[:, :k1] @ H[:k1]
+    V2 = W[:, k1:] @ H[k1:]
+    total = V1 + V2 + eps
+    return V * V1 / total, V * V2 / total
