@@ -143,3 +143,26 @@ def test_singing_transcriber_interface():
     wav = np.random.default_rng(0).normal(size=32000).astype(np.float32)
     notes = iface.transcribe_batch({"s": wav})["s"]
     assert isinstance(notes, list)
+
+
+def test_categorical_and_ctc_encoders(tmp_path):
+    from svt_speechbrain_tpu.dataio.encoder import CategoricalEncoder, CTCTextEncoder
+
+    enc = CategoricalEncoder()
+    enc.update_from_iterable(["a", "b", "a", "c"])
+    assert len(enc) == 3
+    assert enc.decode_ndim([enc.encode_label("b")]) == ["b"]
+    enc.add_unk()
+    assert enc.encode_label("zzz") == enc.lab2ind["<unk>"]
+    path = tmp_path / "labels.txt"
+    enc.save(str(path))
+    enc2 = CategoricalEncoder()
+    enc2.load(str(path))
+    assert enc2.lab2ind == enc.lab2ind
+    assert enc2.unk_label == "<unk>"
+
+    ctc = CTCTextEncoder()
+    ctc.update_from_iterable([["h", "i"]], sequence_input=True)
+    ctc.insert_blank(index=0)
+    seq = ["<blank>", "h", "h", "<blank>", "i"]
+    assert ctc.collapse_labels(seq) == ["h", "i"]
