@@ -429,7 +429,7 @@ class Brain:
         self.train_sampler = sampler
         return loader_kwargs
 
-    def _batch_arrays(self, batch):
+    def _batch_arrays(self, batch, accum=1):
         """Extract the jit-feedable arrays from a PaddedBatch (or pass dicts
         through) and shard onto the mesh."""
         if isinstance(batch, PaddedBatch):
@@ -446,7 +446,8 @@ class Brain:
         leaves = [np.asarray(x) for x in jax.tree_util.tree_leaves(arrays)
                   if np.asarray(x).ndim >= 1]
         real_b = leaves[0].shape[0] if leaves else 0
-        target_b = int(-(-real_b // self.n_devices) * self.n_devices) if real_b else 0
+        multiple = self.n_devices * accum
+        target_b = int(-(-real_b // multiple) * multiple) if real_b else 0
         self._real_batch_size = real_b
         self._padded_batch_size = target_b
 
@@ -473,6 +474,17 @@ class Brain:
             return x
 
         arrays = jax.tree_util.tree_map(cast, arrays)
+        if accum > 1:
+            # micro-batch leading axis for the in-step lax.scan; the data
+            # axis (axis 1 after the split) stays sharded over the mesh
+            def split(x):
+                x = np.asarray(x)
+                if x.ndim == 0 or x.shape[0] != target_b:
+                    return x
+                return x.reshape(accum, target_b // accum, *x.shape[1:])
+
+            arrays = jax.tree_util.tree_map(split, arrays)
+            return mesh_lib.shard_batch(self.mesh, arrays, batch_axis=1)
         return mesh_lib.shard_batch(self.mesh, arrays)
 
     def _trim_batch_rows(self, tree):
@@ -506,27 +518,47 @@ class Brain:
 
         opt_items = [(name, cfg["tx"], cfg["modules"]) for name, cfg in self.optimizers.items()]
         trainable_names = [n for n in self.module_names if n not in frozen]
+        accum = max(int(self.grad_accumulation_factor), 1)
 
         def train_step(params, opt_states, model_states, batch, rng):
             frozen_params = {n: params[n] for n in frozen}
             train_params = {n: params[n] for n in trainable_names}
 
-            def loss_fn(train_params):
+            def loss_fn(train_params, micro_batch, states_in, step_rng):
                 merged = {**jax.lax.stop_gradient(frozen_params), **train_params}
                 merged = self._cast_for_compute(merged)
                 if self.stateful:
                     preds, new_states = self.compute_forward(
-                        merged, model_states, batch, Stage.TRAIN, rng)
+                        merged, states_in, micro_batch, Stage.TRAIN, step_rng)
                 else:
-                    preds = self.compute_forward(merged, batch, Stage.TRAIN, rng)
-                    new_states = model_states
-                loss = self.compute_objectives(preds, batch, Stage.TRAIN)
+                    preds = self.compute_forward(merged, micro_batch, Stage.TRAIN, step_rng)
+                    new_states = states_in
+                loss = self.compute_objectives(preds, micro_batch, Stage.TRAIN)
                 if isinstance(loss, tuple):
                     loss = loss[0]
                 return loss.astype(jnp.float32), new_states
 
-            (loss, new_model_states), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(train_params)
+            if accum == 1:
+                (loss, new_model_states), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(train_params, batch, model_states, rng)
+            else:
+                # gradient accumulation (reference ``core.py:856-878``):
+                # scan over micro-batches (batch axis 0 pre-split by fit_batch)
+                def accum_step(carry, inputs):
+                    grads_acc, loss_acc, states_in = carry
+                    micro_batch, step_rng = inputs
+                    (loss, states_out), grads = jax.value_and_grad(
+                        loss_fn, has_aux=True)(train_params, micro_batch,
+                                               states_in, step_rng)
+                    grads_acc = jax.tree_util.tree_map(jnp.add, grads_acc, grads)
+                    return (grads_acc, loss_acc + loss, states_out), None
+
+                zero_grads = jax.tree_util.tree_map(jnp.zeros_like, train_params)
+                rngs = jax.random.split(rng, accum)
+                (grads, loss_sum, new_model_states), _ = jax.lax.scan(
+                    accum_step, (zero_grads, 0.0, model_states), (batch, rngs))
+                grads = jax.tree_util.tree_map(lambda g: g / accum, grads)
+                loss = loss_sum / accum
 
             # reference check_gradients (core.py:882-924): clip global norm,
             # skip the step when the loss is nonfinite
@@ -581,11 +613,13 @@ class Brain:
     def fit_batch(self, batch):
         """One optimization step (reference ``core.py:835-880``).
 
-        Gradient accumulation is expressed by calling the jitted step on a
-        larger (sharded) batch rather than micro-batching — on TPU the larger
-        matmul is strictly better. ``grad_accumulation_factor`` is accepted
-        for CLI compatibility but the step count semantics follow it."""
-        arrays = self._batch_arrays(batch)
+        With ``grad_accumulation_factor > 1`` the batch is split into
+        micro-batches along axis 0 and gradients accumulate inside one jitted
+        ``lax.scan`` before a single optimizer update (the reference's
+        accumulate-then-step). On TPU prefer one larger sharded batch when it
+        fits — accumulation exists for memory-bound configurations."""
+        accum = max(int(self.grad_accumulation_factor), 1)
+        arrays = self._batch_arrays(batch, accum=accum)
         self.rng, step_rng = jax.random.split(self.rng)
         train_step = self._get_train_step()
         self.params, self.opt_states, self.states, loss, finite = train_step(

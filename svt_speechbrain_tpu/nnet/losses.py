@@ -70,12 +70,14 @@ def compute_masked_loss(loss_fn, predictions, targets, length=None,
 
     loss = loss_fn(predictions, targets) * mask
     n = loss.shape[0]
+    # denominators clamp to >=1: a fully-masked (device-padding) micro-batch
+    # must yield 0 loss, not NaN
     if reduction == "mean":
-        out = jnp.sum(loss) / jnp.sum(mask)
+        out = jnp.sum(loss) / jnp.maximum(jnp.sum(mask), 1.0)
     elif reduction == "batchmean":
         out = jnp.sum(loss) / n
     elif reduction == "batch":
-        out = loss.reshape(n, -1).sum(1) / mask.reshape(n, -1).sum(1)
+        out = loss.reshape(n, -1).sum(1) / jnp.maximum(mask.reshape(n, -1).sum(1), 1.0)
     elif reduction == "sum":
         out = jnp.sum(loss)
     else:

@@ -52,19 +52,22 @@ def replicate(mesh, tree):
     return jax.device_put(tree, sharding)
 
 
-def shard_batch(mesh, tree, axis="data"):
-    """Place a host batch on the mesh with axis 0 sharded over ``axis``.
+def shard_batch(mesh, tree, axis="data", batch_axis=0):
+    """Place a host batch on the mesh with ``batch_axis`` sharded over ``axis``.
 
     In multi-host runs each host feeds its local shard
     (``jax.make_array_from_process_local_data``); single-host runs device_put
-    with a sharded layout. Scalars/0-d arrays are replicated.
+    with a sharded layout. Scalars/0-d arrays (and arrays too small to carry
+    the batch axis) are replicated.
     """
 
     def put(x):
         x = np.asarray(x)
-        if x.ndim == 0:
+        if x.ndim <= batch_axis:
             return jax.device_put(x, NamedSharding(mesh, P()))
-        sharding = NamedSharding(mesh, P(axis, *([None] * (x.ndim - 1))))
+        dims = [None] * x.ndim
+        dims[batch_axis] = axis
+        sharding = NamedSharding(mesh, P(*dims))
         if jax.process_count() > 1:
             return jax.make_array_from_process_local_data(sharding, x)
         return jax.device_put(x, sharding)

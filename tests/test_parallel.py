@@ -118,3 +118,19 @@ def test_nonfinite_loss_skips_step():
     for a, b in zip(jax.tree_util.tree_leaves(before),
                     jax.tree_util.tree_leaves(after)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_grad_accumulation_matches_full_batch():
+    brain_full = _make_brain()
+    brain_acc = _make_brain()
+    brain_acc.grad_accumulation_factor = 2
+    brain_full.init_optimizers()
+    brain_acc.init_optimizers()
+    batch = _batch(16)
+    loss_full = brain_full.fit_batch(batch)
+    loss_acc = brain_acc.fit_batch(batch)
+    # equal micro-batch sizes → identical loss and update
+    assert abs(loss_full - loss_acc) < 1e-5
+    for a, b in zip(jax.tree_util.tree_leaves(brain_full.params),
+                    jax.tree_util.tree_leaves(brain_acc.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
