@@ -69,8 +69,7 @@ def read_audio(waveforms_obj):
     path = waveforms_obj["file"]
     start = int(waveforms_obj.get("start", 0))
     stop = int(waveforms_obj.get("stop", 0)) or None
-    audio, _sr = _read_wav(path)
-    audio = audio[start:stop]
+    audio, _sr = _read_wav(path, start=start, stop=stop)
     return audio.squeeze(-1) if audio.shape[-1] == 1 else audio
 
 
@@ -82,11 +81,23 @@ def read_audio_info(path):
         return w.getnframes(), w.getframerate(), w.getnchannels()
 
 
-def _read_wav(path):
-    """Read a WAV file → (float32 array (T, C), sample_rate)."""
+def _read_wav(path, start=0, stop=None):
+    """Read a WAV file → (float32 array (T, C), sample_rate).
+
+    Uses the native C++ decoder (``svt_speechbrain_tpu.native``) when
+    available — sliced reads avoid materializing whole songs in loader
+    workers; set ``SVT_NATIVE=0`` to force the scipy path."""
+    if os.environ.get("SVT_NATIVE", "1") != "0":
+        from svt_speechbrain_tpu import native
+
+        result = native.wav_read(path, start=start, stop=stop)
+        if result is not None:
+            return result
     from scipy.io import wavfile
 
     sr, data = wavfile.read(path)
+    if start or stop is not None:
+        data = data[start:stop]
     if data.ndim == 1:
         data = data[:, None]
     if data.dtype == np.int16:

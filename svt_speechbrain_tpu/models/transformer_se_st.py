@@ -1,0 +1,111 @@
+"""TransformerSE / TransformerST / IMU_CRNN lobes (analogues of reference
+``speechbrain/lobes/models/transformer/TransformerSE.py`` /
+``TransformerST.py`` and ``IMU_CRNN.py``)."""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from svt_speechbrain_tpu.nnet.core import Module, split_rngs
+from svt_speechbrain_tpu.nnet.linear import Linear
+from svt_speechbrain_tpu.nnet.cnn import Conv1d
+from svt_speechbrain_tpu.nnet.normalization import LayerNorm
+from svt_speechbrain_tpu.nnet.rnn import GRU
+from svt_speechbrain_tpu.nnet.pooling import Pooling1d
+from svt_speechbrain_tpu.models.transformer import TransformerEncoder, PositionalEncoding
+from svt_speechbrain_tpu.models.transformer_asr import TransformerASR
+
+
+class CNNTransformerSE(Module):
+    """Speech-enhancement transformer: encoder stack producing a spectral
+    mask (reference ``TransformerSE.py:18``)."""
+
+    def __init__(self, d_model, output_size, output_activation="relu",
+                 nhead=8, num_layers=8, d_ffn=512, dropout=0.1,
+                 input_size=None, causal=True):
+        input_size = input_size or d_model
+        self.custom_emb = Linear(d_model, input_size)
+        self.pos = PositionalEncoding(d_model)
+        self.encoder = TransformerEncoder(num_layers, nhead, d_ffn,
+                                          d_model=d_model, dropout=dropout,
+                                          normalize_before=False)
+        self.output_layer = Linear(output_size, d_model)
+        self.output_activation = output_activation
+        self.causal = causal
+
+    def init(self, rng):
+        k1, k2, k3 = split_rngs(rng, 3)
+        return {"emb": self.custom_emb.init(k1), "encoder": self.encoder.init(k2),
+                "out": self.output_layer.init(k3)}
+
+    def __call__(self, params, x, rng=None, train=False):
+        h = self.custom_emb(params["emb"], x)
+        h = h + self.pos(None, h)
+        mask = None
+        if self.causal:
+            from svt_speechbrain_tpu.models.transformer import get_lookahead_mask
+
+            mask = get_lookahead_mask(h)
+        h, _ = self.encoder(params["encoder"], h, src_mask=mask, rng=rng, train=train)
+        out = self.output_layer(params["out"], h)
+        if self.output_activation == "relu":
+            return jax.nn.relu(out)
+        if self.output_activation == "sigmoid":
+            return jax.nn.sigmoid(out)
+        return out
+
+
+class TransformerST(TransformerASR):
+    """Speech-translation transformer (reference ``TransformerST.py:23``):
+    the ASR architecture with an optional CTC branch over the encoder for
+    auxiliary ASR supervision."""
+
+    def __init__(self, *args, ctc_vocab=None, **kwargs):
+        super().__init__(*args, **kwargs)
+        d_model = self.custom_src_module.n_neurons
+        self.ctc_lin = Linear(ctc_vocab, d_model) if ctc_vocab else None
+
+    def init(self, rng):
+        params = super().init(rng)
+        if self.ctc_lin is not None:
+            rng_ctc = jax.random.fold_in(rng, 997)
+            params["ctc_lin"] = self.ctc_lin.init(rng_ctc)
+        return params
+
+    def forward_asr_ctc(self, params, encoder_out):
+        if self.ctc_lin is None:
+            raise ValueError("TransformerST built without a CTC branch")
+        return jax.nn.log_softmax(self.ctc_lin(params["ctc_lin"], encoder_out), axis=-1)
+
+
+class IMU_CRNN(Module):
+    """Small conv + GRU classifier over IMU channels
+    (reference ``IMU_CRNN.py``)."""
+
+    def __init__(self, input_size=6, channels=(32, 64), kernel_size=5,
+                 rnn_neurons=64, outputs=8, pool_size=2, dropout=0.1):
+        self.convs = []
+        in_ch = input_size
+        for ch in channels:
+            self.convs.append(Conv1d(ch, kernel_size, in_ch, padding="same"))
+            in_ch = ch
+        self.norms = [LayerNorm(ch) for ch in channels]
+        self.pool = Pooling1d("max", pool_size)
+        self.rnn = GRU(rnn_neurons, input_size=in_ch, num_layers=1)
+        self.out = Linear(outputs, rnn_neurons)
+
+    def init(self, rng):
+        keys = split_rngs(rng, len(self.convs) + 2)
+        params = {"rnn": self.rnn.init(keys[-2]), "out": self.out.init(keys[-1])}
+        for i, c in enumerate(self.convs):
+            params[f"conv{i}"] = c.init(keys[i])
+            params[f"norm{i}"] = self.norms[i].init(None)
+        return params
+
+    def __call__(self, params, x, rng=None, train=False):
+        for i in range(len(self.convs)):
+            x = jax.nn.leaky_relu(self.convs[i](params[f"conv{i}"], x))
+            x = self.norms[i](params[f"norm{i}"], x)
+            x = self.pool(None, x)
+        h, _ = self.rnn(params["rnn"], x, rng=rng, train=train)
+        return self.out(params["out"], h[:, -1])
