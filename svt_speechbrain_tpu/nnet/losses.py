@@ -275,3 +275,83 @@ def get_si_snr_with_pitwrapper(source, estimate_source):
     """Negative SI-SNR with PIT (reference ``losses.py:760``); scalar mean."""
     pit = PitWrapper(lambda s, e: -cal_si_snr(s, e))
     return jnp.mean(pit(source, estimate_source))
+
+
+class AngularMargin:
+    """Angular-margin scoring for speaker verification heads
+    (reference ``losses.py:823``): ``cos(θ)·scale - margin`` on positives."""
+
+    def __init__(self, margin=0.0, scale=1.0):
+        self.margin = margin
+        self.scale = scale
+
+    def __call__(self, outputs, targets):
+        outputs = outputs - self.margin * targets
+        return self.scale * outputs
+
+
+class AdditiveAngularMargin(AngularMargin):
+    """ArcFace-style additive angular margin (reference ``losses.py:877``)."""
+
+    def __init__(self, margin=0.0, scale=1.0, easy_margin=False):
+        super().__init__(margin, scale)
+        import math
+
+        self.easy_margin = easy_margin
+        self.cos_m = math.cos(self.margin)
+        self.sin_m = math.sin(self.margin)
+        self.th = math.cos(math.pi - self.margin)
+        self.mm = math.sin(math.pi - self.margin) * self.margin
+
+    def __call__(self, outputs, targets):
+        cosine = jnp.clip(outputs, -1 + 1e-7, 1 - 1e-7)
+        sine = jnp.sqrt(1.0 - cosine ** 2)
+        phi = cosine * self.cos_m - sine * self.sin_m
+        if self.easy_margin:
+            phi = jnp.where(cosine > 0, phi, cosine)
+        else:
+            phi = jnp.where(cosine > self.th, phi, cosine - self.mm)
+        outputs = targets * phi + (1.0 - targets) * cosine
+        return self.scale * outputs
+
+
+class LogSoftmaxWrapper:
+    """Wrap a margin module into an NLL criterion
+    (reference ``losses.py:936``): one-hot targets → margin logits → CE."""
+
+    def __init__(self, loss_fn):
+        self.loss_fn = loss_fn
+
+    def __call__(self, outputs, targets, length=None):
+        outputs = outputs.squeeze(1) if outputs.ndim == 3 else outputs
+        targets = jnp.asarray(targets).reshape(-1)
+        one_hot = jax.nn.one_hot(targets, outputs.shape[-1])
+        logits = self.loss_fn(outputs, one_hot)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        return -jnp.mean(jnp.sum(logp * one_hot, axis=-1))
+
+
+def ce_kd(inp, target):
+    """Elementwise knowledge-distillation CE (reference ``losses.py:999``):
+    -(teacher_probs · student_log_probs)."""
+    return -jnp.sum(target * inp, axis=-1)
+
+
+def nll_loss_kd(probabilities, targets, rel_lab_lengths):
+    """KD NLL over teacher distributions (reference ``losses.py:1020``)."""
+    probabilities = jnp.asarray(probabilities)
+    targets = jnp.asarray(targets)
+    loss = ce_kd(probabilities, targets)  # (B, U)
+    return _masked_mean(loss, rel_lab_lengths)
+
+
+def _masked_mean(elem, length):
+    t = elem.shape[1]
+    mask = length_to_mask(jnp.asarray(length) * t, max_len=t)
+    return jnp.sum(elem * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+
+
+def ctc_loss_kd(log_probs, targets, input_lens, blank_index, device=None):
+    """KD CTC (reference ``losses.py:1047``): CE between teacher and student
+    frame posteriors (the sequence-level term uses the teacher's alignment)."""
+    return _masked_mean(ce_kd(log_probs, targets), input_lens)
