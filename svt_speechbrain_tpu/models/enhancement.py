@@ -134,3 +134,16 @@ class SeganDiscriminator(Module):
         for i in range(len(self.convs)):
             h = jax.nn.leaky_relu(self.convs[i](params[f"conv{i}"], h), 0.3)
         return self.out(params["out"], jnp.mean(h, axis=1))
+
+
+class MetricGAN_U_Discriminator(MetricDiscriminator):
+    """MetricGAN-U discriminator (reference ``MetricGAN_U.py``): scores a
+    SINGLE (possibly enhanced) spectrogram against an unsupervised target
+    metric — same CNN trunk with a 1-channel input."""
+
+    def __init__(self, channels=15, kernel_size=5):
+        super().__init__(in_channels=1, channels=channels, kernel_size=kernel_size)
+
+    def __call__(self, params, spec):
+        # spec: (B, T, F) → (B, T, F, 1)
+        return super().__call__(params, spec[..., None])
