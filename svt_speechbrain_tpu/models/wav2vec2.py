@@ -64,6 +64,10 @@ class Wav2Vec2Config:
     activation_dropout: float = 0.1
     feat_proj_dropout: float = 0.1
     layerdrop: float = 0.0  # LayerDrop is disabled under jit (static graph)
+    # rematerialize each transformer layer in the backward pass — trades
+    # ~30% extra FLOPs for O(layers) → O(1) activation memory, the standard
+    # TPU recipe for fitting larger batches (jax.checkpoint)
+    remat: bool = False
 
     @classmethod
     def base(cls):
@@ -257,8 +261,15 @@ class Wav2Vec2Encoder(Module):
 
         layer_rngs = split_rngs(rng, len(self.layers)) if rng is not None else [None] * len(self.layers)
         for i, layer in enumerate(self.layers):
-            x = layer(params["layers"][str(i)], x, key_padding_mask=key_padding_mask,
-                      rng=layer_rngs[i], train=train)
+            if c.remat:
+                x = jax.checkpoint(
+                    lambda p, h, _layer=layer, _rng=layer_rngs[i]: _layer(
+                        p, h, key_padding_mask=key_padding_mask, rng=_rng,
+                        train=train))(params["layers"][str(i)], x)
+            else:
+                x = layer(params["layers"][str(i)], x,
+                          key_padding_mask=key_padding_mask,
+                          rng=layer_rngs[i], train=train)
         if c.do_stable_layer_norm:
             x = self.encoder_ln(params["encoder_ln"], x)
         return x
