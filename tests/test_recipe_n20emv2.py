@@ -183,3 +183,93 @@ fusion: !new:svt_speechbrain_tpu.models.fusion.FusionRCA
     # per-song prediction dump written (reference train_rca_av.py:113-123)
     pred = root / "data" / "song2" / "noise_data" / "clean_av_pred.npy"
     assert pred.exists()
+
+
+AUDIO_RECIPE = os.path.join(REPO_ROOT, "recipes", "N20EMv2", "audio_only")
+
+TINY_AUDIO_ARCH = """
+wav2vec2: !new:svt_speechbrain_tpu.models.wav2vec2.HuggingFaceWav2Vec2
+   source: tiny-test
+   output_norm: True
+   normalize_wav: True
+   arch_overrides:
+      hidden_size: 32
+      num_layers: 1
+      num_heads: 4
+      ffn_size: 64
+      conv_dim: [16, 16, 16, 16, 16, 16, 16]
+      num_conv_pos_embeddings: 16
+      num_conv_pos_embedding_groups: 4
+feat_dim: 32
+"""
+
+
+@pytest.fixture(scope="module")
+def n20em_audio_dataset(tmp_path_factory):
+    from svt_speechbrain_tpu.dataio.dataio import write_audio
+
+    root = tmp_path_factory.mktemp("n20em_audio")
+    rng = np.random.default_rng(0)
+    annotations = {}
+    for i, split in enumerate(["train", "valid", "test"]):
+        entry = f"song{i}"
+        duration = 6.0
+        notes = _make_notes(rng, duration)
+        annotations[entry] = {"midi": notes, "split": split}
+        d = root / "data" / entry
+        os.makedirs(d, exist_ok=True)
+        sig = (rng.normal(size=int(duration * 16000)) * 0.1).astype(np.float32)
+        write_audio(str(d / "vocals.wav"), sig, 16000)
+    with open(root / "annotations.json", "w") as f:
+        json.dump(annotations, f)
+
+    prep = _load(os.path.join(AUDIO_RECIPE, "prepare_n20emv2.py"), "n20em_audio_prep")
+    prep.prepare_frame_anno(str(root))
+    prep.prepare_csv_n20emv2(str(root), csv_folder=str(root / "csv"), dur_thrd=3)
+    return root
+
+
+def test_n20emv2_audio_recipe_end_to_end(n20em_audio_dataset, tmp_path):
+    from svt_speechbrain_tpu.config import load_hyperyaml
+
+    recipe = _load(os.path.join(AUDIO_RECIPE, "train_audio_ssl.py"),
+                   "n20em_audio_recipe")
+    root = n20em_audio_dataset
+    csv_dir = root / "csv" / "dur_3s"
+    overrides = f"""
+data_folder: {root}
+output_folder: {tmp_path}/results
+csv_folder: {csv_dir}
+mix_train: False
+train_csv: {csv_dir}/n20em_train.csv
+valid_csv: {csv_dir}/n20em_valid.csv
+test_csv: [{csv_dir}/n20em_test.csv]
+dur_threshold: 3
+number_of_epochs: 1
+linear_prob_epochs: 0
+batch_size: 2
+num_workers: 0
+save_model: True
+save_model_folder: {tmp_path}/save_model
+{TINY_AUDIO_ARCH}
+"""
+    with open(os.path.join(AUDIO_RECIPE, "hparams", "train_audio_ssl.yaml")) as f:
+        hparams = load_hyperyaml(f, overrides)
+    train_data, valid_data, test_datasets = recipe.dataio_prepare(hparams)
+    brain = recipe.AMT(modules=hparams["modules"], hparams=hparams,
+                       run_opts={"noprogressbar": True},
+                       checkpointer=hparams["checkpointer"])
+    assert brain.compute_coff and brain.ckpt_policy == "max_COnPOff_f1"
+    brain.fit(hparams["epoch_counter"], train_data, valid_data,
+              train_loader_kwargs=hparams["train_dataloader_opts"],
+              valid_loader_kwargs=hparams["valid_dataloader_opts"])
+    loss = brain.evaluate(list(test_datasets.values())[0], max_key="COnPOff_f1",
+                          test_loader_kwargs=hparams["test_dataloader_opts"])
+    assert np.isfinite(loss)
+    assert hasattr(brain, "COff_f1")
+    # model export for stage-2 fusion (reference extract_ssl_feats :227-232)
+    assert os.path.exists(tmp_path / "save_model" / "wav2vec2.msgpack")
+    assert os.path.exists(tmp_path / "save_model" / "model.msgpack")
+    # checkpoint selected by max COnPOff_f1
+    ckpts = hparams["checkpointer"].list_checkpoints()
+    assert any("COnPOff_f1" in c.meta for c in ckpts)
