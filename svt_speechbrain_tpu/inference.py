@@ -49,7 +49,7 @@ class BatchedAMTTranscriber:
     def __init__(self, bridge, head, params, chunk_seconds=5.0, batch_size=32,
                  sample_rate=16000, frame_rate=49.8, pitch_octave_num=4,
                  pitch_class_num=12, onset_threshold=0.4, offset_threshold=0.5,
-                 compute_dtype=jnp.bfloat16, mesh=None):
+                 compute_dtype=jnp.bfloat16, mesh=None, chunking="ceil"):
         self.bridge = bridge
         self.head = head
         self.chunk_samples = int(round(chunk_seconds * sample_rate))
@@ -63,6 +63,17 @@ class BatchedAMTTranscriber:
         self.compute_dtype = compute_dtype
         self.mesh = mesh
         self.chunk_frames = bridge.config.output_length(self.chunk_samples)
+        # "ceil": equal windows, last zero-padded (max throughput).
+        # "reference": the reference's utterance split (utter_num =
+        # round(dur/cs), last chunk up to 1.5x cs). Last chunks are padded to
+        # the SAME 1 s shape buckets the recipe loaders use, so the padded
+        # attention context is identical and the frame streams match the
+        # recipes' batch-1 eval bit for bit; each bucket runs in its own
+        # batches (a handful of extra compiled shapes).
+        if chunking not in ("ceil", "reference"):
+            raise ValueError(chunking)
+        self.chunking = chunking
+        self.pad_bucket = sample_rate  # 1 s buckets, like pad_multiples[sig]
 
         if compute_dtype == jnp.bfloat16:
             params = jax.tree_util.tree_map(
@@ -104,19 +115,34 @@ class BatchedAMTTranscriber:
     # ------------------------------------------------------------ chunking
     def _chunk_song(self, wav):
         """Split one waveform into fixed windows; last window zero-padded.
-        Returns (chunks (N, S), true_frames_per_chunk list). int16 input is
-        kept as int16 (converted on device — fewer host-link bytes)."""
+        Returns (chunks list of (S,)|(1.5S,) arrays, true_frames list,
+        is_long list). int16 input is kept as int16 (converted on device —
+        fewer host-link bytes)."""
         n = len(wav)
         cs = self.chunk_samples
         dtype = np.int16 if wav.dtype == np.int16 else np.float32
-        n_chunks = max(1, -(-n // cs))
-        chunks = np.zeros((n_chunks, cs), dtype=dtype)
-        frames = []
+        if self.chunking == "reference":
+            n_chunks = max(1, round(n / cs))
+        else:
+            n_chunks = max(1, -(-n // cs))
+        chunks, frames, widths = [], [], []
         for i in range(n_chunks):
-            part = wav[i * cs:(i + 1) * cs]
-            chunks[i, :len(part)] = part
+            if i == n_chunks - 1 and self.chunking == "reference":
+                part = wav[i * cs:]
+            else:
+                part = wav[i * cs:(i + 1) * cs]
+            if len(part) == cs:
+                width = cs
+            elif self.chunking == "reference":
+                width = int(-(-len(part) // self.pad_bucket) * self.pad_bucket)
+            else:  # ceil mode: zero-pad the short tail to the common window
+                width = cs
+            buf = np.zeros(width, dtype=dtype)
+            buf[:len(part)] = part
+            chunks.append(buf)
             frames.append(self.bridge.config.output_length(len(part)))
-        return chunks, frames
+            widths.append(width)
+        return chunks, frames, widths
 
     def predict_frames(self, songs, depth=2):
         """songs: dict name → waveform (np.float32 at 16 kHz).
@@ -130,32 +156,34 @@ class BatchedAMTTranscriber:
         ``depth`` batches are kept in flight so the host stitch overlaps
         device compute (double buffering of the feed).
         """
-        order = []  # (song, chunk_idx, true_frames)
-        all_chunks = []
+        by_width = {}  # width → (order list, chunk list)
         for name, wav in songs.items():
             wav = np.asarray(wav)
             if wav.dtype != np.int16:
                 wav = wav.astype(np.float32)
-            chunks, frames = self._chunk_song(wav)
+            chunks, frames, widths = self._chunk_song(wav)
             for i in range(len(chunks)):
-                order.append((name, i, frames[i]))
-                all_chunks.append(chunks[i])
+                order_list, chunk_list = by_width.setdefault(widths[i], ([], []))
+                order_list.append((name, i, frames[i]))
+                chunk_list.append(chunks[i])
 
         results = {name: {} for name in songs}
-        b = self.batch_size
-        n_batches = -(-len(all_chunks) // b)
         pending = []
-        for bi in range(n_batches):
-            batch = all_chunks[bi * b:(bi + 1) * b]
-            real = len(batch)
-            if real < b:
-                batch = batch + [np.zeros(self.chunk_samples, batch[0].dtype)] * (b - real)
-            device_out = self._forward(self.params, jnp.asarray(np.stack(batch)))
-            pending.append((bi, real, device_out))
-            if len(pending) >= depth:
-                self._drain(pending.pop(0), order, results, b)
-        while pending:
-            self._drain(pending.pop(0), order, results, b)
+        b = self.batch_size
+        for width, (order_list, chunk_list) in sorted(by_width.items(),
+                                                      key=lambda kv: -len(kv[1][1])):
+            n_batches = -(-len(chunk_list) // b)
+            for bi in range(n_batches):
+                batch = chunk_list[bi * b:(bi + 1) * b]
+                real = len(batch)
+                if real < b:
+                    batch = batch + [np.zeros(width, batch[0].dtype)] * (b - real)
+                device_out = self._forward(self.params, jnp.asarray(np.stack(batch)))
+                pending.append((bi, real, device_out, order_list))
+                if len(pending) >= depth:
+                    self._drain(pending.pop(0), results, b)
+            while pending:
+                self._drain(pending.pop(0), results, b)
 
         stitched = {}
         for name in songs:
@@ -164,8 +192,8 @@ class BatchedAMTTranscriber:
                 [per_chunk[i] for i in range(len(per_chunk))], axis=0)
         return stitched
 
-    def _drain(self, item, order, results, b):
-        bi, real, device_out = item
+    def _drain(self, item, results, b):
+        bi, real, device_out, order = item
         onset, offset, octv, cls = [np.asarray(x) for x in device_out]
         stacked = np.stack(
             [onset, offset, octv.astype(np.float32), cls.astype(np.float32)],

@@ -189,3 +189,64 @@ num_workers: 0
     for a, b in zip(jax.tree_util.tree_leaves(trained),
                     jax.tree_util.tree_leaves(restored)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_batched_transcriber_matches_recipe_eval(synthetic_dataset, tmp_path):
+    """North-star coherence: the batched inference pipeline (reference
+    chunking mode) must produce the SAME note events as the recipe's
+    batch-1 song-stitched evaluation."""
+    from svt_speechbrain_tpu.config import load_hyperyaml
+    from svt_speechbrain_tpu.inference import BatchedAMTTranscriber
+    from svt_speechbrain_tpu.dataio.dataio import read_audio
+    import jax
+    import jax.numpy as jnp
+
+    recipe = _load_recipe()
+    root = synthetic_dataset
+    csv = str(root / "csv" / "train.csv")
+    overrides = f"""
+data_folder: {root}
+output_folder: {tmp_path}/results
+csv_folder: {root}/csv
+train_csv: {csv}
+valid_csv: {csv}
+test_csv: [{csv}]
+number_of_epochs: 1
+linear_prob_epochs: 0
+batch_size: 2
+num_workers: 0
+{TINY_ARCH}
+"""
+    with open(os.path.join(RECIPE_DIR, "hparams", "train_audio_ssl.yaml")) as f:
+        hparams = load_hyperyaml(f, overrides)
+    train_data, valid_data, test_datasets = recipe.dataio_prepare(hparams)
+
+    captured = {}
+
+    class CapturingAMT(recipe.AMT):
+        def on_song_end(self, batch, est_np):
+            song = batch.id[0].rsplit("_", 1)[0]
+            captured[song] = est_np
+
+    brain = CapturingAMT(modules=hparams["modules"], hparams=hparams,
+                         run_opts={"noprogressbar": True},
+                         checkpointer=None)
+    brain.fit(hparams["epoch_counter"], train_data, valid_data,
+              train_loader_kwargs=hparams["train_dataloader_opts"],
+              valid_loader_kwargs=hparams["valid_dataloader_opts"])
+    brain.evaluate(list(test_datasets.values())[0],
+                   test_loader_kwargs=hparams["test_dataloader_opts"])
+    assert len(captured) == 3
+
+    transcriber = BatchedAMTTranscriber(
+        brain.modules.wav2vec2, brain.modules.model,
+        jax.device_get(brain.params), chunk_seconds=5.0, batch_size=4,
+        compute_dtype=jnp.float32, chunking="reference")
+    songs = {f"song{i}": read_audio(str(root / "wav16kHz" / f"song{i}" / "vocals.wav"))
+             for i in range(3)}
+    notes = transcriber.transcribe(songs, fast=False)
+    for name in songs:
+        got = np.asarray(notes[name]) if notes[name] else np.zeros((0, 3))
+        expected = captured[name]
+        assert got.shape == expected.shape, f"{name}: {got.shape} vs {expected.shape}"
+        np.testing.assert_allclose(got, expected, atol=1e-6)
