@@ -87,13 +87,15 @@ class BatchedAMTTranscriber:
 
         octave_num = pitch_octave_num
 
-        def forward(params, wavs):
+        def forward(params, wavs, wav_lens):
             # int16 PCM feed: half the PCIe/host-link bytes of f32; source
             # audio is 16-bit PCM so this is lossless end-to-end
             if wavs.dtype == jnp.int16:
                 wavs = wavs.astype(compute_dtype) * (1.0 / 32768.0)
             wavs = wavs.astype(compute_dtype)
-            feats = self.bridge(params["wav2vec2"], wavs, per_item_norm=True)
+            # exact-lengths masking: outputs are independent of the padding
+            # bucket and equal to unpadded per-utterance inference
+            feats = self.bridge(params["wav2vec2"], wavs, wav_lens=wav_lens)
             logits = self.head(params["model"], feats).astype(jnp.float32)
             onset_prob = jax.nn.sigmoid(logits[:, :, 0])
             offset_prob = jax.nn.sigmoid(logits[:, :, 1])
@@ -107,7 +109,8 @@ class BatchedAMTTranscriber:
             self._forward = jax.jit(
                 forward,
                 in_shardings=(NamedSharding(mesh, P()),
-                              NamedSharding(mesh, P("data", None))),
+                              NamedSharding(mesh, P("data", None)),
+                              NamedSharding(mesh, P("data"))),
                 out_shardings=NamedSharding(mesh, P("data", None)))
         else:
             self._forward = jax.jit(forward)
@@ -125,7 +128,7 @@ class BatchedAMTTranscriber:
             n_chunks = max(1, round(n / cs))
         else:
             n_chunks = max(1, -(-n // cs))
-        chunks, frames, widths = [], [], []
+        chunks, frames, widths, true_lens = [], [], [], []
         for i in range(n_chunks):
             if i == n_chunks - 1 and self.chunking == "reference":
                 part = wav[i * cs:]
@@ -142,7 +145,8 @@ class BatchedAMTTranscriber:
             chunks.append(buf)
             frames.append(self.bridge.config.output_length(len(part)))
             widths.append(width)
-        return chunks, frames, widths
+            true_lens.append(len(part))
+        return chunks, frames, widths, true_lens
 
     def predict_frames(self, songs, depth=2):
         """songs: dict name → waveform (np.float32 at 16 kHz).
@@ -156,29 +160,35 @@ class BatchedAMTTranscriber:
         ``depth`` batches are kept in flight so the host stitch overlaps
         device compute (double buffering of the feed).
         """
-        by_width = {}  # width → (order list, chunk list)
+        by_width = {}  # width → (order list, chunk list, rel-length list)
         for name, wav in songs.items():
             wav = np.asarray(wav)
             if wav.dtype != np.int16:
                 wav = wav.astype(np.float32)
-            chunks, frames, widths = self._chunk_song(wav)
+            chunks, frames, widths, true_lens = self._chunk_song(wav)
             for i in range(len(chunks)):
-                order_list, chunk_list = by_width.setdefault(widths[i], ([], []))
+                order_list, chunk_list, len_list = by_width.setdefault(
+                    widths[i], ([], [], []))
                 order_list.append((name, i, frames[i]))
                 chunk_list.append(chunks[i])
+                len_list.append(true_lens[i] / widths[i])
 
         results = {name: {} for name in songs}
         pending = []
         b = self.batch_size
-        for width, (order_list, chunk_list) in sorted(by_width.items(),
-                                                      key=lambda kv: -len(kv[1][1])):
+        for width, (order_list, chunk_list, len_list) in sorted(
+                by_width.items(), key=lambda kv: -len(kv[1][1])):
             n_batches = -(-len(chunk_list) // b)
             for bi in range(n_batches):
                 batch = chunk_list[bi * b:(bi + 1) * b]
+                lens = len_list[bi * b:(bi + 1) * b]
                 real = len(batch)
                 if real < b:
                     batch = batch + [np.zeros(width, batch[0].dtype)] * (b - real)
-                device_out = self._forward(self.params, jnp.asarray(np.stack(batch)))
+                    lens = lens + [0.0] * (b - real)
+                device_out = self._forward(
+                    self.params, jnp.asarray(np.stack(batch)),
+                    jnp.asarray(lens, jnp.float32))
                 pending.append((bi, real, device_out, order_list))
                 if len(pending) >= depth:
                     self._drain(pending.pop(0), results, b)

@@ -87,6 +87,14 @@ class Wav2Vec2Config:
             t = conv_output_length(t, k, s, padding="valid")
         return t
 
+    def output_length_jnp(self, num_samples):
+        """Traced-value version of ``output_length`` (per-row frame counts
+        inside jit)."""
+        t = jnp.asarray(num_samples)
+        for k, s in zip(self.conv_kernel, self.conv_stride):
+            t = jnp.maximum((t - k) // s + 1, 0)
+        return t
+
 
 class ConvFeatureExtractor(Module):
     """Strided-conv waveform frontend (HF ``Wav2Vec2FeatureEncoder``)."""
@@ -243,11 +251,27 @@ class Wav2Vec2Encoder(Module):
         }
         return params
 
-    def __call__(self, params, wav, key_padding_mask=None, rng=None, train=False):
+    def __call__(self, params, wav, key_padding_mask=None, rng=None, train=False,
+                 num_frames=None):
+        """``num_frames`` (B,) enables exact-lengths masking: junk frames
+        computed over padding are zeroed before the (zero-padding-equivalent)
+        positional conv and excluded from attention, making the padded
+        computation equal to running each row unpadded."""
         c = self.config
         x = self.feature_extractor(params["feature_extractor"], wav)
+        valid = None
+        if num_frames is not None:
+            valid = (jnp.arange(x.shape[1])[None, :]
+                     < jnp.asarray(num_frames)[:, None])  # (B, F)
+            x = x * valid[..., None].astype(x.dtype)
+            if key_padding_mask is None:
+                key_padding_mask = ~valid
         x = self.feat_proj_ln(params["feat_proj_ln"], x)
         x = self.feat_proj(params["feat_proj"], x)
+        if valid is not None:
+            # keep padded positions exactly zero into the pos-conv so its
+            # boundary behavior matches the unpadded sequence end
+            x = x * valid[..., None].astype(x.dtype)
         if rng is not None:
             rng, sub = jax.random.split(rng)
             x = _dropout(x, c.feat_proj_dropout, sub, train)
@@ -273,6 +297,21 @@ class Wav2Vec2Encoder(Module):
         if c.do_stable_layer_norm:
             x = self.encoder_ln(params["encoder_ln"], x)
         return x
+
+
+def _per_item_masked_norm(x, valid, eps=1e-5):
+    """Per-row layer norm over the row's valid positions only — equals the
+    reference's ``F.layer_norm(x, x.shape)`` on the unpadded row."""
+    x32 = x.astype(jnp.float32)
+    m = valid.astype(jnp.float32)
+    while m.ndim < x32.ndim:
+        m = m[..., None]
+    m = jnp.broadcast_to(m, x32.shape)
+    axes = tuple(range(1, x32.ndim))
+    count = jnp.maximum(jnp.sum(m, axis=axes, keepdims=True), 1.0)
+    mean = jnp.sum(x32 * m, axis=axes, keepdims=True) / count
+    var = jnp.sum(jnp.square(x32 - mean) * m, axis=axes, keepdims=True) / count
+    return ((x32 - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
 
 
 class HuggingFaceWav2Vec2(Module):
@@ -331,10 +370,18 @@ class HuggingFaceWav2Vec2(Module):
         return None
 
     def __call__(self, params, wav, rng=None, train=False, row_mask=None,
-                 per_item_norm=False):
+                 per_item_norm=False, wav_lens=None):
         """``per_item_norm=True`` normalizes each batch row independently —
         identical to the reference at its batch_size=1 eval and invariant to
-        batch composition (the batched inference path uses this)."""
+        batch composition (the batched inference path uses this).
+
+        ``wav_lens`` (relative) enables the exact-lengths path: input/output
+        norms use statistics over real content only and padded frames are
+        zeroed/masked through the encoder — at batch 1 this is bit-equal to
+        running the unpadded waveform (the torch reference's eval regime).
+        Implies per-item normalization."""
+        from svt_speechbrain_tpu.nnet.normalization import masked_global_layer_norm
+
         if self.freeze:
             params = jax.lax.stop_gradient(params)
             train = False
@@ -343,13 +390,33 @@ class HuggingFaceWav2Vec2(Module):
                 params["encoder"],
                 feature_extractor=jax.lax.stop_gradient(params["encoder"]["feature_extractor"]),
             ))
+        num_frames = None
+        sample_valid = frame_valid = None
+        if wav_lens is not None:
+            t = wav.shape[1]
+            true_samples = jnp.round(jnp.asarray(wav_lens) * t).astype(jnp.int32)
+            num_frames = self.config.output_length_jnp(true_samples)
+            sample_valid = (jnp.arange(t)[None, :] < true_samples[:, None])
         if self.normalize_wav:
-            wav = (per_item_layer_norm(wav) if per_item_norm
-                   else global_layer_norm(wav, row_mask=row_mask))
-        out = self.encoder(params["encoder"], wav, rng=rng, train=train)
+            if wav_lens is not None:
+                wav = _per_item_masked_norm(wav, sample_valid)
+            elif per_item_norm:
+                wav = per_item_layer_norm(wav)
+            else:
+                wav = global_layer_norm(wav, row_mask=row_mask)
+            if sample_valid is not None:
+                wav = wav * sample_valid.astype(wav.dtype)
+        out = self.encoder(params["encoder"], wav, rng=rng, train=train,
+                           num_frames=num_frames)
         if self.output_norm:
-            out = (per_item_layer_norm(out) if per_item_norm
-                   else global_layer_norm(out, row_mask=row_mask))
+            if wav_lens is not None:
+                frame_valid = (jnp.arange(out.shape[1])[None, :]
+                               < num_frames[:, None])
+                out = _per_item_masked_norm(out, frame_valid)
+            elif per_item_norm:
+                out = per_item_layer_norm(out)
+            else:
+                out = global_layer_norm(out, row_mask=row_mask)
         return out
 
     def extract_features(self, params, wav, rng=None, train=False, row_mask=None,

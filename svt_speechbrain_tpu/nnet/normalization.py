@@ -81,6 +81,22 @@ def global_layer_norm(x, eps=1e-05, row_mask=None):
     return ((x32 - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
 
 
+def masked_global_layer_norm(x, elem_mask, eps=1e-05):
+    """Whole-tensor layer norm with statistics over ``elem_mask`` positions
+    only (mask broadcastable to x). With the mask covering exactly the
+    unpadded content, this equals ``global_layer_norm`` on the unpadded
+    tensor — the exact-lengths eval path."""
+    x32 = x.astype(jnp.float32)
+    m = elem_mask.astype(jnp.float32)
+    while m.ndim < x32.ndim:
+        m = m[..., None]
+    m_full = jnp.broadcast_to(m, x32.shape)
+    count = jnp.maximum(jnp.sum(m_full), 1.0)
+    mean = jnp.sum(x32 * m_full) / count
+    var = jnp.sum(jnp.square(x32 - mean) * m_full) / count
+    return ((x32 - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
+
+
 def per_item_layer_norm(x, eps=1e-05):
     """Normalize each batch row over all of its elements — equivalent to the
     reference's ``F.layer_norm(x, x.shape)`` at batch size 1 (its eval

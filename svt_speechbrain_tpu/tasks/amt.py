@@ -244,9 +244,17 @@ class AudioAMT(AMTBrainBase):
 
     def compute_forward(self, params, batch, stage, rng=None):
         wavs, wav_lens = batch["sig"]
-        feats = self.modules.wav2vec2(
-            params["wav2vec2"], wavs, rng=rng, train=stage == Stage.TRAIN,
-            row_mask=batch.get("valid_rows"))
+        if stage == Stage.TRAIN:
+            # train matches the reference: padding attended, batch-mixed norms
+            feats = self.modules.wav2vec2(
+                params["wav2vec2"], wavs, rng=rng, train=True,
+                row_mask=batch.get("valid_rows"))
+        else:
+            # eval matches the reference's unpadded batch-1 regime exactly:
+            # masked norms + masked attention make the padded computation
+            # bit-equal to running each utterance unpadded
+            feats = self.modules.wav2vec2(
+                params["wav2vec2"], wavs, train=False, wav_lens=wav_lens)
         logits = self.modules.model(params["model"], feats)
         n_oct = self.hparams.pitch_octave_num
         out = (logits[:, :, 0], logits[:, :, 1],

@@ -47,7 +47,8 @@ def test_batched_matches_single_chunk(tiny_model):
             padded = np.zeros(cs, np.float32)
             padded[:len(part)] = part
             batch = np.stack([padded] * 4)  # same chunk replicated to batch
-            out = tr._forward(tr.params, jnp.asarray(batch))
+            lens = jnp.full((4,), len(part) / cs, jnp.float32)
+            out = tr._forward(tr.params, jnp.asarray(batch), lens)
             onset, offset, octv, cls = [np.asarray(x)[0, :frames] for x in out]
             expected.append(np.stack(
                 [onset, offset, octv.astype(np.float32), cls.astype(np.float32)], axis=-1))

@@ -111,3 +111,31 @@ def test_freeze_stops_gradients():
 
     grads = jax.grad(lambda p: jnp.sum(bridge(p, wav)))(params)
     assert all(float(jnp.abs(g).max()) == 0.0 for g in jax.tree_util.tree_leaves(grads))
+
+
+def test_exact_masking_is_padding_invariant():
+    """With wav_lens, outputs on real frames must be identical no matter how
+    much padding follows — the property that makes the padded eval bit-equal
+    to the torch reference's unpadded batch-1 eval."""
+    import jax
+    import jax.numpy as jnp
+
+    cfg = Wav2Vec2Config(hidden_size=32, num_layers=2, num_heads=4, ffn_size=64,
+                         conv_dim=(16,) * 7, num_conv_pos_embeddings=16,
+                         num_conv_pos_embedding_groups=4)
+    bridge = HuggingFaceWav2Vec2(config=cfg, output_norm=True, normalize_wav=True)
+    params = bridge.init(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    true_len = 7000
+    wav = rng.normal(size=true_len).astype(np.float32)
+    frames = cfg.output_length(true_len)
+
+    outs = []
+    for padded_len in (8000, 12000, 16000):
+        buf = np.zeros(padded_len, np.float32)
+        buf[:true_len] = wav
+        out = bridge(params, jnp.asarray(buf[None]),
+                     wav_lens=jnp.asarray([true_len / padded_len]))
+        outs.append(np.asarray(out)[0, :frames])
+    np.testing.assert_allclose(outs[0], outs[1], atol=2e-5)
+    np.testing.assert_allclose(outs[0], outs[2], atol=2e-5)
