@@ -262,3 +262,125 @@ class FairseqAVHubert(Module):
                 params, state = load_avhubert(candidate, self.config)
                 return {"model": params}, {"model": state}
         return None
+
+
+class AVHubertPretrain(Module):
+    """AV-HuBERT masked-prediction pretraining (reference ``hubert.py:585``
+    ``AVHubertModel.forward``): fuse the two streams, replace masked
+    positions with the learned mask embedding, encode, and classify each
+    frame against cluster-label embeddings with separate masked/unmasked
+    cross-entropies (Hsu et al.).
+
+    Span masks are sampled host-side (``sample_masks``) like the wav2vec2
+    pretrainer; cluster targets come from an external teacher (e.g. MFCC
+    k-means), as in the reference's task setup.
+    """
+
+    def __init__(self, config: AVHubertConfig = None, num_classes=500,
+                 final_dim=256, masked_weight=1.0, unmasked_weight=0.0,
+                 logit_temp=0.1, mask_prob=0.8, mask_length=10):
+        self.config = config or AVHubertConfig.large()
+        self.model = AVHubertModel(self.config)
+        self.final_proj = Linear(final_dim, self.config.encoder_embed_dim)
+        self.num_classes = num_classes
+        self.final_dim = final_dim
+        self.masked_weight = masked_weight
+        self.unmasked_weight = unmasked_weight
+        self.logit_temp = logit_temp
+        self.mask_prob = mask_prob
+        self.mask_length = mask_length
+
+    def init(self, rng):
+        k1, k2, k3, k4 = split_rngs(rng, 4)
+        return {
+            "model": self.model.init(k1),
+            "final_proj": self.final_proj.init(k2),
+            "label_embs": jax.random.normal(
+                k3, (self.num_classes, self.final_dim)) * 0.02,
+            "mask_emb": jax.random.uniform(k4, (self.config.encoder_embed_dim,)),
+        }
+
+    def init_state(self):
+        return {"model": self.model.init_state()}
+
+    def sample_masks(self, batch_size, num_frames, rng=None):
+        from svt_speechbrain_tpu.processing.video import compute_mask_indices
+
+        import numpy as np
+
+        rng = rng or np.random.default_rng()
+        mask, *_ = compute_mask_indices((batch_size, num_frames), None,
+                                        self.mask_prob, self.mask_length,
+                                        rng=rng, min_masks=1)
+        return mask
+
+    def __call__(self, params, state, source, targets, mask, rng=None, train=False):
+        """source: modality dict; targets (B, T) cluster ids; mask (B, T)
+        bool. Returns (loss, aux, new_state)."""
+        import jax.numpy as jnp
+
+        c = self.config
+        m = self.model
+        mp = params["model"]
+        src_audio, src_video = source.get("audio"), source.get("video")
+        new_state = state
+        if src_video is not None:
+            feats_video, vs = m.feature_extractor_video(
+                mp["feature_extractor_video"],
+                state["model"]["feature_extractor_video"], src_video,
+                train=train)
+            new_state = {"model": {"feature_extractor_video": vs}}
+        else:
+            feats_video = None
+        feats_audio = (m.feature_extractor_audio(mp["feature_extractor_audio"],
+                                                 src_audio)
+                       if src_audio is not None else None)
+        if feats_audio is None:
+            feats_audio = jnp.zeros_like(feats_video)
+        if feats_video is None:
+            feats_video = jnp.zeros_like(feats_audio)
+        if c.modality_fuse == "concat":
+            features = jnp.concatenate([feats_audio, feats_video], axis=-1)
+        else:
+            features = feats_audio + feats_video
+        features = m.layer_norm(mp["layer_norm"], features)
+        if m.post_extract_proj is not None:
+            features = m.post_extract_proj(mp["post_extract_proj"], features)
+
+        # feature-space masking with the learned mask embedding
+        mask = mask[:, : features.shape[1]]
+        x = jnp.where(mask[..., None],
+                      params["mask_emb"][None, None].astype(features.dtype),
+                      features)
+
+        x = x + m.pos_conv(mp["pos_conv"], x)
+        if not c.layer_norm_first:
+            x = m.encoder_ln(mp["encoder_ln"], x)
+        layer_rngs = (split_rngs(rng, len(m.layers)) if rng is not None
+                      else [None] * len(m.layers))
+        for i, layer in enumerate(m.layers):
+            x = layer(mp["layers"][str(i)], x, rng=layer_rngs[i], train=train)
+        if c.layer_norm_first:
+            x = m.encoder_ln(mp["encoder_ln"], x)
+
+        proj = self.final_proj(params["final_proj"], x)  # (B, T, final_dim)
+        embs = params["label_embs"]
+
+        def cos_logits(p):
+            p = p / (jnp.linalg.norm(p, axis=-1, keepdims=True) + 1e-8)
+            e = embs / (jnp.linalg.norm(embs, axis=-1, keepdims=True) + 1e-8)
+            return (p @ e.T) / self.logit_temp
+
+        logits = cos_logits(proj)  # (B, T, num_classes)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        targets = targets[:, : logp.shape[1]].astype(jnp.int32)
+        nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+        mask_f = mask.astype(jnp.float32)
+        masked_loss = jnp.sum(nll * mask_f) / jnp.maximum(jnp.sum(mask_f), 1.0)
+        unmasked_loss = jnp.sum(nll * (1 - mask_f)) / jnp.maximum(
+            jnp.sum(1 - mask_f), 1.0)
+        loss = self.masked_weight * masked_loss + self.unmasked_weight * unmasked_loss
+        acc = jnp.sum((jnp.argmax(logits, -1) == targets) * mask_f) / jnp.maximum(
+            jnp.sum(mask_f), 1.0)
+        return loss, {"masked_loss": masked_loss, "unmasked_loss": unmasked_loss,
+                      "masked_acc": acc}, new_state

@@ -134,3 +134,40 @@ def test_fusion_rca_alignment():
         video = jnp.asarray(rng.normal(size=(1, v_frames, 16)), jnp.float32)
         out = fusion(params, audio, video)
         assert out.shape == (1, 50, 16)
+
+
+def test_avhubert_pretrain_learns():
+    import optax
+
+    from svt_speechbrain_tpu.models.avhubert import AVHubertConfig, AVHubertPretrain
+
+    cfg = AVHubertConfig(encoder_layers=1, encoder_embed_dim=32,
+                         encoder_ffn_embed_dim=64, encoder_attention_heads=4,
+                         audio_feat_dim=8, conv_pos=16, conv_pos_groups=4)
+    model = AVHubertPretrain(cfg, num_classes=10, final_dim=16)
+    params = model.init(jax.random.PRNGKey(0))
+    state = model.init_state()
+    rng = np.random.default_rng(0)
+    audio = jnp.asarray(rng.normal(size=(2, 20, 8)), jnp.float32)
+    targets = jnp.asarray(rng.integers(0, 10, (2, 20)))
+    mask = jnp.asarray(model.sample_masks(2, 20, rng))
+    assert bool(mask.sum() > 0)
+
+    tx = optax.adam(5e-3)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, opt_state):
+        def loss_fn(p):
+            loss, aux, _ = model(p, state, {"audio": audio, "video": None},
+                                 targets, mask)
+            return loss
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    losses = []
+    for _ in range(40):
+        params, opt_state, loss = step(params, opt_state)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] - 0.5  # memorizes the cluster targets
