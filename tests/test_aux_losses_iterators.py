@@ -53,18 +53,23 @@ def test_delaysum_beamformer_lobe():
 
 
 def test_dynamic_bucketed_batch():
+    import random
+
     from svt_speechbrain_tpu.dataio.iterators import dynamic_bucketed_batch
 
     rng = np.random.default_rng(0)
+    pivot_rng = random.Random(7)
     stream = ({"id": i, "duration": int(rng.integers(50, 500))}
               for i in range(500))
     batches = list(dynamic_bucketed_batch(
         stream, len_key="duration", buffersize=128,
-        sampler_kwargs={"target_batch_numel": 4000, "max_batch_size": 32}))
+        sampler_kwargs={"target_batch_numel": 4000, "max_batch_size": 32,
+                        "max_padding_ratio": 0.5,
+                        "randint_generator": pivot_rng.randint}))
     seen = sorted(s["id"] for b in batches for s in b)
     assert seen == list(range(500))  # exact partition, nothing dropped
-    # padding waste bounded within batches
+    # padding waste bounded within batches (enforced by max_padding_ratio)
     for b in batches:
         if len(b) > 4:
             lens = [s["duration"] for s in b]
-            assert 1.0 - sum(lens) / (len(lens) * max(lens)) < 0.5
+            assert 1.0 - sum(lens) / (len(lens) * max(lens)) <= 0.5 + 1e-9
