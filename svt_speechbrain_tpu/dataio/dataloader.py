@@ -95,8 +95,10 @@ class SaveableDataLoader:
 
         if self.num_workers <= 0:
             for indices in index_stream():
-                yield self._make_batch(indices)
+                # count before yielding: once the consumer holds the batch it
+                # is consumed for recovery purposes (reference _num_yielded)
                 self._iterator_position += 1
+                yield self._make_batch(indices)
             self._iterator_position = None
             return
 
@@ -121,8 +123,8 @@ class SaveableDataLoader:
                 break
             if isinstance(item, BaseException):
                 raise item
-            yield item
             self._iterator_position += 1
+            yield item
         thread.join()
         self._iterator_position = None
 
