@@ -122,20 +122,52 @@ class ConvFeatureExtractor(Module):
             params[str(i)] = layer
         return params
 
-    def __call__(self, params, wav):
-        """wav: (B, T_samples) → (B, T_frames, conv_dim[-1])."""
+    def __call__(self, params, wav, true_samples=None):
+        """wav: (B, T_samples) → (B, T_frames, conv_dim[-1]).
+
+        ``true_samples`` (B,) enables exact-lengths masking for the
+        "group" norm mode: torch GroupNorm on (B, C, T) normalizes over
+        *time*, so padded frames corrupt its statistics — here the
+        stats run over each row's valid frames only, making the base
+        model's extractor padding-invariant like the per-frame
+        LayerNorm of the "layer" mode already is."""
         c = self.config
         x = wav[..., None]  # (B, T, 1)
+        t_valid = None if true_samples is None else jnp.asarray(true_samples)
         for i, conv in enumerate(self.convs):
             p = params[str(i)]
             x = conv(p["conv"], x)
+            if t_valid is not None:
+                t_valid = jnp.maximum(
+                    (t_valid - c.conv_kernel[i]) // c.conv_stride[i] + 1, 0)
             if c.feat_extract_norm == "layer":
                 x = LayerNorm(c.conv_dim[i], eps=c.layer_norm_eps)(p["layer_norm"], x)
             elif i == 0:
-                x = GroupNorm(c.conv_dim[0], num_groups=c.conv_dim[0],
-                              eps=c.layer_norm_eps)(p["group_norm"], x)
+                if t_valid is None:
+                    x = GroupNorm(c.conv_dim[0], num_groups=c.conv_dim[0],
+                                  eps=c.layer_norm_eps)(p["group_norm"], x)
+                else:
+                    x = _masked_group_norm(p["group_norm"], x, t_valid,
+                                           c.conv_dim[0], c.layer_norm_eps)
             x = jax.nn.gelu(x, approximate=False)
         return x
+
+
+def _masked_group_norm(params, x, t_valid, num_groups, eps):
+    """Group norm on (B, T, C) with per-(row, group) statistics over valid
+    frames only; junk frames are zeroed on output (gelu(0)=0 keeps them
+    zero downstream)."""
+    b, t, ch = x.shape
+    g = num_groups
+    valid = (jnp.arange(t)[None, :] < t_valid[:, None])  # (B, T)
+    m = valid[:, :, None, None].astype(jnp.float32)      # (B, T, 1, 1)
+    x32 = x.astype(jnp.float32).reshape(b, t, g, ch // g)
+    count = jnp.maximum(jnp.sum(m, axis=(1, 3), keepdims=True) * (ch // g), 1.0)
+    mean = jnp.sum(x32 * m, axis=(1, 3), keepdims=True) / count
+    var = jnp.sum(jnp.square(x32 - mean) * m, axis=(1, 3), keepdims=True) / count
+    y = ((x32 - mean) * jax.lax.rsqrt(var + eps)).reshape(b, t, ch)
+    y = y * params["scale"] + params["bias"]
+    return (y * valid[..., None]).astype(x.dtype)
 
 
 class ConvPositionalEmbedding(Module):
@@ -252,13 +284,16 @@ class Wav2Vec2Encoder(Module):
         return params
 
     def __call__(self, params, wav, key_padding_mask=None, rng=None, train=False,
-                 num_frames=None):
+                 num_frames=None, true_samples=None):
         """``num_frames`` (B,) enables exact-lengths masking: junk frames
         computed over padding are zeroed before the (zero-padding-equivalent)
         positional conv and excluded from attention, making the padded
-        computation equal to running each row unpadded."""
+        computation equal to running each row unpadded. ``true_samples``
+        additionally masks the conv extractor's time-dependent group norm
+        (base models)."""
         c = self.config
-        x = self.feature_extractor(params["feature_extractor"], wav)
+        x = self.feature_extractor(params["feature_extractor"], wav,
+                                   true_samples=true_samples)
         valid = None
         if num_frames is not None:
             valid = (jnp.arange(x.shape[1])[None, :]
@@ -407,7 +442,8 @@ class HuggingFaceWav2Vec2(Module):
             if sample_valid is not None:
                 wav = wav * sample_valid.astype(wav.dtype)
         out = self.encoder(params["encoder"], wav, rng=rng, train=train,
-                           num_frames=num_frames)
+                           num_frames=num_frames,
+                           true_samples=None if wav_lens is None else true_samples)
         if self.output_norm:
             if wav_lens is not None:
                 frame_valid = (jnp.arange(out.shape[1])[None, :]

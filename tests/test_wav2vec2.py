@@ -113,17 +113,27 @@ def test_freeze_stops_gradients():
     assert all(float(jnp.abs(g).max()) == 0.0 for g in jax.tree_util.tree_leaves(grads))
 
 
-def test_exact_masking_is_padding_invariant():
+import pytest
+
+
+@pytest.mark.parametrize("norm_mode", ["layer", "group"])
+def test_exact_masking_is_padding_invariant(norm_mode):
     """With wav_lens, outputs on real frames must be identical no matter how
     much padding follows — the property that makes the padded eval bit-equal
-    to the torch reference's unpadded batch-1 eval."""
+    to the torch reference's unpadded batch-1 eval. Covers both the large
+    (per-frame LayerNorm extractor, pre-LN) and base (time-dependent
+    GroupNorm extractor, post-LN) architectures."""
     import jax
     import jax.numpy as jnp
 
     cfg = Wav2Vec2Config(hidden_size=32, num_layers=2, num_heads=4, ffn_size=64,
                          conv_dim=(16,) * 7, num_conv_pos_embeddings=16,
-                         num_conv_pos_embedding_groups=4)
-    bridge = HuggingFaceWav2Vec2(config=cfg, output_norm=True, normalize_wav=True)
+                         num_conv_pos_embedding_groups=4,
+                         feat_extract_norm=norm_mode,
+                         conv_bias=(norm_mode == "layer"),
+                         do_stable_layer_norm=(norm_mode == "layer"))
+    bridge = HuggingFaceWav2Vec2(config=cfg, output_norm=True,
+                                 normalize_wav=(norm_mode == "layer"))
     params = bridge.init(jax.random.PRNGKey(0))
     rng = np.random.default_rng(0)
     true_len = 7000
