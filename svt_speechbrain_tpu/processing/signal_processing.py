@@ -189,3 +189,17 @@ def mix_at_snr(clean, noise, snr_db, eps=1e-14):
     if sig.ndim == 1:
         return sig + noise[0] if noise.ndim > 1 else sig + noise
     return sig + noise
+
+
+def resynthesize(enhanced_mag, noisy_inputs, stft, istft, normalize_wavs=True):
+    """Resynthesize waveforms from enhanced magnitudes using the noisy phase
+    (reference ``signal_processing.py:483``): complex = mag·e^{i·∠noisy},
+    inverse STFT, optional peak normalization."""
+    noisy_feats = stft(None, noisy_inputs)
+    phase = jnp.arctan2(noisy_feats[..., 1], noisy_feats[..., 0])
+    complex_pred = enhanced_mag[..., None] * jnp.stack(
+        [jnp.cos(phase), jnp.sin(phase)], axis=-1)
+    pred_wavs = istft(None, complex_pred, sig_length=noisy_inputs.shape[1])
+    if normalize_wavs:
+        pred_wavs = normalize(pred_wavs, amp_type="peak")
+    return pred_wavs

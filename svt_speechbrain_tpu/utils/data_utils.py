@@ -135,3 +135,27 @@ def get_all_files(dirName, match_and=None, match_or=None, exclude_and=None, excl
                 continue
             allFiles.append(fullPath)
     return allFiles
+
+
+def mod_default_collate(batch):
+    """Best-effort stacking of a list of batch values (reference
+    ``data_utils.py:460``): equal-shape arrays/scalars stack into one numpy
+    array; anything else is returned unchanged rather than erroring out."""
+    import numpy as _np
+
+    elem = batch[0]
+    if isinstance(elem, _np.ndarray) or hasattr(elem, "__array__"):
+        try:
+            arrs = [_np.asarray(b) for b in batch]
+            if len({a.shape for a in arrs}) == 1 and arrs[0].dtype.kind not in "OUS":
+                return _np.stack(arrs, 0)
+        except Exception:
+            pass
+        return batch
+    if isinstance(elem, float):
+        return _np.asarray(batch, dtype=_np.float64)
+    if isinstance(elem, bool):
+        return _np.asarray(batch, dtype=bool)
+    if isinstance(elem, int):
+        return _np.asarray(batch)
+    return batch
