@@ -48,8 +48,12 @@ def load_state_dict(path):
 
 
 def convert_wav2vec2_state_dict(sd, config):
-    """HF ``Wav2Vec2Model`` state dict → ``Wav2Vec2Encoder`` params."""
-    sd = {k.removeprefix("wav2vec2."): v for k, v in sd.items()}
+    """HF state dict → ``Wav2Vec2Encoder`` params. Handles the whole
+    name-sniffed family: ``Wav2Vec2Model``, ``HubertModel`` (optional feature
+    projection LN), ``Data2VecAudioModel`` (stacked plain pos convs),
+    ``WavLMModel`` (gated relative-position-bias attention)."""
+    for prefix in ("wav2vec2.", "hubert.", "data2vec_audio.", "wavlm."):
+        sd = {k.removeprefix(prefix): v for k, v in sd.items()}
 
     def get(key):
         return np.asarray(sd[key])
@@ -76,27 +80,38 @@ def convert_wav2vec2_state_dict(sd, config):
         fe[str(i)] = layer
     params["feature_extractor"] = fe
 
-    params["feat_proj_ln"] = {
-        "scale": get("feature_projection.layer_norm.weight"),
-        "bias": get("feature_projection.layer_norm.bias"),
-    }
+    if getattr(config, "feat_proj_layer_norm", True):
+        params["feat_proj_ln"] = {
+            "scale": get("feature_projection.layer_norm.weight"),
+            "bias": get("feature_projection.layer_norm.bias"),
+        }
     params["feat_proj"] = {
         "w": _t(get("feature_projection.projection.weight")),
         "b": get("feature_projection.projection.bias"),
     }
 
-    # positional conv (weight-normed)
-    pc = "encoder.pos_conv_embed.conv."
-    if pc + "weight_g" in sd:
-        g, v = get(pc + "weight_g"), get(pc + "weight_v")
+    if getattr(config, "pos_conv_type", "weight_norm") == "stacked":
+        # data2vec-audio: depth × plain grouped convs
+        params["pos_conv"] = {}
+        for i in range(config.pos_conv_depth):
+            pre = f"encoder.pos_conv_embed.layers.{i}.conv."
+            params["pos_conv"][str(i)] = {
+                "w": _conv_w(get(pre + "weight")),
+                "b": get(pre + "bias"),
+            }
     else:
-        g = get(pc + "parametrizations.weight.original0")
-        v = get(pc + "parametrizations.weight.original1")
-    params["pos_conv"] = {
-        "g": np.ascontiguousarray(np.transpose(g, (2, 1, 0))),  # (1,1,k)->(k,1,1)
-        "v": _conv_w(v),
-        "b": get(pc + "bias"),
-    }
+        # positional conv (weight-normed)
+        pc = "encoder.pos_conv_embed.conv."
+        if pc + "weight_g" in sd:
+            g, v = get(pc + "weight_g"), get(pc + "weight_v")
+        else:
+            g = get(pc + "parametrizations.weight.original0")
+            v = get(pc + "parametrizations.weight.original1")
+        params["pos_conv"] = {
+            "g": np.ascontiguousarray(np.transpose(g, (2, 1, 0))),  # (1,1,k)->(k,1,1)
+            "v": _conv_w(v),
+            "b": get(pc + "bias"),
+        }
 
     params["encoder_ln"] = {
         "scale": get("encoder.layer_norm.weight"),
@@ -106,17 +121,25 @@ def convert_wav2vec2_state_dict(sd, config):
     layers = {}
     for i in range(config.num_layers):
         pre = f"encoder.layers.{i}."
+        attn = {
+            "wq": _t(get(pre + "attention.q_proj.weight")),
+            "bq": get(pre + "attention.q_proj.bias"),
+            "wk": _t(get(pre + "attention.k_proj.weight")),
+            "bk": get(pre + "attention.k_proj.bias"),
+            "wv": _t(get(pre + "attention.v_proj.weight")),
+            "bv": get(pre + "attention.v_proj.bias"),
+            "wo": _t(get(pre + "attention.out_proj.weight")),
+            "bo": get(pre + "attention.out_proj.bias"),
+        }
+        if getattr(config, "rel_pos_bias", False):  # WavLM gated rel-pos attn
+            attn["gru_const"] = get(pre + "attention.gru_rel_pos_const")
+            attn["gru_w"] = _t(get(pre + "attention.gru_rel_pos_linear.weight"))
+            attn["gru_b"] = get(pre + "attention.gru_rel_pos_linear.bias")
+            if i == 0:
+                attn["rel_attn_embed"] = get(
+                    pre + "attention.rel_attn_embed.weight")
         layers[str(i)] = {
-            "attn": {
-                "wq": _t(get(pre + "attention.q_proj.weight")),
-                "bq": get(pre + "attention.q_proj.bias"),
-                "wk": _t(get(pre + "attention.k_proj.weight")),
-                "bk": get(pre + "attention.k_proj.bias"),
-                "wv": _t(get(pre + "attention.v_proj.weight")),
-                "bv": get(pre + "attention.v_proj.bias"),
-                "wo": _t(get(pre + "attention.out_proj.weight")),
-                "bo": get(pre + "attention.out_proj.bias"),
-            },
+            "attn": attn,
             "ln1": {
                 "scale": get(pre + "layer_norm.weight"),
                 "bias": get(pre + "layer_norm.bias"),
@@ -150,6 +173,7 @@ def load_wav2vec2(path, config=None):
         if cfg_file and os.path.exists(cfg_file):
             with open(cfg_file) as f:
                 hf = json.load(f)
+            model_type = hf.get("model_type", "wav2vec2")
             config = Wav2Vec2Config(
                 hidden_size=hf["hidden_size"],
                 num_layers=hf["num_hidden_layers"],
@@ -162,8 +186,17 @@ def load_wav2vec2(path, config=None):
                 conv_bias=hf["conv_bias"],
                 num_conv_pos_embeddings=hf["num_conv_pos_embeddings"],
                 num_conv_pos_embedding_groups=hf["num_conv_pos_embedding_groups"],
-                do_stable_layer_norm=hf["do_stable_layer_norm"],
+                do_stable_layer_norm=hf.get("do_stable_layer_norm", False),
                 layer_norm_eps=hf.get("layer_norm_eps", 1e-5),
+                feat_proj_layer_norm=hf.get("feat_proj_layer_norm", True),
+                pos_conv_type=("stacked" if model_type == "data2vec-audio"
+                               else "weight_norm"),
+                pos_conv_depth=hf.get("num_conv_pos_embeddings", 5)
+                if model_type == "data2vec-audio" else 5,
+                pos_conv_kernel=hf.get("conv_pos_kernel_size", 19),
+                rel_pos_bias=(model_type == "wavlm"),
+                num_buckets=hf.get("num_buckets", 320),
+                max_bucket_distance=hf.get("max_bucket_distance", 800),
             )
         else:
             config = Wav2Vec2Config.large_lv60()

@@ -30,6 +30,8 @@ from __future__ import annotations
 import dataclasses
 from typing import Optional
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 
@@ -64,6 +66,20 @@ class Wav2Vec2Config:
     activation_dropout: float = 0.1
     feat_proj_dropout: float = 0.1
     layerdrop: float = 0.0  # LayerDrop is disabled under jit (static graph)
+    # --- SSL-family variants the reference bridge name-sniffs
+    #     (huggingface_interface.py:217 loads wav2vec2/HuBERT/data2vec/WavLM) ---
+    feat_proj_layer_norm: bool = True  # HubertFeatureProjection option
+    # "weight_norm": single weight-normed grouped conv (wav2vec2/HuBERT/WavLM)
+    # "stacked": depth × [conv k=pos_conv_kernel → non-affine LN → GELU]
+    #            (data2vec-audio)
+    pos_conv_type: str = "weight_norm"
+    pos_conv_depth: int = 5
+    pos_conv_kernel: int = 19
+    # WavLM gated relative position bias (T5-style buckets, layer-0 embedding
+    # shared across layers, per-layer gating)
+    rel_pos_bias: bool = False
+    num_buckets: int = 320
+    max_bucket_distance: int = 800
     # rematerialize each transformer layer in the backward pass — trades
     # ~30% extra FLOPs for O(layers) → O(1) activation memory, the standard
     # TPU recipe for fitting larger batches (jax.checkpoint)
@@ -78,6 +94,43 @@ class Wav2Vec2Config:
     @classmethod
     def large_lv60(cls):
         return cls()
+
+    @classmethod
+    def hubert_base(cls):
+        """HF ``hubert-base-ls960`` architecture (= wav2vec2-base encoder)."""
+        return cls(hidden_size=768, num_layers=12, num_heads=12, ffn_size=3072,
+                   feat_extract_norm="group", conv_bias=False,
+                   do_stable_layer_norm=False)
+
+    @classmethod
+    def hubert_large(cls):
+        """HF ``hubert-large-ll60k`` architecture (= wav2vec2-large-lv60)."""
+        return cls()
+
+    @classmethod
+    def data2vec_audio_base(cls):
+        """HF ``data2vec-audio-base``: per-layer LN extractor without conv
+        bias, 5-deep stacked positional convs (k=19), post-LN encoder."""
+        return cls(hidden_size=768, num_layers=12, num_heads=12, ffn_size=3072,
+                   feat_extract_norm="layer", conv_bias=False,
+                   do_stable_layer_norm=False, pos_conv_type="stacked")
+
+    @classmethod
+    def data2vec_audio_large(cls):
+        return cls(feat_extract_norm="layer", conv_bias=False,
+                   do_stable_layer_norm=False, pos_conv_type="stacked")
+
+    @classmethod
+    def wavlm_base(cls):
+        """HF ``wavlm-base(-plus)``: wav2vec2-base encoder + gated relative
+        position bias attention."""
+        return cls(hidden_size=768, num_layers=12, num_heads=12, ffn_size=3072,
+                   feat_extract_norm="group", conv_bias=False,
+                   do_stable_layer_norm=False, rel_pos_bias=True)
+
+    @classmethod
+    def wavlm_large(cls):
+        return cls(conv_bias=False, rel_pos_bias=True)
 
     def output_length(self, num_samples: int) -> int:
         """Frames produced for ``num_samples`` input samples (≈49.8 Hz at
@@ -211,13 +264,148 @@ class ConvPositionalEmbedding(Module):
         return jax.nn.gelu(y, approximate=False)
 
 
+class StackedPositionalConvEmbedding(Module):
+    """data2vec-audio positional embedding (HF
+    ``Data2VecAudioPositionalConvEmbedding``): ``pos_conv_depth`` stacked
+    [grouped conv (same padding, right-trim if even) → non-affine channel
+    LayerNorm → GELU] blocks; plain convs, no weight norm."""
+
+    def __init__(self, config: Wav2Vec2Config):
+        self.config = config
+
+    def init(self, rng):
+        c = self.config
+        k = c.pos_conv_kernel
+        d = c.hidden_size
+        in_per_group = d // c.num_conv_pos_embedding_groups
+        fan_in = in_per_group * k
+        params = {}
+        for i, key in enumerate(split_rngs(rng, c.pos_conv_depth)):
+            wkey, bkey = split_rngs(key, 2)
+            params[str(i)] = {
+                "w": kaiming_uniform(wkey, (k, in_per_group, d), fan_in=fan_in),
+                "b": uniform_bias(bkey, (d,), fan_in=fan_in),
+            }
+        return params
+
+    def __call__(self, params, x):
+        c = self.config
+        k = c.pos_conv_kernel
+        conv = Conv1d(c.hidden_size, k, c.hidden_size, stride=1, padding="valid",
+                      groups=c.num_conv_pos_embedding_groups, bias=True)
+        for i in range(c.pos_conv_depth):
+            xp = jnp.pad(x, ((0, 0), (k // 2, k // 2), (0, 0)))
+            y = conv(params[str(i)], xp)
+            if k % 2 == 0:
+                y = y[:, :-1]
+            y = layer_norm(y, axis=-1)  # elementwise_affine=False
+            x = jax.nn.gelu(y, approximate=False)
+        return x
+
+
+def _wavlm_relative_position_buckets(t, num_buckets, max_distance):
+    """T5-style bidirectional log-bucketed relative positions (HF
+    ``WavLMAttention._relative_positions_bucket``). Computed with numpy —
+    data-independent, so it folds into the jitted program as a constant."""
+    rel = np.arange(t)[None, :] - np.arange(t)[:, None]  # memory - context
+    nb = num_buckets // 2
+    buckets = (rel > 0).astype(np.int64) * nb
+    rel = np.abs(rel)
+    max_exact = nb // 2
+    is_small = rel < max_exact
+    large = max_exact + (
+        np.log(np.maximum(rel, 1).astype(np.float64) / max_exact)
+        / np.log(max_distance / max_exact) * (nb - max_exact)
+    ).astype(np.int64)
+    large = np.minimum(large, nb - 1)
+    return buckets + np.where(is_small, rel, large)
+
+
+class WavLMSelfAttention(Module):
+    """WavLM gated relative-position-bias self-attention (HF
+    ``WavLMAttention``): standard QKV attention plus a bucketed relative
+    position bias (embedding owned by layer 0, shared across layers) scaled
+    per (batch, head, query) by a gate computed from the query stream."""
+
+    def __init__(self, num_heads, hidden_size, has_rel_attn_embed=False,
+                 num_buckets=320, max_distance=800, dropout=0.0):
+        self.num_heads = num_heads
+        self.hidden_size = hidden_size
+        self.head_dim = hidden_size // num_heads
+        self.has_rel_attn_embed = has_rel_attn_embed
+        self.num_buckets = num_buckets
+        self.max_distance = max_distance
+        self.dropout = dropout
+
+    def init(self, rng):
+        d = self.hidden_size
+        keys = split_rngs(rng, 6)
+        params = {}
+        for name, key in zip(("q", "k", "v", "o"), keys[:4]):
+            wkey, bkey = split_rngs(key, 2)
+            params[f"w{name}"] = kaiming_uniform(wkey, (d, d), fan_in=d)
+            params[f"b{name}"] = uniform_bias(bkey, (d,), fan_in=d)
+        gw, gb = split_rngs(keys[4], 2)
+        params["gru_w"] = kaiming_uniform(gw, (self.head_dim, 8),
+                                          fan_in=self.head_dim)
+        params["gru_b"] = uniform_bias(gb, (8,), fan_in=self.head_dim)
+        params["gru_const"] = jnp.ones((1, self.num_heads, 1, 1), jnp.float32)
+        if self.has_rel_attn_embed:
+            params["rel_attn_embed"] = (
+                jax.random.normal(keys[5], (self.num_buckets, self.num_heads))
+                * 0.02)
+        return params
+
+    def compute_bias(self, params, t):
+        """(H, T, T) relative position bias from this layer's embedding."""
+        buckets = _wavlm_relative_position_buckets(
+            t, self.num_buckets, self.max_distance)
+        return jnp.transpose(params["rel_attn_embed"][buckets], (2, 0, 1))
+
+    def __call__(self, params, x, position_bias, key_padding_mask=None,
+                 rng=None, train=False):
+        b, t, d = x.shape
+        h, hd = self.num_heads, self.head_dim
+
+        # per-layer gate on the shared bias (HF WavLMAttention.forward)
+        gated = jnp.transpose(x.reshape(b, t, h, hd), (0, 2, 1, 3))
+        proj = gated @ params["gru_w"] + params["gru_b"]
+        proj = proj.reshape(b, h, t, 2, 4).sum(-1)
+        gate = jax.nn.sigmoid(proj)
+        gate_a, gate_b = gate[..., 0:1], gate[..., 1:2]        # (B, H, T, 1)
+        gate_out = gate_a * (gate_b * params["gru_const"] - 1.0) + 2.0
+        gated_bias = gate_out * position_bias[None]            # (B, H, T, T)
+
+        q = (x @ params["wq"] + params["bq"]).reshape(b, t, h, hd)
+        k = (x @ params["wk"] + params["bk"]).reshape(b, t, h, hd)
+        v = (x @ params["wv"] + params["bv"]).reshape(b, t, h, hd)
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) / jnp.sqrt(
+            jnp.asarray(hd, x.dtype))
+        scores = scores + gated_bias
+        if key_padding_mask is not None:
+            scores = jnp.where(key_padding_mask[:, None, None, :],
+                               jnp.finfo(scores.dtype).min, scores)
+        attn = jax.nn.softmax(scores, axis=-1)
+        if rng is not None:
+            attn = _dropout(attn, self.dropout, rng, train)
+        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(b, t, d)
+        return out @ params["wo"] + params["bo"]
+
+
 class TransformerLayer(Module):
     """One wav2vec2 encoder layer; pre- or post-LN per config."""
 
-    def __init__(self, config: Wav2Vec2Config):
+    def __init__(self, config: Wav2Vec2Config, layer_index=0):
         c = config
         self.config = c
-        self.attn = MultiheadAttention(c.num_heads, c.hidden_size, dropout=c.attention_dropout)
+        if c.rel_pos_bias:
+            self.attn = WavLMSelfAttention(
+                c.num_heads, c.hidden_size,
+                has_rel_attn_embed=(layer_index == 0),
+                num_buckets=c.num_buckets, max_distance=c.max_bucket_distance,
+                dropout=c.attention_dropout)
+        else:
+            self.attn = MultiheadAttention(c.num_heads, c.hidden_size, dropout=c.attention_dropout)
         self.ffn1 = Linear(c.ffn_size, c.hidden_size)
         self.ffn2 = Linear(c.hidden_size, c.ffn_size)
         self.ln1 = LayerNorm(c.hidden_size, eps=c.layer_norm_eps)
@@ -233,13 +421,19 @@ class TransformerLayer(Module):
             "ln2": self.ln2.init(kl2),
         }
 
-    def __call__(self, params, x, key_padding_mask=None, rng=None, train=False):
+    def __call__(self, params, x, key_padding_mask=None, rng=None, train=False,
+                 position_bias=None):
         c = self.config
         rngs = split_rngs(rng, 4) if rng is not None else [None] * 4
 
         def attn_block(h):
-            out = self.attn(params["attn"], h, h, h, key_padding_mask=key_padding_mask,
-                            rng=rngs[0], train=train, return_attn_weights=False)
+            if c.rel_pos_bias:
+                out = self.attn(params["attn"], h, position_bias,
+                                key_padding_mask=key_padding_mask,
+                                rng=rngs[0], train=train)
+            else:
+                out = self.attn(params["attn"], h, h, h, key_padding_mask=key_padding_mask,
+                                rng=rngs[0], train=train, return_attn_weights=False)
             return _dropout(out, c.hidden_dropout, rngs[1], train)
 
         def ffn_block(h):
@@ -265,22 +459,27 @@ class Wav2Vec2Encoder(Module):
         c = config
         self.config = c
         self.feature_extractor = ConvFeatureExtractor(c)
-        self.feat_proj_ln = LayerNorm(c.conv_dim[-1], eps=c.layer_norm_eps)
+        self.feat_proj_ln = (LayerNorm(c.conv_dim[-1], eps=c.layer_norm_eps)
+                             if c.feat_proj_layer_norm else None)
         self.feat_proj = Linear(c.hidden_size, c.conv_dim[-1])
-        self.pos_conv = ConvPositionalEmbedding(c)
+        self.pos_conv = (StackedPositionalConvEmbedding(c)
+                         if c.pos_conv_type == "stacked"
+                         else ConvPositionalEmbedding(c))
         self.encoder_ln = LayerNorm(c.hidden_size, eps=c.layer_norm_eps)
-        self.layers = [TransformerLayer(c) for _ in range(c.num_layers)]
+        self.layers = [TransformerLayer(c, layer_index=i)
+                       for i in range(c.num_layers)]
 
     def init(self, rng):
         keys = split_rngs(rng, 4 + len(self.layers))
         params = {
-            "feature_extractor": self.feature_extractor.init(keys[0]),
-            "feat_proj_ln": self.feat_proj_ln.init(keys[1]),
             "feat_proj": self.feat_proj.init(keys[2]),
+            "feature_extractor": self.feature_extractor.init(keys[0]),
             "pos_conv": self.pos_conv.init(keys[3]),
             "encoder_ln": self.encoder_ln.init(None),
             "layers": {str(i): l.init(k) for i, (l, k) in enumerate(zip(self.layers, keys[4:]))},
         }
+        if self.feat_proj_ln is not None:
+            params["feat_proj_ln"] = self.feat_proj_ln.init(keys[1])
         return params
 
     def __call__(self, params, wav, key_padding_mask=None, rng=None, train=False,
@@ -301,7 +500,8 @@ class Wav2Vec2Encoder(Module):
             x = x * valid[..., None].astype(x.dtype)
             if key_padding_mask is None:
                 key_padding_mask = ~valid
-        x = self.feat_proj_ln(params["feat_proj_ln"], x)
+        if self.feat_proj_ln is not None:
+            x = self.feat_proj_ln(params["feat_proj_ln"], x)
         x = self.feat_proj(params["feat_proj"], x)
         if valid is not None:
             # keep padded positions exactly zero into the pos-conv so its
@@ -318,17 +518,24 @@ class Wav2Vec2Encoder(Module):
             rng, sub = jax.random.split(rng)
             x = _dropout(x, c.hidden_dropout, sub, train)
 
+        position_bias = None
+        if c.rel_pos_bias:  # computed once from layer 0, shared by all layers
+            position_bias = self.layers[0].attn.compute_bias(
+                params["layers"]["0"]["attn"], x.shape[1])
+
         layer_rngs = split_rngs(rng, len(self.layers)) if rng is not None else [None] * len(self.layers)
         for i, layer in enumerate(self.layers):
             if c.remat:
                 x = jax.checkpoint(
-                    lambda p, h, _layer=layer, _rng=layer_rngs[i]: _layer(
+                    lambda p, h, pb, _layer=layer, _rng=layer_rngs[i]: _layer(
                         p, h, key_padding_mask=key_padding_mask, rng=_rng,
-                        train=train))(params["layers"][str(i)], x)
+                        train=train, position_bias=pb))(
+                    params["layers"][str(i)], x, position_bias)
             else:
                 x = layer(params["layers"][str(i)], x,
                           key_padding_mask=key_padding_mask,
-                          rng=layer_rngs[i], train=train)
+                          rng=layer_rngs[i], train=train,
+                          position_bias=position_bias)
         if c.do_stable_layer_norm:
             x = self.encoder_ln(params["encoder_ln"], x)
         return x
@@ -364,8 +571,23 @@ class HuggingFaceWav2Vec2(Module):
         if isinstance(source, Wav2Vec2Config):  # allow positional config
             config, source = source, None
         if config is None:
+            # name-sniffed architecture families, like the reference bridge
+            # (huggingface_interface.py:217): wav2vec2 / HuBERT / data2vec /
+            # WavLM, base or large
             name = (source or "wav2vec2-large-lv60").lower()
-            config = Wav2Vec2Config.base() if "base" in name else Wav2Vec2Config.large_lv60()
+            is_base = "base" in name
+            if "hubert" in name:
+                config = (Wav2Vec2Config.hubert_base() if is_base
+                          else Wav2Vec2Config.hubert_large())
+            elif "data2vec" in name:
+                config = (Wav2Vec2Config.data2vec_audio_base() if is_base
+                          else Wav2Vec2Config.data2vec_audio_large())
+            elif "wavlm" in name:
+                config = (Wav2Vec2Config.wavlm_base() if is_base
+                          else Wav2Vec2Config.wavlm_large())
+            else:
+                config = (Wav2Vec2Config.base() if is_base
+                          else Wav2Vec2Config.large_lv60())
         if arch_overrides:
             config = dataclasses.replace(
                 config, **{k: tuple(v) if isinstance(v, list) else v

@@ -149,3 +149,91 @@ def test_exact_masking_is_padding_invariant(norm_mode):
         outs.append(np.asarray(out)[0, :frames])
     np.testing.assert_allclose(outs[0], outs[1], atol=2e-5)
     np.testing.assert_allclose(outs[0], outs[2], atol=2e-5)
+
+
+def _small_kwargs():
+    return dict(hidden_size=32, num_hidden_layers=2, num_attention_heads=4,
+                intermediate_size=64, conv_dim=(16, 16, 16),
+                conv_kernel=(10, 3, 2), conv_stride=(5, 2, 2),
+                num_conv_pos_embeddings=16, num_conv_pos_embedding_groups=4,
+                hidden_dropout=0.0, attention_dropout=0.0,
+                activation_dropout=0.0, feat_proj_dropout=0.0, layerdrop=0.0)
+
+
+@pytest.mark.parametrize("family", ["hubert", "data2vec", "wavlm"])
+def test_forward_matches_transformers_variants(family):
+    """The bridge's other name-sniffed SSL families (reference
+    ``huggingface_interface.py:217`` loads wav2vec2/HuBERT/data2vec/WavLM):
+    numeric parity vs the HF torch implementations."""
+    import dataclasses
+
+    import torch
+
+    from svt_speechbrain_tpu.models.wav2vec2 import Wav2Vec2Encoder
+
+    torch.manual_seed(0)
+    kw = _small_kwargs()
+    if family == "hubert":
+        from transformers import HubertConfig, HubertModel
+
+        hf_cfg = HubertConfig(feat_extract_norm="group", conv_bias=False,
+                              do_stable_layer_norm=False,
+                              feat_proj_layer_norm=False, **kw)
+        hf_model = HubertModel(hf_cfg).eval()
+        cfg = dataclasses.replace(
+            Wav2Vec2Config.hubert_base(), feat_proj_layer_norm=False)
+    elif family == "data2vec":
+        from transformers import Data2VecAudioConfig, Data2VecAudioModel
+
+        kw["num_conv_pos_embeddings"] = 2  # depth for data2vec
+        hf_cfg = Data2VecAudioConfig(conv_pos_kernel_size=5, **kw)
+        hf_model = Data2VecAudioModel(hf_cfg).eval()
+        cfg = dataclasses.replace(
+            Wav2Vec2Config.data2vec_audio_base(),
+            pos_conv_depth=2, pos_conv_kernel=5)
+    else:
+        from transformers import WavLMConfig, WavLMModel
+
+        hf_cfg = WavLMConfig(feat_extract_norm="group", conv_bias=False,
+                             do_stable_layer_norm=False, num_buckets=32,
+                             max_bucket_distance=64, **kw)
+        hf_model = WavLMModel(hf_cfg).eval()
+        cfg = dataclasses.replace(
+            Wav2Vec2Config.wavlm_base(), num_buckets=32,
+            max_bucket_distance=64)
+
+    cfg = dataclasses.replace(
+        cfg, hidden_size=32, num_layers=2, num_heads=4, ffn_size=64,
+        conv_dim=(16, 16, 16), conv_kernel=(10, 3, 2), conv_stride=(5, 2, 2),
+        num_conv_pos_embeddings=16, num_conv_pos_embedding_groups=4)
+
+    wav = np.random.default_rng(0).normal(size=(2, 4000)).astype(np.float32)
+    with torch.no_grad():
+        expected = hf_model(torch.tensor(wav)).last_hidden_state.numpy()
+
+    sd = {k: v.numpy() for k, v in hf_model.state_dict().items()}
+    params = convert_wav2vec2_state_dict(sd, cfg)
+    model = Wav2Vec2Encoder(cfg)
+    got = np.asarray(model(params, wav))
+
+    assert got.shape == expected.shape
+    np.testing.assert_allclose(got, expected, atol=3e-4, rtol=1e-3)
+
+
+def test_bridge_name_sniffing():
+    """Source-name sniffing picks the right architecture family, like the
+    reference bridge's ``_check_model_source``."""
+    cases = {
+        "facebook/hubert-base-ls960": ("group", False, "weight_norm", False),
+        "facebook/hubert-large-ll60k": ("layer", True, "weight_norm", False),
+        "facebook/data2vec-audio-base-960h": ("layer", False, "stacked", False),
+        "microsoft/wavlm-base-plus": ("group", False, "weight_norm", True),
+        "microsoft/wavlm-large": ("layer", True, "weight_norm", True),
+        "facebook/wav2vec2-large-lv60": ("layer", True, "weight_norm", False),
+    }
+    for name, (norm, stable, pos, rel) in cases.items():
+        cfg = HuggingFaceWav2Vec2(source=name).config
+        assert cfg.feat_extract_norm == norm, name
+        assert cfg.do_stable_layer_norm == stable, name
+        assert cfg.pos_conv_type == pos, name
+        assert cfg.rel_pos_bias == rel, name
