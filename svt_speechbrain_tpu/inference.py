@@ -226,3 +226,78 @@ class BatchedAMTTranscriber:
                          frame_size=1 / self.frame_rate)
             for name, fi in frames.items()
         }
+
+
+class StreamingAMTTranscriber:
+    """Low-latency streaming transcription: ``feed()`` PCM as it arrives and
+    receive note events as soon as they are final; ``flush()`` at stream end.
+
+    A capability beyond the reference (which is offline-only,
+    ``train_audio_ssl.py:84-141``): the same jitted chunk program as
+    :class:`BatchedAMTTranscriber` runs every time a full window of samples
+    has accumulated, and an :class:`~svt_speechbrain_tpu.utils.amt.
+    IncrementalFrame2Note` decoder finalizes notes with bounded lookahead.
+    The complete emitted stream is exactly what the offline transcriber's
+    exact decode produces for the same audio (tested), so streaming costs no
+    accuracy. End-to-end latency is one chunk (default 5 s) plus the
+    decoder's 4-frame (~80 ms) peak lookahead.
+    """
+
+    def __init__(self, bridge, head, params, chunk_seconds=5.0,
+                 sample_rate=16000, frame_rate=49.8, onset_threshold=0.4,
+                 offset_threshold=0.5, **kwargs):
+        from svt_speechbrain_tpu.utils.amt import IncrementalFrame2Note
+
+        self._tr = BatchedAMTTranscriber(
+            bridge, head, params, chunk_seconds=chunk_seconds, batch_size=1,
+            sample_rate=sample_rate, frame_rate=frame_rate,
+            onset_threshold=onset_threshold, offset_threshold=offset_threshold,
+            chunking="ceil", **kwargs)
+        self._decoder = IncrementalFrame2Note(
+            onset_threshold, offset_threshold, frame_size=1.0 / frame_rate)
+        self._buffer = None
+        self._done = False
+
+    def _run_chunk(self, chunk, true_samples):
+        tr = self._tr
+        rel = np.float32(true_samples / len(chunk))
+        onset, offset, octv, cls = tr._forward(
+            tr.params, jnp.asarray(chunk)[None],
+            jnp.asarray([rel], jnp.float32))
+        f = tr.bridge.config.output_length(true_samples)
+        rows = np.stack([np.asarray(onset)[0, :f], np.asarray(offset)[0, :f],
+                         np.asarray(octv)[0, :f], np.asarray(cls)[0, :f]],
+                        axis=-1)
+        return self._decoder.feed(rows)
+
+    def feed(self, samples):
+        """Append PCM samples (float32 or int16, (T,)); returns the notes
+        finalized by this piece as ``[[onset_s, offset_s, midi], ...]``."""
+        if self._done:
+            raise RuntimeError("stream already flushed")
+        samples = np.asarray(samples)
+        if samples.ndim != 1:
+            raise ValueError("feed() takes a 1-D sample array")
+        self._buffer = (samples if self._buffer is None
+                        else np.concatenate([self._buffer, samples]))
+        notes = []
+        cs = self._tr.chunk_samples
+        while len(self._buffer) >= cs:
+            notes += self._run_chunk(self._buffer[:cs], cs)
+            self._buffer = self._buffer[cs:]
+        return notes
+
+    def flush(self):
+        """End the stream: decode the final partial window (zero-padded with
+        exact-lengths masking, like the offline ceil chunker) and close any
+        open note."""
+        if self._done:
+            return []
+        self._done = True
+        notes = []
+        if self._buffer is not None and len(self._buffer):
+            tail = np.zeros(self._tr.chunk_samples, self._buffer.dtype)
+            tail[:len(self._buffer)] = self._buffer
+            notes += self._run_chunk(tail, len(self._buffer))
+        self._buffer = None
+        return notes + self._decoder.flush()

@@ -104,3 +104,50 @@ def test_frame2note_fast_matches_exact(seed):
             seg = pitches[i0:i1][votable[i0:i1]]
             counts = np.bincount(seg, minlength=48)
             assert counts[int(a[2]) - 36] == counts[int(b[2]) - 36] == counts.max()
+
+
+def test_incremental_frame2note_matches_exact():
+    """Streaming decoder emits exactly frame2note(all) over random pieces."""
+    from svt_speechbrain_tpu.utils.amt import IncrementalFrame2Note
+
+    rng = np.random.default_rng(7)
+    for _ in range(50):
+        n = int(rng.integers(0, 80))
+        fr = (np.stack([rng.random(n), rng.random(n),
+                        rng.integers(0, 5, n).astype(np.float64),
+                        rng.integers(0, 13, n).astype(np.float64)], axis=-1)
+              if n else np.zeros((0, 4)))
+        dec = IncrementalFrame2Note(0.4, 0.5)
+        got, pos = [], 0
+        while pos < n:
+            step = int(rng.integers(1, 9))
+            got += dec.feed(fr[pos:pos + step])
+            pos += step
+        got += dec.flush()
+        assert got == frame2note(fr, 0.4, 0.5)
+
+
+def test_streaming_transcriber_matches_offline(tiny_model):
+    """Feeding a song in odd-sized pieces yields exactly the offline
+    transcriber's (exact-decode) notes for the same audio."""
+    from svt_speechbrain_tpu.inference import StreamingAMTTranscriber
+
+    bridge, head, params = tiny_model
+    rng = np.random.default_rng(3)
+    wav = rng.normal(size=int(3.4 * 16000)).astype(np.float32)
+
+    offline = BatchedAMTTranscriber(
+        bridge, head, params, chunk_seconds=1.0, batch_size=4,
+        compute_dtype=jnp.float32, onset_threshold=0.5, offset_threshold=0.5)
+    expected = offline.transcribe({"s": wav}, fast=False)["s"]
+
+    stream = StreamingAMTTranscriber(
+        bridge, head, params, chunk_seconds=1.0, compute_dtype=jnp.float32,
+        onset_threshold=0.5, offset_threshold=0.5)
+    got, pos = [], 0
+    while pos < len(wav):
+        step = int(rng.integers(1000, 30000))
+        got += stream.feed(wav[pos:pos + step])
+        pos += step
+    got += stream.flush()
+    assert got == expected
