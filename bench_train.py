@@ -49,11 +49,18 @@ def main():
         rng.integers(0, 13, size=(batch, frames)).astype(np.int32)], axis=-1))
     lens = jnp.ones((batch,), jnp.float32)
 
+    bf16 = os.environ.get("BENCH_TRAIN_PRECISION", "fp32") == "bf16"
+
     @jax.jit
     def step(params, opt_states, rng_key):
         def loss_fn(p):
-            feats = bridge(p["wav2vec2"], wavs, rng=rng_key, train=True)
-            logits = head(p["model"], feats)
+            if bf16:  # fp32 master params, bf16 compute (the Brain's policy)
+                p = jax.tree_util.tree_map(
+                    lambda x: x.astype(jnp.bfloat16)
+                    if x.dtype == jnp.float32 else x, p)
+            feats = bridge(p["wav2vec2"], wavs.astype(jnp.bfloat16) if bf16 else wavs,
+                           rng=rng_key, train=True)
+            logits = head(p["model"], feats).astype(jnp.float32)
             onset = losses.bce_loss(logits[:, :, 0], anno[:, :, 0].astype(jnp.float32),
                                     length=lens, pos_weight=15.0, allowed_len_diff=60)
             offset = losses.bce_loss(logits[:, :, 1], anno[:, :, 1].astype(jnp.float32),

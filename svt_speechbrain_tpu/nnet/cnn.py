@@ -98,6 +98,10 @@ class _ConvNd(Module):
         lhs_spec = "N" + spatial + "C"
         rhs_spec = spatial + "IO"
         dn = jax.lax.conv_dimension_numbers(x.shape, params["w"].shape, (lhs_spec, rhs_spec, lhs_spec))
+        # no preferred_element_type: the TPU MXU accumulates bf16 convs in
+        # f32 regardless, and forcing an f32 output breaks the transpose
+        # (backward) rule under mixed precision (cotangent f32 vs operand
+        # bf16)
         y = jax.lax.conv_general_dilated(
             x,
             params["w"].astype(x.dtype),
@@ -106,8 +110,7 @@ class _ConvNd(Module):
             rhs_dilation=self.dilation,
             dimension_numbers=dn,
             feature_group_count=self.groups,
-            preferred_element_type=jnp.float32,
-        ).astype(x.dtype)
+        )
         if self.use_bias:
             y = y + params["b"].astype(x.dtype)
         return y
