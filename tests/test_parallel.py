@@ -134,3 +134,44 @@ def test_grad_accumulation_matches_full_batch():
     for a, b in zip(jax.tree_util.tree_leaves(brain_full.params),
                     jax.tree_util.tree_leaves(brain_acc.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_bf16_precision_trains_through_convs():
+    """precision=bf16 (the reference's AMP analogue): fp32 master params,
+    bf16 compute — must work through conv layers (regression: the conv's
+    forced-f32 output broke the transpose rule under mixed precision)."""
+    from svt_speechbrain_tpu.nnet.cnn import Conv1d
+
+    class ConvBrain(sb.Brain):
+        def compute_forward(self, params, batch, stage, rng=None):
+            x, lens = batch["sig"]
+            h = self.modules.conv(params["conv"], x)
+            return self.modules.model(params["model"], h), lens
+
+        def compute_objectives(self, predictions, batch, stage):
+            logits, lens = predictions
+            target, tlens = batch["anno"]
+            return losses.mse_loss(logits, target.astype(logits.dtype),
+                                   length=tlens)
+
+        def init_optimizers(self):
+            import functools
+
+            import optax
+
+            self.add_optimizer("opt", functools.partial(optax.sgd),
+                               ["conv", "model"], lr=0.1)
+
+    brain = ConvBrain(
+        modules={"conv": Conv1d(8, 3, 8, padding="same"), "model": Linear(4, 8)},
+        hparams={"seed": 7},
+        run_opts={"noprogressbar": True, "precision": "bf16"})
+    brain.on_fit_start()
+    batch = _batch(8)
+    l1 = brain.fit_batch(batch)
+    l2 = brain.fit_batch(batch)
+    assert np.isfinite(l1) and np.isfinite(l2)
+    assert l2 < l1  # actually learning
+    # master params stay fp32
+    for leaf in jax.tree_util.tree_leaves(brain.params):
+        assert leaf.dtype == jnp.float32
