@@ -65,3 +65,61 @@ def ctc_segmentation(log_probs, tokens, blank_id=0, frame_duration=0.02,
         conf = float(seg_lp.mean()) if len(seg_lp) else neg_inf
         segments.append((start_t * frame_duration, end_t * frame_duration, conf))
     return segments
+
+
+class CTCSegmentationTask:
+    """Result bundle of a segmentation run (reference
+    ``ctc_segmentation.py:60``): per-utterance (start, end, confidence) plus
+    the text, printable as a kaldi-style segments table."""
+
+    def __init__(self, segments, text, name="utt"):
+        self.segments = segments
+        self.text = text
+        self.name = name
+
+    def __str__(self):
+        lines = []
+        for i, ((start, end, score), txt) in enumerate(zip(self.segments, self.text)):
+            lines.append(f"{self.name}_{i:04} {self.name} {start:.2f} {end:.2f}"
+                         f" {score:.9f} {txt}")
+        return "\n".join(lines) + "\n"
+
+
+class CTCSegmentation:
+    """Align utterance texts inside long audio via CTC posteriors
+    (reference ``ctc_segmentation.py:136``): wraps an ASR encoder + tokenizer
+    and the dynamic-programming ``ctc_segmentation`` core."""
+
+    def __init__(self, asr_model, kaldi_style_text=False, blank_id=0,
+                 frame_duration=0.02, min_window=8000):
+        self.asr_model = asr_model
+        self.kaldi_style_text = kaldi_style_text
+        self.blank_id = blank_id
+        self.frame_duration = frame_duration
+        self.min_window = min_window
+
+    def get_lpz(self, wavs, wav_lens=None):
+        """Encoder posteriors for the audio, (T, V) numpy."""
+        import numpy as np
+
+        enc = self.asr_model.encode_batch(wavs, wav_lens)
+        return np.asarray(enc)[0]
+
+    def __call__(self, wavs, text, name="utt", wav_lens=None):
+        import numpy as np
+
+        if isinstance(text, str):
+            text = text.splitlines()
+        if self.kaldi_style_text:
+            names = [t.split(" ", 1)[0] for t in text]
+            text = [t.split(" ", 1)[1] if " " in t else "" for t in text]
+            del names
+        lpz = self.get_lpz(wavs, wav_lens)
+        tok = self.asr_model.hparams.tokenizer
+        token_ids = [
+            tok.encode_as_ids(t) if hasattr(tok, "encode_as_ids")
+            else tok.encode(t) for t in text]
+        segments = ctc_segmentation(
+            lpz, token_ids, blank_id=self.blank_id,
+            frame_duration=self.frame_duration, min_window=self.min_window)
+        return CTCSegmentationTask(segments, text, name=name)

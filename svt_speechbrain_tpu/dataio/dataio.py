@@ -173,3 +173,76 @@ def append_eos_token(label, length, eos_index):
     out = jnp.concatenate([label, jnp.zeros((b, 1), label.dtype)], axis=1)
     pos = jnp.asarray(length).astype(jnp.int32)
     return out.at[jnp.arange(b), pos].set(eos_index)
+
+
+def read_audio_multichannel(waveforms_obj):
+    """Read one or several audio files and stack channels, with the dict
+    ``{"files": [...], "start": s, "stop": e}`` API
+    (reference ``dataio.py:214``). Returns (T, C)."""
+    if isinstance(waveforms_obj, str):
+        files, start, stop = [waveforms_obj], 0, None
+    else:
+        files = waveforms_obj.get("files", waveforms_obj.get("file"))
+        if isinstance(files, str):
+            files = [files]
+        start = waveforms_obj.get("start", 0)
+        stop = waveforms_obj.get("stop", None)
+    chans = []
+    for f in files:
+        wav, _sr = _read_wav(f, start=start, stop=stop)
+        chans.append(wav[:, None] if wav.ndim == 1 else wav)
+    n = min(c.shape[0] for c in chans)
+    return np.concatenate([c[:n] for c in chans], axis=-1)
+
+
+def relative_time_to_absolute(batch, relative_lens, rate):
+    """Relative lengths → absolute duration in seconds
+    (reference ``dataio.py:262``)."""
+    max_len = batch.shape[1]
+    return np.round(np.asarray(relative_lens) * max_len / rate, decimals=8)
+
+
+def convert_index_to_lab(batch, ind2lab):
+    """Index batch → label lists (reference ``dataio.py:619``)."""
+    return [[ind2lab[int(i)] for i in seq] for seq in batch]
+
+
+def merge_char(sequences, space="_"):
+    """Char sequences → word sequences (reference ``dataio.py:851``)."""
+    return [[word for word in "".join(seq).split(space) if word]
+            for seq in sequences]
+
+
+def split_word(sequences, space="_"):
+    """Word sequences → char sequences with space markers
+    (reference ``dataio.py:935``)."""
+    return [list(space.join(seq)) for seq in sequences]
+
+
+def save_pkl(obj, file):
+    """Pickle to file (reference ``dataio.py:705``)."""
+    import pickle
+
+    with open(file, "wb") as f:
+        pickle.dump(obj, f)
+
+
+def load_pkl(file):
+    """Unpickle from file (reference ``dataio.py:744``)."""
+    import pickle
+
+    with open(file, "rb") as f:
+        return pickle.load(f)
+
+
+load_pickle = load_pkl
+
+
+def write_txt_file(data, filename, sampling_rate=None):
+    """Write an iterable of lines (reference ``dataio.py:980``)."""
+    import os
+
+    os.makedirs(os.path.dirname(os.path.abspath(filename)), exist_ok=True)
+    with open(filename, "w") as f:
+        for line in data:
+            f.write(str(line) + "\n")

@@ -231,3 +231,109 @@ class S2SRNNBeamSearcher(S2SBeamSearcher):
             hs = [sel(s) for s in hs]
         c = memory["c"][index] if memory["c"] is not None else None
         return {"hs": hs, "c": c, "batch_size": memory["batch_size"]}
+
+
+def filter_seq2seq_output(string_pred, eos_id=-1):
+    """Trim everything from the first eos (reference ``seq2seq.py:1278``)."""
+    if not isinstance(string_pred, list):
+        raise ValueError("The input must be a list.")
+    try:
+        first = next(i for i, v in enumerate(string_pred) if v == eos_id)
+        return string_pred[:first]
+    except StopIteration:
+        return string_pred
+
+
+def batch_filter_seq2seq_output(prediction, eos_id=-1):
+    """Apply ``filter_seq2seq_output`` per batch item
+    (reference ``seq2seq.py:1247``)."""
+    return [filter_seq2seq_output(list(map(int, p)), eos_id=eos_id)
+            for p in prediction]
+
+
+def inflate_tensor(tensor, times, dim):
+    """Repeat along ``dim`` (reference ``seq2seq.py:1180``)."""
+    return jnp.repeat(tensor, times, axis=dim)
+
+
+def mask_by_condition(tensor, cond, fill_value):
+    """Keep where cond else fill (reference ``seq2seq.py:1212``)."""
+    return jnp.where(cond, tensor, fill_value)
+
+
+class S2SRNNBeamSearchLM(S2SRNNBeamSearcher):
+    """RNN beam search + RNNLM shallow fusion
+    (reference ``seq2seq.py:836``): token scores become
+    ``log p_asr + lm_weight · log p_lm``. The LM prefix is re-scored per step
+    (prefixes are short; re-running the jitted LM keeps the memory pytree
+    trivially permutable)."""
+
+    def __init__(self, embedding, decoder, linear, language_model, lm_params,
+                 params, lm_weight=0.0, temperature_lm=1.0, **kwargs):
+        super().__init__(embedding, decoder, linear, params, **kwargs)
+        self.lm = language_model
+        self.lm_params = lm_params
+        self.lm_weight = lm_weight
+        self.temperature_lm = temperature_lm
+
+    def reset_mem(self, batch_size):
+        mem = super().reset_mem(batch_size)
+        mem["prefix"] = np.full((batch_size, 0), self.bos_index, np.int32)
+        return mem
+
+    def _lm_log_probs(self, prefix):
+        out = self.lm(self.lm_params, jnp.asarray(prefix))
+        logits = out[0] if isinstance(out, tuple) else out
+        return jax.nn.log_softmax(logits[:, -1] / self.temperature_lm, axis=-1)
+
+    def forward_step(self, inp_tokens, memory, enc_states, enc_lens):
+        prefix = np.concatenate(
+            [memory["prefix"], np.asarray(inp_tokens)[:, None]], axis=1)
+        log_probs, memory, attn = super().forward_step(
+            inp_tokens, memory, enc_states, enc_lens)
+        memory["prefix"] = prefix
+        if self.lm_weight != 0.0:
+            log_probs = log_probs + self.lm_weight * self._lm_log_probs(prefix)
+        return log_probs, memory, attn
+
+    def permute_mem(self, memory, index):
+        prefix = memory["prefix"]
+        memory = super().permute_mem(memory, index)
+        memory["prefix"] = prefix[np.asarray(index)]
+        return memory
+
+
+class S2SRNNBeamSearchTransformerLM(S2SRNNBeamSearchLM):
+    """RNN beam search + transformer-LM shallow fusion
+    (reference ``seq2seq.py:939``); identical prefix-rescoring mechanics —
+    the LM callable just happens to be a TransformerLM."""
+
+
+class S2STransformerBeamSearch(S2SBeamSearcher):
+    """Beam search over a TransformerASR model (reference
+    ``seq2seq.py:1119``): modules = [model, seq_lin]; each step decodes the
+    full token prefix (static-shape growth, XLA caches one program per
+    prefix length) and reads the last position's logits."""
+
+    def __init__(self, modules, params, temperature=1.0, **kwargs):
+        super().__init__(**kwargs)
+        self.model = modules[0]
+        self.seq_lin = modules[1]
+        self.model_params = params[0]
+        self.lin_params = params[1]
+        self.temperature = temperature
+
+    def reset_mem(self, batch_size):
+        return {"prefix": np.zeros((batch_size, 0), np.int32)}
+
+    def forward_step(self, inp_tokens, memory, enc_states, enc_lens):
+        prefix = np.concatenate(
+            [memory["prefix"], np.asarray(inp_tokens)[:, None]], axis=1)
+        dec_out = self.model.decode(self.model_params, jnp.asarray(prefix),
+                                    enc_states)
+        logits = self.seq_lin(self.lin_params, dec_out[:, -1])
+        log_probs = jax.nn.log_softmax(logits / self.temperature, axis=-1)
+        return log_probs, {"prefix": prefix}, None
+
+    def permute_mem(self, memory, index):
+        return {"prefix": memory["prefix"][np.asarray(index)]}

@@ -211,3 +211,10 @@ class SepFormer(Module):
         outs = [self.decoder(params["decoder"], h * masks[:, :, s])
                 for s in range(self.n_sources)]
         return jnp.stack(outs, axis=1)
+
+
+# Reference public names (``lobes/models/dual_path.py`` / ``conv_tasnet.py``)
+Dual_Path_Model = DualPathModel
+SepformerWrapper = SepFormer
+Encoder = TasNetEncoder
+Decoder = TasNetDecoder

@@ -66,3 +66,28 @@ class PReLU(Module):
         if self.num_parameters == 1:
             alpha = alpha[0]
         return jnp.where(x >= 0, x, alpha * x)
+
+
+class GumbelSoftmax(Module):
+    """Gumbel-Softmax sampling with optional straight-through discretization
+    (reference ``activations.py:71``). Functional rng: pass ``rng`` per call."""
+
+    def __init__(self, tau, hard=False, apply_log=False):
+        self.tau = tau
+        self.hard = hard
+        self.apply_log = apply_log
+
+    def __call__(self, params, x, rng=None):
+        del params
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+        g = -jnp.log(-jnp.log(
+            jax.random.uniform(rng, x.shape, minval=1e-20, maxval=1.0) + 1e-20))
+        y = jax.nn.softmax((x + g) / self.tau, axis=-1)
+        if self.hard:  # straight-through: one-hot forward, soft backward
+            one_hot = jax.nn.one_hot(jnp.argmax(y, axis=-1), x.shape[-1],
+                                     dtype=y.dtype)
+            y = one_hot + y - jax.lax.stop_gradient(y)
+        if self.apply_log:
+            return jnp.log(jnp.maximum(y, 1e-20))
+        return y

@@ -16,6 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from svt_speechbrain_tpu.nnet.core import Module, glorot_uniform, split_rngs
+from svt_speechbrain_tpu.nnet.linear import Linear
 
 NEG_INF = -1e30
 
@@ -255,3 +256,103 @@ class RelPosMHAXL(Module):
         out = out.transpose(0, 2, 1, 3).reshape(b, tq, d)
         out = jnp.matmul(out, params["wo"].astype(out.dtype)) + params["bo"].astype(out.dtype)
         return out, jnp.mean(weights, axis=1)
+
+
+class ContentBasedAttention(Module):
+    """Bahdanau additive attention (reference ``attention.py:23``).
+
+    Functional: ``(params, enc_states, enc_len, dec_states) → (context, w)``
+    with ``enc_len`` in absolute frames; the reference's ``reset()`` memo of
+    the projected encoder is an XLA CSE concern, not an API one.
+    """
+
+    def __init__(self, enc_dim, dec_dim, attn_dim, output_dim, scaling=1.0):
+        self.mlp_enc = Linear(attn_dim, enc_dim)
+        self.mlp_dec = Linear(attn_dim, dec_dim)
+        self.mlp_attn = Linear(1, attn_dim, bias=False)
+        self.mlp_out = Linear(output_dim, enc_dim)
+        self.scaling = scaling
+
+    def init(self, rng):
+        k1, k2, k3, k4 = split_rngs(rng, 4)
+        return {"mlp_enc": self.mlp_enc.init(k1), "mlp_dec": self.mlp_dec.init(k2),
+                "mlp_attn": self.mlp_attn.init(k3), "mlp_out": self.mlp_out.init(k4)}
+
+    def _mask(self, enc_states, enc_len):
+        t = enc_states.shape[1]
+        return jnp.arange(t)[None, :] < jnp.asarray(enc_len)[:, None]
+
+    def __call__(self, params, enc_states, enc_len, dec_states):
+        enc_h = self.mlp_enc(params["mlp_enc"], enc_states)
+        dec_h = self.mlp_dec(params["mlp_dec"], dec_states)[:, None]
+        attn = self.mlp_attn(params["mlp_attn"], jnp.tanh(enc_h + dec_h))[..., 0]
+        attn = jnp.where(self._mask(enc_states, enc_len), attn, -jnp.inf)
+        attn = jax.nn.softmax(attn * self.scaling, axis=-1)
+        context = jnp.einsum("bt,btf->bf", attn, enc_states)
+        return self.mlp_out(params["mlp_out"], context), attn
+
+
+class LocationAwareAttention(ContentBasedAttention):
+    """Chorowski location-aware attention (reference ``attention.py:113``):
+    adds a conv feature over the previous step's attention weights. The
+    reference keeps ``prev_attn`` as module state; here the caller threads it
+    (``prev_attn=None`` reproduces the reference's uniform 1/len start)."""
+
+    def __init__(self, enc_dim, dec_dim, attn_dim, output_dim, conv_channels,
+                 kernel_size, scaling=1.0):
+        super().__init__(enc_dim, dec_dim, attn_dim, output_dim, scaling)
+        from svt_speechbrain_tpu.nnet.cnn import Conv1d
+
+        self.conv_loc = Conv1d(conv_channels, 2 * kernel_size + 1, 1,
+                               padding="same", bias=False)
+        self.mlp_loc = Linear(attn_dim, conv_channels)
+
+    def init(self, rng):
+        base, k1, k2 = split_rngs(rng, 3)
+        params = super().init(base)
+        params["conv_loc"] = self.conv_loc.init(k1)
+        params["mlp_loc"] = self.mlp_loc.init(k2)
+        return params
+
+    def __call__(self, params, enc_states, enc_len, dec_states, prev_attn=None):
+        mask = self._mask(enc_states, enc_len)
+        if prev_attn is None:  # uniform over real frames
+            prev_attn = mask / jnp.asarray(enc_len, jnp.float32)[:, None]
+        attn_conv = self.conv_loc(params["conv_loc"], prev_attn[..., None])
+        attn_conv = self.mlp_loc(params["mlp_loc"], attn_conv)
+        enc_h = self.mlp_enc(params["mlp_enc"], enc_states)
+        dec_h = self.mlp_dec(params["mlp_dec"], dec_states)[:, None]
+        attn = self.mlp_attn(params["mlp_attn"],
+                             jnp.tanh(enc_h + dec_h + attn_conv))[..., 0]
+        attn = jnp.where(mask, attn, -jnp.inf)
+        attn = jax.nn.softmax(attn * self.scaling, axis=-1)
+        context = jnp.einsum("bt,btf->bf", attn, enc_states)
+        return self.mlp_out(params["mlp_out"], context), attn
+
+
+class KeyValueAttention(Module):
+    """Single-head scaled dot-product key/value attention
+    (reference ``attention.py:237``)."""
+
+    def __init__(self, enc_dim, dec_dim, attn_dim, output_dim):
+        self.key_linear = Linear(attn_dim, enc_dim)
+        self.query_linear = Linear(attn_dim, dec_dim)
+        self.value_linear = Linear(output_dim, enc_dim)
+        self.scaling = attn_dim ** 0.5
+
+    def init(self, rng):
+        k1, k2, k3 = split_rngs(rng, 3)
+        return {"key_linear": self.key_linear.init(k1),
+                "query_linear": self.query_linear.init(k2),
+                "value_linear": self.value_linear.init(k3)}
+
+    def __call__(self, params, enc_states, enc_len, dec_states):
+        keys = self.key_linear(params["key_linear"], enc_states)
+        values = self.value_linear(params["value_linear"], enc_states)
+        query = self.query_linear(params["query_linear"], dec_states)
+        scores = jnp.einsum("btf,bf->bt", keys, query) / self.scaling
+        t = enc_states.shape[1]
+        mask = jnp.arange(t)[None, :] < jnp.asarray(enc_len)[:, None]
+        scores = jnp.where(mask, scores, -jnp.inf)
+        w = jax.nn.softmax(scores, axis=1)
+        return jnp.einsum("bt,btf->bf", w, values), w[:, None]

@@ -355,3 +355,12 @@ def ctc_loss_kd(log_probs, targets, input_lens, blank_index, device=None):
     """KD CTC (reference ``losses.py:1047``): CE between teacher and student
     frame posteriors (the sequence-level term uses the teacher's alignment)."""
     return _masked_mean(ce_kd(log_probs, targets), input_lens)
+
+
+def get_mask(source, source_lengths):
+    """Binary mask of real frames, (B, T, C) × (B,) absolute lengths →
+    (B, T, 1) (reference ``losses.py:783``; reference layout is the same with
+    batch second — ours is batch-first throughout)."""
+    t = source.shape[1]
+    mask = (jnp.arange(t)[None, :] < jnp.asarray(source_lengths)[:, None])
+    return mask[..., None].astype(source.dtype)

@@ -238,3 +238,29 @@ class InstanceNorm1d(Module):
         ).swapaxes(1, -1) if self.affine else layer_norm(
             x.swapaxes(1, -1), None, None, eps=self.eps
         ).swapaxes(1, -1)
+
+
+class InstanceNorm2d(Module):
+    """Instance norm over (time, freq) per (batch, channel) for 4-D
+    (B, T, F, C) inputs (reference ``normalization.py:382``)."""
+
+    def __init__(self, input_size, eps=1e-05, affine=False):
+        self.input_size = input_size
+        self.eps = eps
+        self.affine = affine
+
+    def init(self, rng):
+        del rng
+        if not self.affine:
+            return {}
+        return {"scale": jnp.ones((self.input_size,), jnp.float32),
+                "bias": jnp.zeros((self.input_size,), jnp.float32)}
+
+    def __call__(self, params, x):
+        x32 = x.astype(jnp.float32)
+        mean = jnp.mean(x32, axis=(1, 2), keepdims=True)
+        var = jnp.mean(jnp.square(x32 - mean), axis=(1, 2), keepdims=True)
+        y = (x32 - mean) * jax.lax.rsqrt(var + self.eps)
+        if self.affine:
+            y = y * params["scale"] + params["bias"]
+        return y.astype(x.dtype)

@@ -102,3 +102,32 @@ class AdaptiveAvgPool2d(Module):
         if self.output_size != (1, 1):
             raise NotImplementedError("only global (1,1) pooling is supported")
         return jnp.mean(x, axis=(1, 2), keepdims=True)
+
+
+class AdaptivePool(Module):
+    """Adaptive average pooling to a fixed output size over time (and
+    frequency for 4-D inputs), reference ``pooling.py:329``. Matches torch's
+    AdaptiveAvgPool bucketing: bucket ``i`` averages input positions
+    ``[floor(i*n/out), ceil((i+1)*n/out))``."""
+
+    def __init__(self, output_size):
+        self.output_size = output_size
+
+    @staticmethod
+    def _pool_axis(x, out, axis):
+        n = x.shape[axis]
+        xs = jnp.moveaxis(x, axis, 0)
+        rows = []
+        for i in range(out):
+            lo = (i * n) // out
+            hi = -(-((i + 1) * n) // out)
+            rows.append(jnp.mean(xs[lo:hi], axis=0))
+        return jnp.moveaxis(jnp.stack(rows, axis=0), 0, axis)
+
+    def __call__(self, params, x):
+        del params
+        size = self.output_size
+        if isinstance(size, int):
+            return self._pool_axis(x, size, 1)  # (B, T, C): pool time
+        y = self._pool_axis(x, size[0], 1)
+        return self._pool_axis(y, size[1], 2)

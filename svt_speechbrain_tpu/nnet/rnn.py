@@ -334,3 +334,52 @@ class AttentionalRNNDecoder(Module):
             outs.append(out)
             attns.append(w)
         return jnp.stack(outs, axis=1), jnp.stack(attns, axis=1)
+
+
+class _CellBase(Module):
+    """Step-wise stacked cells for autoregressive decoders
+    (reference ``RNN.py`` RNNCell/GRUCell/LSTMCell): one timestep through
+    ``num_layers`` layers; states are a list per layer."""
+
+    INNER = None
+
+    def __init__(self, hidden_size, input_size, num_layers=1, bias=True,
+                 dropout=0.0, re_init=True):
+        self.hidden_size = hidden_size
+        self.num_layers = num_layers
+        self.inner = self.INNER(hidden_size, input_size=input_size,
+                                num_layers=num_layers, bias=bias,
+                                dropout=dropout)
+
+    def init(self, rng):
+        return self.inner.init(rng)
+
+    def init_states(self, batch):
+        return [self.inner._init_state(batch) for _ in range(self.num_layers)]
+
+    def __call__(self, params, x_t, states=None):
+        """x_t (B, F) one frame → (out (B, H), new per-layer states)."""
+        if states is None:
+            states = self.init_states(x_t.shape[0])
+        new_states = []
+        h = x_t
+        for layer in range(self.num_layers):
+            state = self.inner._cell(params[f"l{layer}"], h, states[layer])
+            h = state[0] if isinstance(state, tuple) else state
+            new_states.append(state)
+        return h, new_states
+
+
+class RNNCell(_CellBase):
+    """Vanilla tanh/relu RNN cell stack (reference ``RNN.py:368``)."""
+    INNER = RNN
+
+
+class GRUCell(_CellBase):
+    """GRU cell stack (reference ``RNN.py:476``)."""
+    INNER = GRU
+
+
+class LSTMCell(_CellBase):
+    """LSTM cell stack (reference ``RNN.py:570``)."""
+    INNER = LSTM

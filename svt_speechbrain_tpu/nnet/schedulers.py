@@ -250,3 +250,12 @@ class CyclicLRScheduler:
 
     def load_state_dict(self, data):
         self.clr_iterations = data["clr_iterations"]
+
+
+def update_learning_rate(brain, new_lr, opt_name=None):
+    """Change the learning rate of a Brain's optimizer(s) in place
+    (reference ``schedulers.py:18`` operates on torch param_groups; here the
+    rate lives in the ``inject_hyperparams`` optimizer state)."""
+    names = [opt_name] if opt_name else list(brain.optimizers)
+    for name in names:
+        brain.set_learning_rate(name, new_lr)

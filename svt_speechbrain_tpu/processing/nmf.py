@@ -39,3 +39,16 @@ def separate_sources(mixture_mag, W1, W2, n_iter=100, eps=1e-10, seed=0):
     V2 = W[:, k1:] @ H[k1:]
     total = V1 + V2 + eps
     return V * V1 / total, V * V2 / total
+
+
+def spectral_phase(stft, power=2, log=False):
+    """Phase of a complex stft stack (reference ``NMF.py:14``)."""
+    return np.arctan2(stft[..., 1], stft[..., 0])
+
+
+def NMF_separate_spectra(Whats, Xmix):
+    """Separate a mixture's magnitude spectra with two pre-trained NMF
+    template dictionaries (reference ``NMF.py:38``); returns per-source
+    magnitude estimates (X1hat, X2hat)."""
+    W1, W2 = Whats
+    return separate_sources(Xmix, W1, W2)

@@ -286,3 +286,88 @@ def average_checkpoints(checkpoint_list, recoverable_name, parameter_loader=None
             trees.append(serialization.msgpack_restore(f.read()))
     n = len(trees)
     return jax.tree_util.tree_map(lambda *xs: sum(np.asarray(x) for x in xs) / n, *trees)
+
+
+# --------------------------------------------------------------------------
+# Hook-registry API (reference ``checkpoints.py:190-376``): classes decorate
+# methods with @mark_as_saver/@mark_as_loader (+ optional @mark_as_transfer)
+# and @register_checkpoint_hooks wires them into the ckpt_save/ckpt_load
+# protocol the Checkpointer speaks natively here.
+
+def mark_as_saver(method):
+    """Mark ``method(self, path)`` as the class's checkpoint saver
+    (reference ``checkpoints.py:190``)."""
+    sig = inspect.signature(method)
+    if len(sig.parameters) < 2:
+        raise TypeError("Checkpoint saver must take (self, path)")
+    method._speechbrain_saver = True
+    return method
+
+
+def mark_as_loader(method):
+    """Mark ``method(self, path, end_of_epoch=...)`` as the loader
+    (reference ``checkpoints.py:218``)."""
+    method._speechbrain_loader = True
+    return method
+
+
+def mark_as_transfer(method):
+    """Mark ``method(self, path)`` as the parameter-transfer hook used by
+    the Pretrainer (reference ``checkpoints.py:250``)."""
+    method._speechbrain_transfer = True
+    return method
+
+
+def register_checkpoint_hooks(cls):
+    """Class decorator installing ``ckpt_save``/``ckpt_load``/
+    ``ckpt_transfer`` from marked methods (reference ``checkpoints.py:278``)."""
+    saver = loader = transfer = None
+    for name, method in cls.__dict__.items():
+        if getattr(method, "_speechbrain_saver", False):
+            saver = name
+        if getattr(method, "_speechbrain_loader", False):
+            loader = name
+        if getattr(method, "_speechbrain_transfer", False):
+            transfer = name
+    if saver is not None and "ckpt_save" not in cls.__dict__:
+        def ckpt_save(self, path, _name=saver):
+            getattr(self, _name)(path)
+        cls.ckpt_save = ckpt_save
+    if loader is not None and "ckpt_load" not in cls.__dict__:
+        def ckpt_load(self, path, end_of_epoch=True, _name=loader):
+            method = getattr(self, _name)
+            if "end_of_epoch" in inspect.signature(method).parameters:
+                method(path, end_of_epoch=end_of_epoch)
+            else:
+                method(path)
+        cls.ckpt_load = ckpt_load
+    if transfer is not None and "ckpt_transfer" not in cls.__dict__:
+        def ckpt_transfer(self, path, _name=transfer):
+            getattr(self, _name)(path)
+        cls.ckpt_transfer = ckpt_transfer
+    return cls
+
+
+def get_default_hook(obj, default_hooks):
+    """Look up the hook for an object's class through its MRO
+    (reference ``checkpoints.py:323``)."""
+    for cls in type(obj).__mro__:
+        if cls in default_hooks:
+            return default_hooks[cls]
+    return None
+
+
+def average_state_dicts(state_dicts):
+    """Elementwise mean of numeric leaves across state dicts
+    (reference ``checkpoints.py:1045``)."""
+    import numpy as np
+
+    dicts = list(state_dicts)
+    if not dicts:
+        raise ValueError("no state dicts to average")
+    import jax
+
+    return jax.tree_util.tree_map(
+        lambda *leaves: sum(np.asarray(l, dtype=np.float64) for l in leaves) / len(leaves)
+        if np.issubdtype(np.asarray(leaves[0]).dtype, np.number) else leaves[0],
+        *dicts)

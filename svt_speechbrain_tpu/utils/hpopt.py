@@ -113,3 +113,18 @@ def report_result(result):
     ctx = _context["current"]
     if ctx is not None:
         ctx.result = dict(result)
+
+
+def get_reporter(mode, *args, **kwargs):
+    """Reporter factory by mode name (reference ``hpopt.py:39``)."""
+    if mode == "orion":
+        return OrionHyperparameterOptimizationReporter(*args, **kwargs)
+    return GenericHyperparameterOptimizationReporter(*args, **kwargs)
+
+
+def get_trial_id():
+    """Current hyperparameter-search trial id (reference ``hpopt.py:307``):
+    from the orion environment when present, else 'hpopt'."""
+    import os
+
+    return os.environ.get("ORION_TRIAL_ID", "hpopt")

@@ -199,3 +199,29 @@ class ErrorRateStats(MetricStats):
               f"{self.summary['insertions']} ins, "
               f"{self.summary['deletions']} del, "
               f"{self.summary['substitutions']} sub ]", file=filestream)
+
+
+def EER(positive_scores, negative_scores):
+    """(eer, threshold) — reference ``metric_stats.py:455`` public API;
+    thin wrapper over ``eer_threshold``."""
+    eer, thr = eer_threshold(positive_scores, negative_scores)
+    return eer, thr
+
+
+def sequence_evaluation(metric, predict, target, **kwargs):
+    """Evaluate ``metric`` id-by-id sequentially (reference
+    ``metric_stats.py:175``)."""
+    return [float(metric(p, t, **kwargs)) for p, t in zip(predict, target)]
+
+
+def multiprocess_evaluation(metric, predict, target, n_jobs=1, **kwargs):
+    """Reference ``metric_stats.py:155``: joblib fan-out. Host-side python
+    metrics here are numpy and fast; a thread pool covers the parallel case
+    without the joblib dependency."""
+    if n_jobs <= 1:
+        return sequence_evaluation(metric, predict, target, **kwargs)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=n_jobs) as ex:
+        return list(ex.map(lambda pt: float(metric(pt[0], pt[1], **kwargs)),
+                           zip(predict, target)))

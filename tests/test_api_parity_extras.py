@@ -1,0 +1,217 @@
+"""Public-API parity extras: standalone attention classes, step-wise RNN
+cells, checkpoint hook registry, LM-fused beam search, misc utilities the
+reference exposes (symbol-level sweep vs SURVEY §2)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+def test_standalone_attention_classes():
+    from svt_speechbrain_tpu.nnet.attention import (
+        ContentBasedAttention, KeyValueAttention, LocationAwareAttention)
+
+    rng = np.random.default_rng(0)
+    enc = jnp.asarray(rng.normal(size=(4, 10, 20)), jnp.float32)
+    dec = jnp.asarray(rng.normal(size=(4, 25)), jnp.float32)
+    enc_len = jnp.full((4,), 7)
+    for net in (ContentBasedAttention(20, 25, 30, 5),
+                LocationAwareAttention(20, 25, 30, 5, 10, 16),
+                KeyValueAttention(20, 25, 30, 5)):
+        p = net.init(jax.random.PRNGKey(0))
+        out, w = net(p, enc, enc_len, dec)
+        assert out.shape == (4, 5)
+        ww = np.asarray(w).reshape(4, -1)
+        np.testing.assert_allclose(ww.sum(-1), 1.0, atol=1e-5)
+        assert ww[:, 7:].max() == 0.0  # padding masked
+
+    # location-aware threads prev_attn
+    net = LocationAwareAttention(20, 25, 30, 5, 10, 16)
+    p = net.init(jax.random.PRNGKey(1))
+    _, w1 = net(p, enc, enc_len, dec)
+    out2, w2 = net(p, enc, enc_len, dec, prev_attn=w1)
+    assert out2.shape == (4, 5)
+    assert not np.allclose(np.asarray(w1), np.asarray(w2))
+
+
+def test_rnn_cells_match_scan_rnn():
+    from svt_speechbrain_tpu.nnet.rnn import GRU, GRUCell, LSTMCell, RNNCell
+
+    rng = np.random.default_rng(0)
+    seq = jnp.asarray(rng.normal(size=(3, 5, 8)), jnp.float32)
+    gru = GRU(6, input_size=8, num_layers=2)
+    p = gru.init(jax.random.PRNGKey(1))
+    full, _ = gru(p, seq)
+    cell = GRUCell(6, input_size=8, num_layers=2)
+    st, outs = None, []
+    for t in range(5):
+        o, st = cell(p, seq[:, t], st)
+        outs.append(o)
+    np.testing.assert_allclose(np.stack(outs, 1), np.asarray(full), atol=1e-6)
+    for cls in (RNNCell, LSTMCell):
+        c = cls(6, input_size=8)
+        out, _ = c(c.init(jax.random.PRNGKey(0)), seq[:, 0])
+        assert out.shape == (3, 6)
+
+
+def test_gumbel_softmax_and_adaptive_pool():
+    import torch
+
+    from svt_speechbrain_tpu.nnet.activations import GumbelSoftmax
+    from svt_speechbrain_tpu.nnet.pooling import AdaptivePool
+
+    x = np.random.default_rng(0).normal(size=(2, 13, 6)).astype(np.float32)
+    got = np.asarray(AdaptivePool(4)({}, jnp.asarray(x)))
+    exp = (torch.nn.AdaptiveAvgPool1d(4)(torch.tensor(x).permute(0, 2, 1))
+           .permute(0, 2, 1).numpy())
+    np.testing.assert_allclose(got, exp, atol=1e-6)
+
+    y = GumbelSoftmax(0.8, hard=True)({}, jnp.asarray(x),
+                                      rng=jax.random.PRNGKey(1))
+    np.testing.assert_allclose(np.asarray(y).sum(-1), 1.0, atol=1e-5)
+    # straight-through output is one-hot up to float cancellation
+    ya = np.asarray(y)
+    assert np.all((np.abs(ya) < 1e-5) | (np.abs(ya - 1.0) < 1e-5))
+
+
+def test_checkpoint_hook_registry():
+    import tempfile
+
+    from svt_speechbrain_tpu.utils.checkpoints import (
+        Checkpointer, average_state_dicts, mark_as_loader, mark_as_saver,
+        register_checkpoint_hooks)
+
+    @register_checkpoint_hooks
+    class Counter:
+        def __init__(self):
+            self.n = 0
+
+        @mark_as_saver
+        def save(self, path):
+            with open(path, "w") as f:
+                f.write(str(self.n))
+
+        @mark_as_loader
+        def load(self, path, end_of_epoch=True):
+            with open(path) as f:
+                self.n = int(f.read())
+
+    d = tempfile.mkdtemp()
+    c = Counter()
+    c.n = 42
+    ck = Checkpointer(d, {"counter": c})
+    ck.save_checkpoint()
+    c.n = 0
+    ck.recover_if_possible()
+    assert c.n == 42
+    assert float(average_state_dicts([{"a": 1.0}, {"a": 3.0}])["a"]) == 2.0
+
+
+def test_lm_fused_beam_search_prefers_lm_tokens():
+    """Shallow fusion shifts the decode toward LM-favored tokens."""
+    from svt_speechbrain_tpu.decoders.seq2seq import S2SRNNBeamSearchLM
+    from svt_speechbrain_tpu.nnet.embedding import Embedding
+    from svt_speechbrain_tpu.nnet.linear import Linear
+    from svt_speechbrain_tpu.nnet.rnn import AttentionalRNNDecoder
+
+    vocab, emb_dim, enc_dim = 6, 8, 10
+    emb = Embedding(vocab, emb_dim)
+    dec = AttentionalRNNDecoder("gru", "content", hidden_size=12, attn_dim=8,
+                                num_layers=1, enc_dim=enc_dim,
+                                input_size=emb_dim)
+    fc = Linear(vocab, 12)  # decoder out_proj emits hidden_size features
+    k = jax.random.split(jax.random.PRNGKey(0), 3)
+    params = {"emb": emb.init(k[0]), "dec": dec.init(k[1]), "fc": fc.init(k[2])}
+
+    # a fake LM that strongly favors token 3
+    class BiasLM:
+        def __call__(self, p, prefix):
+            logits = np.zeros((prefix.shape[0], prefix.shape[1], vocab),
+                              np.float32)
+            logits[:, :, 3] = 8.0
+            return jnp.asarray(logits)
+
+    enc_states = jnp.asarray(
+        np.random.default_rng(0).normal(size=(1, 7, enc_dim)), jnp.float32)
+    enc_lens = jnp.ones((1,))
+    common = dict(bos_index=0, eos_index=1, min_decode_ratio=0.0,
+                  max_decode_ratio=0.6, beam_size=3, using_eos_threshold=False)
+    no_lm = S2SRNNBeamSearchLM(emb, dec, fc, BiasLM(), {}, params,
+                               lm_weight=0.0, **common)
+    with_lm = S2SRNNBeamSearchLM(emb, dec, fc, BiasLM(), {}, params,
+                                 lm_weight=5.0, **common)
+    hyps0, _ = no_lm(enc_states, enc_lens)
+    hyps1, _ = with_lm(enc_states, enc_lens)
+    frac0 = np.mean([t == 3 for t in hyps0[0]]) if hyps0[0] else 0.0
+    frac1 = np.mean([t == 3 for t in hyps1[0]]) if hyps1[0] else 0.0
+    assert frac1 >= frac0
+    assert frac1 > 0.9  # LM dominates with weight 5
+
+
+def test_transformer_beam_search_runs():
+    from svt_speechbrain_tpu.decoders.seq2seq import S2STransformerBeamSearch
+    from svt_speechbrain_tpu.models.transformer_asr import TransformerASR
+    from svt_speechbrain_tpu.nnet.linear import Linear
+
+    vocab = 8
+    model = TransformerASR(tgt_vocab=vocab, input_size=12, d_model=16,
+                           nhead=4, num_encoder_layers=1,
+                           num_decoder_layers=1, d_ffn=32)
+    lin = Linear(vocab, 16)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    mp, lp = model.init(k1), lin.init(k2)
+    src = jnp.asarray(np.random.default_rng(0).normal(size=(2, 9, 12)),
+                      jnp.float32)
+    enc, _kpm = model.encode(mp, src)
+    searcher = S2STransformerBeamSearch(
+        [model, lin], [mp, lp], bos_index=0, eos_index=1,
+        min_decode_ratio=0.0, max_decode_ratio=0.5, beam_size=2,
+        using_eos_threshold=False)
+    hyps, scores = searcher(enc, jnp.ones((2,)))
+    assert len(hyps) == 2 and len(scores) == 2
+
+
+def test_misc_small_apis():
+    from svt_speechbrain_tpu.dataio.dataio import (convert_index_to_lab,
+                                                   merge_char, split_word)
+    from svt_speechbrain_tpu.decoders.seq2seq import (
+        batch_filter_seq2seq_output, filter_seq2seq_output)
+    from svt_speechbrain_tpu.lm.counting import (ngrams,
+                                                 ngrams_for_evaluation,
+                                                 pad_ends)
+    from svt_speechbrain_tpu.nnet.losses import get_mask
+    from svt_speechbrain_tpu.utils.metric_stats import EER
+
+    assert filter_seq2seq_output([1, 2, -1, 3]) == [1, 2]
+    assert batch_filter_seq2seq_output([[1, -1], [2]]) == [[1], [2]]
+    s = pad_ends(["a", "b"])
+    assert list(ngrams(s, 2)) == [("<s>", "a"), ("a", "b"), ("b", "</s>")]
+    assert list(ngrams_for_evaluation(["a", "b", "c"], 2)) == [
+        ("b", ["a"]), ("c", ["b"])]
+    assert merge_char([list("ab_cd")]) == [["ab", "cd"]]
+    assert split_word([["ab", "cd"]]) == [list("ab_cd")]
+    assert convert_index_to_lab([[0, 1]], {0: "a", 1: "b"}) == [["a", "b"]]
+    m = get_mask(jnp.zeros((2, 4, 3)), jnp.asarray([2, 4]))
+    assert m.shape == (2, 4, 1)
+    assert m[0, :, 0].tolist() == [1, 1, 0, 0]
+    eer, _ = EER(np.array([0.9, 0.8]), np.array([0.1, 0.2]))
+    assert eer == 0.0
+
+
+def test_instance_norm2d_and_si_snr_module():
+    import torch
+
+    from svt_speechbrain_tpu.nnet.loss.si_snr_loss import si_snr_loss
+    from svt_speechbrain_tpu.nnet.normalization import InstanceNorm2d
+
+    x = np.random.default_rng(0).normal(size=(2, 5, 7, 3)).astype(np.float32)
+    got = np.asarray(InstanceNorm2d(3)({}, jnp.asarray(x)))
+    exp = torch.nn.InstanceNorm2d(3)(
+        torch.tensor(x).permute(0, 3, 1, 2)).permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(got, exp, atol=1e-4)
+
+    t = np.sin(np.arange(8000) / 20).astype(np.float32)[None]
+    perfect = float(si_snr_loss(jnp.asarray(t), jnp.asarray(t)))
+    noisy = float(si_snr_loss(jnp.asarray(t + 0.3), jnp.asarray(t)))
+    assert perfect < noisy
