@@ -205,3 +205,178 @@ class CRNN(Module):
             else:
                 x = fwd
         return x
+
+
+class CConv2d(Module):
+    """Complex 2-D convolution over (batch, H, W, 2C)
+    (reference ``complex_networks/c_CNN.py`` CConv2d)."""
+
+    def __init__(self, out_channels, kernel_size, input_shape=None,
+                 input_size=None, stride=1, dilation=1, padding="same",
+                 bias=True):
+        if input_size is None and input_shape is not None:
+            input_size = input_shape[-1]
+        check_complex_input((input_size,))
+        from svt_speechbrain_tpu.nnet.cnn import Conv2d
+
+        self.in_complex = input_size // 2
+        self.out_channels = out_channels
+        self.conv_r = Conv2d(out_channels, kernel_size, self.in_complex,
+                             stride=stride, dilation=dilation,
+                             padding=padding, bias=False)
+        self.conv_i = Conv2d(out_channels, kernel_size, self.in_complex,
+                             stride=stride, dilation=dilation,
+                             padding=padding, bias=False)
+        self.bias = bias
+
+    def init(self, rng):
+        k1, k2 = split_rngs(rng, 2)
+        params = {"real": self.conv_r.init(k1), "imag": self.conv_i.init(k2)}
+        if self.bias:
+            params["bias"] = jnp.zeros((2 * self.out_channels,))
+        return params
+
+    def __call__(self, params, x):
+        xr, xi = get_real(x), get_imag(x)
+        yr = self.conv_r(params["real"], xr) - self.conv_i(params["imag"], xi)
+        yi = self.conv_r(params["real"], xi) + self.conv_i(params["imag"], xr)
+        y = jnp.concatenate([yr, yi], axis=-1)
+        if self.bias:
+            y = y + params["bias"]
+        return y
+
+
+class CLayerNorm(Module):
+    """Complex layer norm, split mode: each component standardized over
+    features (the reference's ``c_normalization.py`` also offers full
+    covariance whitening; the split variant matches its "split" mode and is
+    the documented simplification, like ``CBatchNorm``)."""
+
+    def __init__(self, input_size, eps=1e-5):
+        self.input_size = input_size
+        self.eps = eps
+
+    def init(self, rng):
+        del rng
+        return {"scale": jnp.ones((self.input_size,)),
+                "bias": jnp.zeros((self.input_size,))}
+
+    def __call__(self, params, x):
+        from svt_speechbrain_tpu.nnet.normalization import layer_norm
+
+        xr, xi = get_real(x), get_imag(x)
+        h = self.input_size // 2
+        yr = layer_norm(xr, params["scale"][:h], params["bias"][:h], eps=self.eps)
+        yi = layer_norm(xi, params["scale"][h:], params["bias"][h:], eps=self.eps)
+        return jnp.concatenate([yr, yi], axis=-1)
+
+
+class _CGatedRNNBase(Module):
+    """Shared machinery for gated complex recurrences (CLSTM / CLiGRU):
+    complex affine maps per gate, split (component-wise) activations —
+    the reference's design (``c_RNN.py``: gates act on the packed 2H
+    vector)."""
+
+    GATES = ()
+
+    def __init__(self, hidden_size, input_shape=None, input_size=None,
+                 num_layers=1, bidirectional=False):
+        if input_size is None and input_shape is not None:
+            input_size = input_shape[-1]
+        check_complex_input((input_size,))
+        self.hidden_size = hidden_size
+        self.input_size = input_size
+        self.num_layers = num_layers
+        self.bidirectional = bidirectional
+
+    def init(self, rng):
+        params = {}
+        n_dir = 2 if self.bidirectional else 1
+        g = len(self.GATES)
+        keys = split_rngs(rng, self.num_layers * n_dir * g * 2)
+        ki = 0
+        for layer in range(self.num_layers):
+            in_c = (self.input_size if layer == 0
+                    else 2 * self.hidden_size * n_dir) // 2
+            for d in range(n_dir):
+                name = f"l{layer}" + ("_rev" if d else "")
+                p = {}
+                for gate in self.GATES:
+                    wr_ih, wi_ih = complex_init(keys[ki], in_c, self.hidden_size)
+                    wr_hh, wi_hh = complex_init(keys[ki + 1], self.hidden_size,
+                                                self.hidden_size)
+                    p[gate] = {"wr_ih": wr_ih, "wi_ih": wi_ih,
+                               "wr_hh": wr_hh, "wi_hh": wi_hh,
+                               "bias": jnp.zeros((2 * self.hidden_size,))}
+                    ki += 2
+                params[name] = p
+                ki += 0
+        return params
+
+    def _gate(self, p, gate, x_t, h):
+        g = p[gate]
+        return (complex_linear_op(x_t, g["wr_ih"], g["wi_ih"], g["bias"])
+                + complex_linear_op(h, g["wr_hh"], g["wi_hh"]))
+
+    def _run(self, p, x, reverse=False):
+        if reverse:
+            x = jnp.flip(x, axis=1)
+        state0 = self._init_state(x.shape[0])
+
+        def step(state, x_t):
+            new = self._cell(p, x_t, state)
+            out = new[0] if isinstance(new, tuple) else new
+            return new, out
+
+        _, outs = jax.lax.scan(step, state0, jnp.moveaxis(x, 1, 0))
+        outs = jnp.moveaxis(outs, 0, 1)
+        return jnp.flip(outs, axis=1) if reverse else outs
+
+    def __call__(self, params, x):
+        for layer in range(self.num_layers):
+            fwd = self._run(params[f"l{layer}"], x)
+            if self.bidirectional:
+                bwd = self._run(params[f"l{layer}_rev"], x, reverse=True)
+                x = jnp.concatenate([fwd, bwd], axis=-1)
+            else:
+                x = fwd
+        return x
+
+
+class CLSTM(_CGatedRNNBase):
+    """Complex LSTM with split activations (reference ``c_RNN.py`` CLSTM)."""
+
+    GATES = ("i", "f", "g", "o")
+
+    def _init_state(self, batch):
+        z = jnp.zeros((batch, 2 * self.hidden_size))
+        return (z, z)
+
+    def _cell(self, p, x_t, state):
+        h, c = state
+        i = jax.nn.sigmoid(self._gate(p, "i", x_t, h))
+        f = jax.nn.sigmoid(self._gate(p, "f", x_t, h))
+        g = jnp.tanh(self._gate(p, "g", x_t, h))
+        o = jax.nn.sigmoid(self._gate(p, "o", x_t, h))
+        c_new = f * c + i * g
+        return (o * jnp.tanh(c_new), c_new)
+
+
+class CLiGRU(_CGatedRNNBase):
+    """Complex light GRU (reference ``c_RNN.py`` CLiGRU): update gate +
+    ReLU candidate, no reset gate."""
+
+    GATES = ("z", "h")
+
+    def _init_state(self, batch):
+        return jnp.zeros((batch, 2 * self.hidden_size))
+
+    def _cell(self, p, x_t, h):
+        z = jax.nn.sigmoid(self._gate(p, "z", x_t, h))
+        hcand = jax.nn.relu(self._gate(p, "h", x_t, h))
+        return z * h + (1 - z) * hcand
+
+
+CRNN_Layer = CRNN
+CLSTM_Layer = CLSTM
+CLiGRU_Layer = CLiGRU

@@ -121,10 +121,11 @@ class QConv1d(Module):
         ci = lambda v: self.convs["i"](params["i"], v)
         cj = lambda v: self.convs["j"](params["j"], v)
         ck = lambda v: self.convs["k"](params["k"], v)
+        # same x ⊗ W convention as quaternion_linear_op (tested equal at 1x1)
         yr = cr(xr) - ci(xi) - cj(xj) - ck(xk)
-        yi = cr(xi) + ci(xr) + cj(xk) - ck(xj)
-        yj = cr(xj) - ci(xk) + cj(xr) + ck(xi)
-        yk = cr(xk) + ci(xj) - cj(xi) + ck(xr)
+        yi = ci(xr) + cr(xi) + ck(xj) - cj(xk)
+        yj = cj(xr) - ck(xi) + cr(xj) + ci(xk)
+        yk = ck(xr) + cj(xi) - ci(xj) + cr(xk)
         y = jnp.concatenate([yr, yi, yj, yk], axis=-1)
         if self.bias:
             y = y + params["bias"]
@@ -191,3 +192,172 @@ class QRNN(Module):
             else:
                 x = fwd
         return x
+
+
+class QConv2d(Module):
+    """Quaternion 2-D convolution over (batch, H, W, 4C)
+    (reference ``quaternion_networks/q_CNN.py`` QConv2d)."""
+
+    def __init__(self, out_channels, kernel_size, input_shape=None,
+                 input_size=None, stride=1, dilation=1, padding="same",
+                 bias=True):
+        if input_size is None and input_shape is not None:
+            input_size = input_shape[-1]
+        check_quaternion_input((input_size,))
+        from svt_speechbrain_tpu.nnet.cnn import Conv2d
+
+        self.in_q = input_size // 4
+        self.out_channels = out_channels
+        self.convs = {c: Conv2d(out_channels, kernel_size, self.in_q,
+                                stride=stride, dilation=dilation,
+                                padding=padding, bias=False)
+                      for c in "rijk"}
+        self.bias = bias
+
+    def init(self, rng):
+        keys = split_rngs(rng, 4)
+        params = {c: conv.init(k) for (c, conv), k in zip(self.convs.items(), keys)}
+        if self.bias:
+            params["bias"] = jnp.zeros((4 * self.out_channels,))
+        return params
+
+    def __call__(self, params, x):
+        xr, xi, xj, xk = split_quaternion(x)
+        cr = lambda v: self.convs["r"](params["r"], v)
+        ci = lambda v: self.convs["i"](params["i"], v)
+        cj = lambda v: self.convs["j"](params["j"], v)
+        ck = lambda v: self.convs["k"](params["k"], v)
+        # same x ⊗ W convention as quaternion_linear_op (tested equal at 1x1)
+        yr = cr(xr) - ci(xi) - cj(xj) - ck(xk)
+        yi = ci(xr) + cr(xi) + ck(xj) - cj(xk)
+        yj = cj(xr) - ck(xi) + cr(xj) + ci(xk)
+        yk = ck(xr) + cj(xi) - ci(xj) + cr(xk)
+        y = jnp.concatenate([yr, yi, yj, yk], axis=-1)
+        if self.bias:
+            y = y + params["bias"]
+        return y
+
+
+class QBatchNorm(Module):
+    """Quaternion batch norm, split mode: component-wise standardization
+    (the reference's ``q_normalization.py`` full quaternion whitening is
+    simplified to its split variant, like ``CBatchNorm``)."""
+
+    def __init__(self, input_size, dim=-1, eps=1e-5, momentum=0.1):
+        from svt_speechbrain_tpu.nnet.normalization import BatchNorm1d
+
+        self.bn = BatchNorm1d(input_size, eps=eps, momentum=momentum)
+
+    def init(self, rng):
+        return self.bn.init(rng)
+
+    def init_state(self):
+        return self.bn.init_state()
+
+    def __call__(self, params, state, x, train=False):
+        return self.bn(params, state, x, train=train)
+
+
+class _QGatedRNNBase(Module):
+    """Gated quaternion recurrences (QLSTM / QLiGRU): Hamilton-product
+    affine maps per gate with split activations (reference ``q_RNN.py``)."""
+
+    GATES = ()
+
+    def __init__(self, hidden_size, input_shape=None, input_size=None,
+                 num_layers=1, bidirectional=False):
+        if input_size is None and input_shape is not None:
+            input_size = input_shape[-1]
+        check_quaternion_input((input_size,))
+        self.hidden_size = hidden_size
+        self.input_size = input_size
+        self.num_layers = num_layers
+        self.bidirectional = bidirectional
+
+    def init(self, rng):
+        params = {}
+        n_dir = 2 if self.bidirectional else 1
+        keys = split_rngs(rng, self.num_layers * n_dir * len(self.GATES) * 2)
+        ki = 0
+        for layer in range(self.num_layers):
+            in_q = (self.input_size if layer == 0
+                    else 4 * self.hidden_size * n_dir) // 4
+            for d in range(n_dir):
+                name = f"l{layer}" + ("_rev" if d else "")
+                p = {}
+                for gate in self.GATES:
+                    w_ih = quaternion_init(keys[ki], in_q, self.hidden_size)
+                    w_hh = quaternion_init(keys[ki + 1], self.hidden_size,
+                                           self.hidden_size)
+                    p[gate] = {"ih": w_ih, "hh": w_hh,
+                               "bias": jnp.zeros((4 * self.hidden_size,))}
+                    ki += 2
+                params[name] = p
+        return params
+
+    def _gate(self, p, gate, x_t, h):
+        g = p[gate]
+        return (quaternion_linear_op(x_t, *g["ih"], bias=g["bias"])
+                + quaternion_linear_op(h, *g["hh"]))
+
+    def _run(self, p, x, reverse=False):
+        if reverse:
+            x = jnp.flip(x, axis=1)
+        state0 = self._init_state(x.shape[0])
+
+        def step(state, x_t):
+            new = self._cell(p, x_t, state)
+            out = new[0] if isinstance(new, tuple) else new
+            return new, out
+
+        _, outs = jax.lax.scan(step, state0, jnp.moveaxis(x, 1, 0))
+        outs = jnp.moveaxis(outs, 0, 1)
+        return jnp.flip(outs, axis=1) if reverse else outs
+
+    def __call__(self, params, x):
+        for layer in range(self.num_layers):
+            fwd = self._run(params[f"l{layer}"], x)
+            if self.bidirectional:
+                bwd = self._run(params[f"l{layer}_rev"], x, reverse=True)
+                x = jnp.concatenate([fwd, bwd], axis=-1)
+            else:
+                x = fwd
+        return x
+
+
+class QLSTM(_QGatedRNNBase):
+    """Quaternion LSTM (reference ``q_RNN.py`` QLSTM)."""
+
+    GATES = ("i", "f", "g", "o")
+
+    def _init_state(self, batch):
+        z = jnp.zeros((batch, 4 * self.hidden_size))
+        return (z, z)
+
+    def _cell(self, p, x_t, state):
+        h, c = state
+        i = jax.nn.sigmoid(self._gate(p, "i", x_t, h))
+        f = jax.nn.sigmoid(self._gate(p, "f", x_t, h))
+        g = jnp.tanh(self._gate(p, "g", x_t, h))
+        o = jax.nn.sigmoid(self._gate(p, "o", x_t, h))
+        c_new = f * c + i * g
+        return (o * jnp.tanh(c_new), c_new)
+
+
+class QLiGRU(_QGatedRNNBase):
+    """Quaternion light GRU (reference ``q_RNN.py`` QLiGRU)."""
+
+    GATES = ("z", "h")
+
+    def _init_state(self, batch):
+        return jnp.zeros((batch, 4 * self.hidden_size))
+
+    def _cell(self, p, x_t, h):
+        z = jax.nn.sigmoid(self._gate(p, "z", x_t, h))
+        hcand = jax.nn.relu(self._gate(p, "h", x_t, h))
+        return z * h + (1 - z) * hcand
+
+
+QRNN_Layer = QRNN
+QLSTM_Layer = QLSTM
+QLiGRU_Layer = QLiGRU

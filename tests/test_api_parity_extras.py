@@ -215,3 +215,49 @@ def test_instance_norm2d_and_si_snr_module():
     perfect = float(si_snr_loss(jnp.asarray(t), jnp.asarray(t)))
     noisy = float(si_snr_loss(jnp.asarray(t + 0.3), jnp.asarray(t)))
     assert perfect < noisy
+
+
+def test_complex_quaternion_2d_and_rnn_variants():
+    """CConv2d/QConv2d with 1x1 kernels must equal the complex/quaternion
+    linear ops (algebra check), and the gated recurrences must run bidir
+    stacks with finite grads."""
+    from svt_speechbrain_tpu.nnet.complex_networks import (
+        CConv2d, CLayerNorm, CLiGRU, CLSTM, complex_linear_op)
+    from svt_speechbrain_tpu.nnet.quaternion_networks import (
+        QBatchNorm, QConv2d, QLiGRU, QLSTM, quaternion_linear_op)
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(3, 1, 1, 8)), jnp.float32)
+
+    cconv = CConv2d(5, 1, input_size=8, bias=False)
+    p = cconv.init(jax.random.PRNGKey(0))
+    got = np.asarray(cconv(p, x))[:, 0, 0]
+    exp = np.asarray(complex_linear_op(
+        x[:, 0, 0], p["real"]["w"][0, 0], p["imag"]["w"][0, 0]))
+    np.testing.assert_allclose(got, exp, atol=1e-5)
+
+    qconv = QConv2d(5, 1, input_size=8, bias=False)
+    p = qconv.init(jax.random.PRNGKey(1))
+    got = np.asarray(qconv(p, x))[:, 0, 0]
+    exp = np.asarray(quaternion_linear_op(
+        x[:, 0, 0], p["r"]["w"][0, 0], p["i"]["w"][0, 0],
+        p["j"]["w"][0, 0], p["k"]["w"][0, 0]))
+    np.testing.assert_allclose(got, exp, atol=1e-5)
+
+    seq = jnp.asarray(rng.normal(size=(2, 7, 8)), jnp.float32)
+    for cls, width in ((CLSTM, 2), (CLiGRU, 2), (QLSTM, 4), (QLiGRU, 4)):
+        m = cls(4, input_size=8, num_layers=2, bidirectional=True)
+        p = m.init(jax.random.PRNGKey(2))
+        out = m(p, seq)
+        assert out.shape == (2, 7, 2 * width * 4)
+        g = jax.grad(lambda pp: jnp.sum(jnp.square(m(pp, seq))))(p)
+        gn = max(float(jnp.abs(l).max()) for l in jax.tree_util.tree_leaves(g))
+        assert np.isfinite(gn) and gn > 0
+
+    ln = CLayerNorm(8)
+    y = ln(ln.init(None), seq)
+    assert y.shape == seq.shape
+
+    bn = QBatchNorm(8)
+    y, st = bn(bn.init(None), bn.init_state(), seq, train=True)
+    assert y.shape == seq.shape
