@@ -75,3 +75,32 @@ class HMMAligner:
             path, score = self.align(emission_lps[i, :t], phns_batch[i, :un])
             out.append((path, score))
         return out
+
+
+def batch_log_matvecmul(A, b):
+    """Log-space matrix × vector: out[i] = logsumexp_j(A[ij] + b[j]),
+    batched (reference ``aligner.py:1077``)."""
+    import jax.numpy as jnp
+
+    return jax.nn.logsumexp(A + b[:, None, :], axis=-1)
+
+
+def batch_log_maxvecmul(A, b):
+    """Max-plus matrix × vector with argmax, batched
+    (reference ``aligner.py:1107``): returns (max values, argmax indices)."""
+    import jax.numpy as jnp
+
+    scores = A + b[:, None, :]
+    return jnp.max(scores, axis=-1), jnp.argmax(scores, axis=-1)
+
+
+def map_inds_to_intersect(lists1, lists2, ind2labs):
+    """Map two index-sequence lists onto a shared label-intersection index
+    space (reference ``aligner.py:998``). Returns (mapped1, mapped2,
+    new_lab2ind)."""
+    ind2lab1, ind2lab2 = ind2labs
+    labs = sorted(set(ind2lab1.values()) | set(ind2lab2.values()))
+    new_lab2ind = {lab: i for i, lab in enumerate(labs)}
+    mapped1 = [[new_lab2ind[ind2lab1[i]] for i in seq] for seq in lists1]
+    mapped2 = [[new_lab2ind[ind2lab2[i]] for i in seq] for seq in lists2]
+    return mapped1, mapped2, new_lab2ind

@@ -102,3 +102,30 @@ class PaddedBatch:
             elif isinstance(val, np.ndarray) and val.dtype != object:
                 out[key] = val
         return out
+
+
+class BatchsizeGuesser:
+    """Figure out the batch size of heterogeneous batch objects without ever
+    erroring out (reference ``batch.py:190``); falls back to 1."""
+
+    def guess(self, batch):
+        try:
+            if hasattr(batch, "batchsize"):
+                return batch.batchsize
+            if hasattr(batch, "shape"):
+                return batch.shape[0]
+            if isinstance(batch, dict) and batch:
+                return self.guess(next(iter(batch.values())))
+            if isinstance(batch, (list, tuple)) and batch:
+                first = batch[0]
+                if hasattr(first, "shape"):
+                    return first.shape[0]
+                if isinstance(first, (int, float, str)):
+                    return len(batch)
+                return self.guess(first)
+        except Exception:
+            pass
+        return 1
+
+    def __call__(self, batch):
+        return self.guess(batch)

@@ -246,3 +246,66 @@ def write_txt_file(data, filename, sampling_rate=None):
     with open(filename, "w") as f:
         for line in data:
             f.write(str(line) + "\n")
+
+
+def get_md5(file):
+    """MD5 checksum of a file (reference ``dataio.py:771``)."""
+    import hashlib
+
+    hash_md5 = hashlib.md5()
+    with open(file, "rb") as f:
+        for chunk in iter(lambda: f.read(65536), b""):
+            hash_md5.update(chunk)
+    return hash_md5.hexdigest()
+
+
+def save_md5(files, out_file):
+    """Save file → md5 dict as pickle (reference ``dataio.py:800``)."""
+    md5_dict = {f: get_md5(f) for f in files}
+    save_pkl(md5_dict, out_file)
+
+
+def write_stdout(data, filename=None):
+    """Print lines to stdout (reference ``dataio.py:1011``)."""
+    for line in data:
+        print(line)
+
+
+class IterativeCSVWriter:
+    """Incremental CSV writing by keyword fields
+    (reference ``dataio.py:1043``)."""
+
+    def __init__(self, outstream, data_fields, defaults={}):
+        self._outstream = outstream
+        self.fields = ["ID"] + data_fields
+        self.defaults = defaults
+        self._outstream.write(",".join(self.fields))
+
+    def set_default(self, field, value):
+        if field not in self.fields:
+            raise ValueError(f"{field} is not a field in this CSV")
+        self.defaults[field] = value
+
+    def write(self, *args, **kwargs):
+        if args and kwargs:
+            raise ValueError("Use either positional fields or keyword fields")
+        if args:
+            if len(args) != len(self.fields):
+                raise ValueError("Need consistent fields")
+            to_write = [str(arg) for arg in args]
+        else:
+            full = dict(self.defaults, **kwargs)
+            to_write = [str(full.get(field, "")) for field in self.fields]
+        self._outstream.write("\n" + ",".join(to_write))
+
+    def write_batch(self, *args, **kwargs):
+        if args and kwargs:
+            raise ValueError("Use either positional fields or keyword fields")
+        if args:
+            if len(args) != len(self.fields):
+                raise ValueError("Need consistent fields")
+            for arg_row in zip(*args):
+                self.write(*arg_row)
+        else:
+            for row in zip(*kwargs.values()):
+                self.write(**dict(zip(kwargs.keys(), row)))

@@ -132,3 +132,68 @@ class ConformerEncoder(Module):
                       src_key_padding_mask=src_key_padding_mask,
                       rng=rngs[i], train=train)
         return x
+
+
+class ConformerDecoderLayer(Module):
+    """Causal conformer decoder layer (reference ``Conformer.py:446``):
+    encoder-layer recipe with look-ahead-masked self-attention plus a
+    cross-attention block over the encoder memory."""
+
+    def __init__(self, d_model, d_ffn, nhead, kernel_size=31, dropout=0.0):
+        self.inner = ConformerEncoderLayer(d_model, d_ffn, nhead,
+                                           kernel_size=kernel_size,
+                                           dropout=dropout, causal=True,
+                                           attention_type="regularMHA")
+        self.cross = MultiheadAttention(nhead, d_model, dropout=dropout)
+        self.norm_cross = LayerNorm(d_model)
+        self.dropout = dropout
+
+    def init(self, rng):
+        k1, k2 = split_rngs(rng, 2)
+        return {"inner": self.inner.init(k1), "cross": self.cross.init(k2),
+                "norm_cross": self.norm_cross.init(None)}
+
+    def __call__(self, params, tgt, memory, memory_key_padding_mask=None,
+                 rng=None, train=False):
+        r1, r2 = split_rngs(rng, 2) if rng is not None else (None, None)
+        t = tgt.shape[1]
+        causal = jnp.tril(jnp.ones((t, t), bool))
+        h = self.inner.norm_mha(params["inner"]["norm_mha"], tgt)
+        attn_out, _ = self.inner.mha(params["inner"]["mha"], h, h, h,
+                                     attn_mask=~causal, rng=r1, train=train)
+        x = tgt + 0.5 * self.inner._half_ffn(params["inner"], tgt, 1, None, train)
+        x = x + attn_out
+        # cross attention over the encoder memory
+        hc = self.norm_cross(params["norm_cross"], x)
+        cross_out = self.cross(params["cross"], hc, memory, memory,
+                               key_padding_mask=memory_key_padding_mask,
+                               rng=r2, train=train, return_attn_weights=False)
+        x = x + cross_out
+        x = x + self.inner.conv(params["inner"]["conv"], x)
+        x = x + 0.5 * self.inner._half_ffn(params["inner"], x, 2, None, train)
+        return self.inner.norm_out(params["inner"]["norm_out"], x)
+
+
+class ConformerDecoder(Module):
+    """Stack of causal conformer decoder layers
+    (reference ``Conformer.py:554``)."""
+
+    def __init__(self, num_layers, nhead, d_ffn, d_model, kernel_size=31,
+                 dropout=0.0):
+        self.layers = [ConformerDecoderLayer(d_model, d_ffn, nhead,
+                                             kernel_size=kernel_size,
+                                             dropout=dropout)
+                       for _ in range(num_layers)]
+
+    def init(self, rng):
+        keys = split_rngs(rng, len(self.layers))
+        return {str(i): l.init(k) for i, (l, k) in enumerate(zip(self.layers, keys))}
+
+    def __call__(self, params, tgt, memory, memory_key_padding_mask=None,
+                 rng=None, train=False):
+        rngs = split_rngs(rng, len(self.layers)) if rng is not None else [None] * len(self.layers)
+        for i, layer in enumerate(self.layers):
+            tgt = layer(params[str(i)], tgt, memory,
+                        memory_key_padding_mask=memory_key_padding_mask,
+                        rng=rngs[i], train=train)
+        return tgt

@@ -144,3 +144,8 @@ class VanillaNN(Module):
         for i, blk in enumerate(self.blocks):
             x = act(blk(params[str(i)], x))
         return x
+
+
+# Reference public names (``lobes/models/CRDNN.py``)
+CNN_Block = CNNBlock
+DNN_Block = DNNBlock

@@ -147,3 +147,61 @@ class MetricGAN_U_Discriminator(MetricDiscriminator):
     def __call__(self, params, spec):
         # spec: (B, T, F) → (B, T, F, 1)
         return super().__call__(params, spec[..., None])
+
+
+def shifted_sigmoid(x):
+    """MetricGAN's rescaled sigmoid (reference ``MetricGAN.py:30``)."""
+    return 1.2 / (1 + jnp.exp(-(1 / 1.6) * x))
+
+
+class Learnable_sigmoid(Module):
+    """Per-feature learnable-slope sigmoid scaled to (0, 1.2)
+    (reference ``MetricGAN.py:34``)."""
+
+    def __init__(self, in_features=257):
+        self.in_features = in_features
+
+    def init(self, rng):
+        del rng
+        return {"slope": jnp.ones((self.in_features,))}
+
+    def __call__(self, params, x):
+        return 1.2 * jax.nn.sigmoid(params["slope"] * x)
+
+
+def d1_loss(d_outputs, reduction="mean"):
+    """SEGAN discriminator loss on clean inputs (reference
+    ``segan_model.py:195``)."""
+    out = 0.5 * jnp.square(d_outputs - 1.0)
+    if reduction == "mean":
+        return jnp.mean(out)
+    return jnp.mean(out.reshape(out.shape[0], -1), axis=1)
+
+
+def d2_loss(d_outputs, reduction="mean"):
+    """SEGAN discriminator loss on enhanced inputs (reference
+    ``segan_model.py:204``)."""
+    out = 0.5 * jnp.square(d_outputs)
+    if reduction == "mean":
+        return jnp.mean(out)
+    return jnp.mean(out.reshape(out.shape[0], -1), axis=1)
+
+
+def g3_loss(d_outputs, predictions, targets, length=None, l1LossCoeff=100.0,
+            klLossCoeff=0.0, z_mean=None, z_logvar=None, reduction="mean"):
+    """SEGAN generator loss: adversarial + L1 (+ optional VAE KL)
+    (reference ``segan_model.py:213``)."""
+    discrimloss = 0.5 * jnp.square(d_outputs - 1.0)
+    l1norm = jnp.abs(predictions - targets)
+    if z_mean is not None:
+        var = jnp.exp(z_logvar)
+        kl = 0.5 * (var + jnp.square(z_mean) - 1.0 - z_logvar)
+        kl = jnp.mean(jnp.sum(kl, axis=tuple(range(1, kl.ndim))))
+    else:
+        kl = 0.0
+    if reduction == "mean":
+        return (jnp.mean(discrimloss) + l1LossCoeff * jnp.mean(l1norm)
+                + klLossCoeff * kl)
+    dl = jnp.mean(discrimloss.reshape(discrimloss.shape[0], -1), axis=1)
+    ll = jnp.mean(l1norm.reshape(l1norm.shape[0], -1), axis=1)
+    return dl + l1LossCoeff * ll + klLossCoeff * kl

@@ -218,3 +218,103 @@ Dual_Path_Model = DualPathModel
 SepformerWrapper = SepFormer
 Encoder = TasNetEncoder
 Decoder = TasNetDecoder
+
+
+def choose_norm(norm_type, channel_size):
+    """Norm factory (reference ``conv_tasnet.py`` choose_norm): "gLN" global,
+    "cLN" channelwise, else batch norm."""
+    if norm_type == "gLN":
+        return GlobalLayerNorm(channel_size)
+    if norm_type == "cLN":
+        return ChannelwiseLayerNorm(channel_size)
+    from svt_speechbrain_tpu.nnet.normalization import BatchNorm1d
+
+    return BatchNorm1d(channel_size)
+
+
+class GlobalLayerNorm(Module):
+    """gLN: statistics over (time, channels) per item with affine
+    channel params (reference ``conv_tasnet.py`` GlobalLayerNorm /
+    ``dual_path.py`` GlobalLayerNorm)."""
+
+    def __init__(self, channel_size, eps=1e-8):
+        self.channel_size = channel_size
+        self.eps = eps
+
+    def init(self, rng):
+        del rng
+        return {"scale": jnp.ones((self.channel_size,)),
+                "bias": jnp.zeros((self.channel_size,))}
+
+    def __call__(self, params, x):
+        axes = tuple(range(1, x.ndim))
+        mean = jnp.mean(x, axis=axes, keepdims=True)
+        var = jnp.mean(jnp.square(x - mean), axis=axes, keepdims=True)
+        return ((x - mean) / jnp.sqrt(var + self.eps)) * params["scale"] + params["bias"]
+
+
+class ChannelwiseLayerNorm(Module):
+    """cLN: per-frame statistics over channels (reference
+    ``conv_tasnet.py`` ChannelwiseLayerNorm)."""
+
+    def __init__(self, channel_size, eps=1e-8):
+        self.channel_size = channel_size
+        self.eps = eps
+
+    def init(self, rng):
+        del rng
+        return {"scale": jnp.ones((self.channel_size,)),
+                "bias": jnp.zeros((self.channel_size,))}
+
+    def __call__(self, params, x):
+        mean = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
+        return ((x - mean) / jnp.sqrt(var + self.eps)) * params["scale"] + params["bias"]
+
+
+CumulativeLayerNorm = ChannelwiseLayerNorm
+
+
+class SBTransformerBlock(Module):
+    """Pluggable intra/inter transformer block for dual-path models
+    (reference ``dual_path.py`` SBTransformerBlock)."""
+
+    def __init__(self, num_layers, d_model, nhead, d_ffn=2048,
+                 use_positional_encoding=False):
+        self.encoder = TransformerEncoder(num_layers, nhead, d_ffn,
+                                          d_model=d_model)
+        self.pos = (PositionalEncoding(d_model)
+                    if use_positional_encoding else None)
+
+    def init(self, rng):
+        return {"encoder": self.encoder.init(rng)}
+
+    def __call__(self, params, x):
+        if self.pos is not None:
+            x = x + self.pos(None, x)
+        out = self.encoder(params["encoder"], x)
+        return out[0] if isinstance(out, tuple) else out
+
+
+class SBRNNBlock(Module):
+    """Pluggable RNN block for dual-path models
+    (reference ``dual_path.py`` SBRNNBlock): bidirectional RNN + linear
+    projection back to the model width."""
+
+    def __init__(self, input_size, hidden_channels, num_layers=1,
+                 rnn_type="lstm", bidirectional=True):
+        from svt_speechbrain_tpu.nnet.rnn import GRU, LSTM
+
+        cls = {"lstm": LSTM, "gru": GRU}[rnn_type.lower()]
+        self.rnn = cls(hidden_channels, input_size=input_size,
+                       num_layers=num_layers, bidirectional=bidirectional)
+        width = hidden_channels * (2 if bidirectional else 1)
+        self.proj = Linear(input_size, width)
+
+    def init(self, rng):
+        k1, k2 = split_rngs(rng, 2)
+        return {"rnn": self.rnn.init(k1), "proj": self.proj.init(k2)}
+
+    def __call__(self, params, x):
+        out, _ = self.rnn(params["rnn"], x)
+        return self.proj(params["proj"], out)

@@ -215,3 +215,57 @@ class TransformerDecoder(Module):
             self_attns.append(sa)
             cross_attns.append(ca)
         return self.norm(params["norm"], tgt), self_attns, cross_attns
+
+
+class NormalizedEmbedding(Module):
+    """Token embedding scaled by sqrt(d_model)
+    (reference ``Transformer.py:178``)."""
+
+    def __init__(self, d_model, vocab):
+        from svt_speechbrain_tpu.nnet.embedding import Embedding
+
+        self.d_model = d_model
+        self.emb = Embedding(vocab, d_model)
+
+    def init(self, rng):
+        return self.emb.init(rng)
+
+    def __call__(self, params, x):
+        return self.emb(params, x) * jnp.sqrt(jnp.asarray(self.d_model,
+                                                          jnp.float32))
+
+
+class TransformerInterface(Module):
+    """Encoder(+decoder) assembly base (reference ``Transformer.py:19``):
+    picks transformer or conformer encoders by ``encoder_module`` and owns
+    the positional encoding — the shared backbone under TransformerASR/SE/ST."""
+
+    def __init__(self, d_model=512, nhead=8, num_encoder_layers=6,
+                 num_decoder_layers=6, d_ffn=2048, dropout=0.1,
+                 encoder_module="transformer", kernel_size=31,
+                 attention_type="regularMHA", positional_encoding="fixed_abs_sine",
+                 max_length=2500, causal=False):
+        self.encoder_module = encoder_module
+        self.positional_encoding = (PositionalEncoding(d_model, max_len=max_length)
+                                    if positional_encoding else None)
+        if encoder_module == "conformer":
+            from svt_speechbrain_tpu.models.conformer import ConformerEncoder
+
+            self.encoder = ConformerEncoder(
+                num_encoder_layers, d_model=d_model, d_ffn=d_ffn, nhead=nhead,
+                kernel_size=kernel_size, dropout=dropout, causal=causal)
+        else:
+            self.encoder = TransformerEncoder(num_encoder_layers, nhead, d_ffn,
+                                              d_model=d_model, dropout=dropout)
+        self.decoder = (TransformerDecoder(num_decoder_layers, nhead, d_ffn,
+                                           d_model=d_model, dropout=dropout)
+                        if num_decoder_layers > 0 else None)
+
+    def init(self, rng):
+        from svt_speechbrain_tpu.nnet.core import split_rngs
+
+        k1, k2 = split_rngs(rng, 2)
+        params = {"encoder": self.encoder.init(k1)}
+        if self.decoder is not None:
+            params["decoder"] = self.decoder.init(k2)
+        return params

@@ -50,3 +50,37 @@ class Xvector(Module):
             x = norm(params[f"tdnn{i}"]["norm"], x)
         stats = self.pool(None, x, lengths=lengths)
         return self.fc(params["fc"], stats)[:, None, :]
+
+
+class Discriminator(Module):
+    """MLP discriminator over xvector embeddings
+    (reference ``Xvector.py:176``): lin_blocks × [Linear → LayerNorm →
+    activation] → 1 logit."""
+
+    def __init__(self, input_size=512, lin_blocks=2, lin_neurons=512):
+        from svt_speechbrain_tpu.nnet.linear import Linear
+        from svt_speechbrain_tpu.nnet.normalization import LayerNorm
+
+        self.blocks = []
+        in_size = input_size
+        for _ in range(lin_blocks):
+            self.blocks.append((Linear(lin_neurons, in_size),
+                                LayerNorm(lin_neurons)))
+            in_size = lin_neurons
+        self.out = Linear(1, in_size)
+
+    def init(self, rng):
+        from svt_speechbrain_tpu.nnet.core import split_rngs
+
+        keys = split_rngs(rng, len(self.blocks) + 1)
+        params = {"out": self.out.init(keys[-1])}
+        for i, (lin, norm) in enumerate(self.blocks):
+            params[f"block{i}"] = {"linear": lin.init(keys[i]),
+                                   "norm": norm.init(None)}
+        return params
+
+    def __call__(self, params, x):
+        for i, (lin, norm) in enumerate(self.blocks):
+            p = params[f"block{i}"]
+            x = jax.nn.leaky_relu(norm(p["norm"], lin(p["linear"], x)))
+        return self.out(params["out"], x)

@@ -8,6 +8,8 @@ even kernels alike.
 """
 from __future__ import annotations
 
+import math
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -255,3 +257,62 @@ class SincConv(Module):
         conv = Conv1d(self.out_channels, self.kernel_size, self.in_channels,
                       stride=self.stride, dilation=self.dilation, padding=self.padding, bias=False)
         return conv({"w": w}, x)
+
+
+def get_padding_elem(L_in, stride, kernel_size, dilation):
+    """Per-side same-padding amounts (reference ``CNN.py:1002``)."""
+    if stride > 1:
+        padding = [math.floor(kernel_size / 2), math.floor(kernel_size / 2)]
+    else:
+        L_out = math.floor((L_in - dilation * (kernel_size - 1) - 1) / stride) + 1
+        padding = [math.floor((L_in - L_out) / 2),
+                   math.floor((L_in - L_out) / 2)]
+    return padding
+
+
+def get_padding_elem_transposed(L_out, L_in, stride, kernel_size, dilation,
+                                output_padding):
+    """Padding for ConvTranspose to reach an exact output length
+    (reference ``CNN.py:1027``)."""
+    padding = -0.5 * (L_out - (L_in - 1) * stride - dilation
+                      * (kernel_size - 1) - output_padding - 1)
+    return int(padding)
+
+
+class Conv2dWithConstraint(Conv2d):
+    """Conv2d with a per-filter kernel max-norm constraint applied at call
+    time (reference ``CNN.py:661``; torch renorms in-place on forward —
+    functionally, the renormalized weight is used for the computation)."""
+
+    def __init__(self, *args, max_norm=1.0, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.max_norm = max_norm
+
+    def __call__(self, params, x):
+        w = params["w"]
+        norm = jnp.sqrt(jnp.sum(jnp.square(w), axis=tuple(range(w.ndim - 1)),
+                                keepdims=True))
+        scale = jnp.minimum(1.0, self.max_norm / jnp.maximum(norm, 1e-12))
+        params = dict(params, w=w * scale)
+        return super().__call__(params, x)
+
+
+class DepthwiseSeparableConv2d(Module):
+    """Depthwise (per-channel) + pointwise 1x1 2-D convolution
+    (reference ``CNN.py:930``)."""
+
+    def __init__(self, out_channels, kernel_size, in_channels, stride=1,
+                 dilation=1, padding="same", bias=True):
+        self.depthwise = Conv2d(in_channels, kernel_size, in_channels,
+                                stride=stride, dilation=dilation,
+                                padding=padding, groups=in_channels, bias=bias)
+        self.pointwise = Conv2d(out_channels, 1, in_channels, bias=bias)
+
+    def init(self, rng):
+        k1, k2 = split_rngs(rng, 2)
+        return {"depthwise": self.depthwise.init(k1),
+                "pointwise": self.pointwise.init(k2)}
+
+    def __call__(self, params, x):
+        return self.pointwise(params["pointwise"],
+                              self.depthwise(params["depthwise"], x))

@@ -51,3 +51,19 @@ class Linear(Module):
         if self.bias:
             y = y + params["b"]
         return y
+
+
+class LinearWithConstraint(Linear):
+    """Linear with a max-norm weight constraint applied at call time
+    (reference ``linear.py:80``)."""
+
+    def __init__(self, *args, max_norm=1.0, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.max_norm = max_norm
+
+    def __call__(self, params, x):
+        w = params["w"]
+        norm = jnp.sqrt(jnp.sum(jnp.square(w), axis=0, keepdims=True))
+        scale = jnp.minimum(1.0, self.max_norm / jnp.maximum(norm, 1e-12))
+        params = dict(params, w=w * scale)
+        return super().__call__(params, x)

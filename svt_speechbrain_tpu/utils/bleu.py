@@ -77,3 +77,8 @@ class BLEUStats:
         if field is not None:
             return self.summary[field]
         return self.summary
+
+
+def merge_words(sequences):
+    """Word lists → space-joined phrases (reference ``bleu.py:4``)."""
+    return [" ".join(seq) for seq in sequences]

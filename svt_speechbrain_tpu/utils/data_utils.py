@@ -159,3 +159,31 @@ def mod_default_collate(batch):
     if isinstance(elem, int):
         return _np.asarray(batch)
     return batch
+
+
+def split_by_whitespace(text):
+    """str.split wrapper usable as a pipeline function
+    (reference ``data_utils.py:77``)."""
+    return text.split()
+
+
+def split_list(seq, num):
+    """Split a sequence into ``num`` nearly-equal chunks
+    (reference ``data_utils.py:39``)."""
+    seq = list(seq)
+    avg = len(seq) / float(num)
+    out, last = [], 0.0
+    while last < len(seq):
+        out.append(seq[int(last):int(last + avg)])
+        last += avg
+    return out
+
+
+def recursive_items(dictionary):
+    """Yield (key, value) pairs of a nested dict, depth-first
+    (reference ``data_utils.py:57``)."""
+    for key, value in dictionary.items():
+        if isinstance(value, dict):
+            yield from recursive_items(value)
+        else:
+            yield (key, value)

@@ -64,3 +64,14 @@ def DER(ref_segments, sys_segments, collar=0.25, frame=0.01):
     if ref_time == 0:
         return 0.0
     return 100.0 * (miss + fa + conf) / ref_time
+
+
+def rectify(arr):
+    """Corner-case cleanup + percentage conversion (reference ``DER.py:24``):
+    NaN (0/0) → 0, inf (x/0) → 1, then ×100."""
+    import numpy as np
+
+    arr = np.asarray(arr, dtype=np.float64)
+    arr[np.isnan(arr)] = 0
+    arr[np.isinf(arr)] = 1
+    return arr * 100.0

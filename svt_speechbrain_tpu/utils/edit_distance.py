@@ -164,3 +164,57 @@ def wer_summary(details_by_utterance):
         "substitutions": subs,
     }
     return wer_details
+
+
+def wer_details_by_utterance(ref_dict, hyp_dict, compute_alignments=False,
+                             scoring_mode="strict"):
+    """Per-utterance WER details from id → token-list dicts
+    (reference ``edit_distance.py:391``). ``scoring_mode``: "strict" raises
+    on missing hyps, "present" skips them, "all" scores them empty."""
+    details = []
+    for utt_id, ref in ref_dict.items():
+        if utt_id not in hyp_dict:
+            if scoring_mode == "strict":
+                raise KeyError(f"Missing hypothesis for {utt_id}")
+            if scoring_mode == "present":
+                continue
+            hyp = []
+        else:
+            hyp = hyp_dict[utt_id]
+        d = wer_details_for_batch([utt_id], [ref], [hyp],
+                                  compute_alignments=compute_alignments)[0]
+        details.append(d)
+    return details
+
+
+def wer_details_by_speaker(details_by_utterance, utt2spk):
+    """Group utterance details per speaker (reference
+    ``edit_distance.py:476``): returns spk → accumulated stats dict."""
+    by_spk = {}
+    for d in details_by_utterance:
+        spk = utt2spk.get(d["key"], "unknown")
+        s = by_spk.setdefault(spk, {
+            "speaker": spk, "num_edits": 0, "num_ref_tokens": 0,
+            "insertions": 0, "deletions": 0, "substitutions": 0,
+            "num_scored_sentences": 0})
+        s["num_scored_sentences"] += 1
+        for k_out, k_in in (("insertions", "insertions"),
+                            ("deletions", "deletions"),
+                            ("substitutions", "substitutions"),
+                            ("num_edits", "num_edits"),
+                            ("num_ref_tokens", "num_ref_tokens")):
+            s[k_out] += d[k_in]
+    for s in by_spk.values():
+        s["WER"] = 100.0 * s["num_edits"] / max(s["num_ref_tokens"], 1)
+    return by_spk
+
+
+def top_wer_utts(details_by_utterance, top_k=20):
+    """Worst-WER utterances (reference ``edit_distance.py:548``)."""
+    scored = [d for d in details_by_utterance if d.get("num_ref_tokens")]
+    return sorted(scored, key=lambda d: -d["WER"])[:top_k]
+
+
+def top_wer_spks(details_by_speaker, top_k=10):
+    """Worst-WER speakers (reference ``edit_distance.py:580``)."""
+    return sorted(details_by_speaker.values(), key=lambda d: -d["WER"])[:top_k]

@@ -261,3 +261,132 @@ def test_complex_quaternion_2d_and_rnn_variants():
     bn = QBatchNorm(8)
     y, st = bn(bn.init(None), bn.init_state(), seq, train=True)
     assert y.shape == seq.shape
+
+
+def test_sweep_batch2_model_helpers():
+    """MetricGAN/SEGAN helpers, dual-path blocks & norms, conformer decoder,
+    constraint layers, Discriminator, batch-size guesser."""
+    from svt_speechbrain_tpu.dataio.batch import BatchsizeGuesser
+    from svt_speechbrain_tpu.models.conformer import ConformerDecoder
+    from svt_speechbrain_tpu.models.enhancement import (Learnable_sigmoid,
+                                                        d1_loss, d2_loss,
+                                                        g3_loss,
+                                                        shifted_sigmoid)
+    from svt_speechbrain_tpu.models.separation import (ChannelwiseLayerNorm,
+                                                       GlobalLayerNorm,
+                                                       SBRNNBlock,
+                                                       SBTransformerBlock,
+                                                       choose_norm)
+    from svt_speechbrain_tpu.models.transformer import (NormalizedEmbedding,
+                                                        TransformerInterface)
+    from svt_speechbrain_tpu.models.xvector import Discriminator
+    from svt_speechbrain_tpu.nnet.cnn import (Conv2dWithConstraint,
+                                              DepthwiseSeparableConv2d)
+    from svt_speechbrain_tpu.nnet.linear import LinearWithConstraint
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 9, 12)), jnp.float32)
+
+    # MetricGAN sigmoids bounded by 1.2
+    ls = Learnable_sigmoid(12)
+    y = ls(ls.init(None), x)
+    assert float(jnp.max(y)) < 1.2 and float(jnp.min(y)) > 0.0
+    assert float(shifted_sigmoid(jnp.asarray(100.0))) == pytest.approx(1.2)
+
+    # SEGAN losses: perfect discriminator output (1) → zero d1 loss
+    assert float(d1_loss(jnp.ones((2, 5)))) == 0.0
+    assert float(d2_loss(jnp.zeros((2, 5)))) == 0.0
+    g = g3_loss(jnp.ones((2, 5)), x, x, l1LossCoeff=100.0)
+    assert float(g) == 0.0
+
+    # norms + factory
+    for norm in (GlobalLayerNorm(12), ChannelwiseLayerNorm(12),
+                 choose_norm("gLN", 12), choose_norm("cLN", 12)):
+        y = norm(norm.init(None), x)
+        assert y.shape == x.shape
+
+    # pluggable dual-path blocks
+    for blk in (SBTransformerBlock(1, 12, 4, 24, use_positional_encoding=True),
+                SBRNNBlock(12, 8, 1)):
+        p = blk.init(jax.random.PRNGKey(0))
+        assert blk(p, x).shape == x.shape
+
+    # conformer decoder stack
+    dec = ConformerDecoder(2, nhead=4, d_ffn=24, d_model=12, kernel_size=7)
+    out = dec(dec.init(jax.random.PRNGKey(1)), x[:, :5], x)
+    assert out.shape == (2, 5, 12) and np.isfinite(np.asarray(out)).all()
+
+    # interface assembly + scaled embedding
+    ti = TransformerInterface(d_model=12, nhead=4, num_encoder_layers=1,
+                              num_decoder_layers=1, d_ffn=24)
+    assert set(ti.init(jax.random.PRNGKey(2))) == {"encoder", "decoder"}
+    ne = NormalizedEmbedding(12, 7)
+    e = ne(ne.init(jax.random.PRNGKey(3)), jnp.asarray([[1, 2]]))
+    assert e.shape == (1, 2, 12)
+
+    # constraint layers really bound the effective weight norm
+    img = jnp.asarray(rng.normal(size=(2, 6, 6, 3)), jnp.float32)
+    conv = Conv2dWithConstraint(4, 3, 3, max_norm=0.1)
+    p = conv.init(jax.random.PRNGKey(4))
+    big = dict(p, w=p["w"] * 1e4)
+    np.testing.assert_allclose(np.asarray(conv(big, img)),
+                               np.asarray(conv(dict(p, w=p["w"] * 1e8), img)),
+                               rtol=1e-4)
+    lin = LinearWithConstraint(4, 12, max_norm=0.1)
+    lp = lin.init(jax.random.PRNGKey(5))
+    np.testing.assert_allclose(
+        np.asarray(lin(dict(lp, w=lp["w"] * 1e4), x[:, 0])),
+        np.asarray(lin(dict(lp, w=lp["w"] * 1e8), x[:, 0])), rtol=1e-4)
+
+    ds = DepthwiseSeparableConv2d(5, 3, 3)
+    assert ds(ds.init(jax.random.PRNGKey(6)), img).shape == (2, 6, 6, 5)
+
+    # Discriminator + Xvector head
+    d = Discriminator(input_size=16, lin_neurons=8)
+    assert d(d.init(jax.random.PRNGKey(7)), jnp.ones((3, 16))).shape == (3, 1)
+
+    g = BatchsizeGuesser()
+    assert g(np.zeros((4, 2))) == 4 and g("weird") == 1
+
+
+def test_sweep_batch2_util_helpers():
+    import io
+
+    from svt_speechbrain_tpu.alignment.aligner import (batch_log_matvecmul,
+                                                       batch_log_maxvecmul,
+                                                       map_inds_to_intersect)
+    from svt_speechbrain_tpu.dataio.dataio import IterativeCSVWriter
+    from svt_speechbrain_tpu.utils.bleu import merge_words
+    from svt_speechbrain_tpu.utils.der import rectify
+    from svt_speechbrain_tpu.utils.edit_distance import (
+        top_wer_spks, top_wer_utts, wer_details_by_speaker,
+        wer_details_by_utterance)
+
+    det = wer_details_by_utterance({"u1": ["a", "b"], "u2": ["c"]},
+                                   {"u1": ["a", "x"], "u2": ["c"]})
+    spk = wer_details_by_speaker(det, {"u1": "s1", "u2": "s2"})
+    assert spk["s1"]["WER"] == 50.0 and spk["s2"]["WER"] == 0.0
+    assert top_wer_utts(det)[0]["key"] == "u1"
+    assert top_wer_spks(spk)[0]["speaker"] == "s1"
+    with pytest.raises(KeyError):
+        wer_details_by_utterance({"u": ["a"]}, {}, scoring_mode="strict")
+    assert wer_details_by_utterance({"u": ["a"]}, {},
+                                    scoring_mode="present") == []
+
+    A = jnp.log(jnp.full((2, 3, 4), 0.25))
+    b = jnp.log(jnp.full((2, 4), 0.25))
+    # logsumexp over 4 terms of log(1/16) = log(1/4)
+    np.testing.assert_allclose(np.asarray(batch_log_matvecmul(A, b)),
+                               np.log(0.25), atol=1e-6)
+    v, i = batch_log_maxvecmul(A, b)
+    np.testing.assert_allclose(np.asarray(v), np.log(1 / 16), atol=1e-6)
+    m1, m2, l2i = map_inds_to_intersect([[0]], [[0]], ({0: "a"}, {0: "b"}))
+    assert l2i == {"a": 0, "b": 1} and m1 == [[0]] and m2 == [[1]]
+
+    assert merge_words([["a", "b"]]) == ["a b"]
+    assert list(rectify(np.array([np.nan, np.inf, 0.5]))) == [0.0, 100.0, 50.0]
+
+    out = io.StringIO()
+    w = IterativeCSVWriter(out, ["duration"])
+    w.write(ID="u1", duration=2.5)
+    assert out.getvalue().splitlines() == ["ID,duration", "u1,2.5"]
