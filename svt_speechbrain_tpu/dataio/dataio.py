@@ -309,3 +309,18 @@ class IterativeCSVWriter:
         else:
             for row in zip(*kwargs.values()):
                 self.write(**dict(zip(kwargs.keys(), row)))
+
+
+def read_kaldi_lab(kaldi_ali, kaldi_lab_opts):
+    """Read kaldi alignment labels (reference ``dataio.py:822``); needs the
+    optional ``kaldi_io`` package and kaldi binaries on PATH."""
+    try:
+        import kaldi_io
+    except ImportError as e:
+        raise ImportError(
+            "read_kaldi_lab needs the optional kaldi_io package") from e
+    return {
+        k: v for k, v in kaldi_io.read_vec_int_ark(
+            f"gunzip -c {kaldi_ali}/ali*.gz | "
+            f"{kaldi_lab_opts} {kaldi_ali}/final.mdl ark:- ark:-|")
+    }

@@ -100,3 +100,16 @@ def dynamic_bucketed_batch(data, len_key=None, sampler_kwargs=None,
         for i in reversed(indices):
             del databuffer[i]
         yield collate_fn(batch) if collate_fn is not None else batch
+
+
+class RatioIndex:
+    """(index, ratio) pair ordered by ratio (reference
+    ``iterators.py:RatioIndex``) — used when picking the worst-padding
+    element to evict from the bucket buffer."""
+
+    def __init__(self, index, ratio):
+        self.index = index
+        self.ratio = ratio
+
+    def __lt__(self, other):
+        return self.ratio < other.ratio

@@ -76,3 +76,11 @@ def load_sb_extended_csv(csv_path, replacements={}):
         dynamic_items_to_add.append(
             dict(func=make_loader(), takes=name, provides=name + "_data"))
     return result, dynamic_items_to_add, [n + "_data" for n in names]
+
+
+def read_pkl(file, data_format="pkl", sampling_rate=None):
+    """Unpickle a data file (reference ``legacy.py:read_pkl``)."""
+    from svt_speechbrain_tpu.dataio.dataio import load_pkl
+
+    del data_format, sampling_rate
+    return load_pkl(file)

@@ -384,3 +384,136 @@ class AVHubertPretrain(Module):
             jnp.sum(mask_f), 1.0)
         return loss, {"masked_loss": masked_loss, "unmasked_loss": unmasked_loss,
                       "masked_acc": acc}, new_state
+
+
+# Reference public names (``fairseq_wav2vec.py`` / ``hubert.py``): the
+# finetune/pretrain bridges carry the reference fairseq-facing names too.
+SubModel = AudioSubModel
+FairseqAVHubertFinetune = FairseqAVHubert
+FairseqAVHubertPretrain = AVHubertPretrain
+
+
+class FairseqWav2Vec2(Module):
+    """wav2vec 2.0 encoder loaded from a *fairseq* checkpoint
+    (reference ``fairseq_wav2vec.py:26`` FairseqWav2Vec2): same architecture
+    as the HF bridge, different checkpoint key naming. ``load_pretrained``
+    reads a local fairseq ``.pt`` via ``convert_fairseq``."""
+
+    def __init__(self, pretrained_path=None, output_norm=True, freeze=False,
+                 config=None):
+        from svt_speechbrain_tpu.models.wav2vec2 import (HuggingFaceWav2Vec2,
+                                                         Wav2Vec2Config)
+
+        self.pretrained_path = pretrained_path
+        self.bridge = HuggingFaceWav2Vec2(
+            config=config or Wav2Vec2Config.large_lv60(),
+            output_norm=output_norm, freeze=freeze)
+
+    @property
+    def config(self):
+        return self.bridge.config
+
+    def init(self, rng):
+        return self.bridge.init(rng)
+
+    def load_pretrained(self):
+        import os
+
+        from svt_speechbrain_tpu.models.convert_fairseq import (
+            convert_wav2vec2_fairseq_state_dict, load_fairseq_state_dict)
+
+        if self.pretrained_path and os.path.exists(self.pretrained_path):
+            sd = load_fairseq_state_dict(self.pretrained_path)
+            return {"encoder": convert_wav2vec2_fairseq_state_dict(
+                sd, self.bridge.config)}
+        return None
+
+    def __call__(self, params, wav, **kwargs):
+        return self.bridge(params, wav, **kwargs)
+
+    def extract_features(self, params, wav, **kwargs):
+        return self(params, wav, **kwargs)
+
+
+class FairseqWav2Vec1(Module):
+    """wav2vec 1.0 (reference ``fairseq_wav2vec.py:502``): conv feature
+    encoder + conv context network, no transformer."""
+
+    def __init__(self, conv_dim=(64,) * 5, conv_kernel=(10, 8, 4, 4, 4),
+                 conv_stride=(5, 4, 2, 2, 2), context_layers=9,
+                 context_kernel=3, embedding_dim=512):
+        from svt_speechbrain_tpu.nnet.cnn import Conv1d
+
+        self.feature_convs = []
+        in_ch = 1
+        for dim, k, s in zip(conv_dim, conv_kernel, conv_stride):
+            self.feature_convs.append(Conv1d(dim, k, in_ch, stride=s,
+                                             padding="valid"))
+            in_ch = dim
+        self.context_convs = [
+            Conv1d(embedding_dim, context_kernel,
+                   in_ch if i == 0 else embedding_dim, padding="causal")
+            for i in range(context_layers)]
+
+    def init(self, rng):
+        keys = split_rngs(rng, len(self.feature_convs) + len(self.context_convs))
+        params = {}
+        for i, c in enumerate(self.feature_convs):
+            params[f"feat{i}"] = c.init(keys[i])
+        for i, c in enumerate(self.context_convs):
+            params[f"ctx{i}"] = c.init(keys[len(self.feature_convs) + i])
+        return params
+
+    def __call__(self, params, wav):
+        x = wav[..., None]
+        for i, c in enumerate(self.feature_convs):
+            x = jax.nn.relu(c(params[f"feat{i}"], x))
+        for i, c in enumerate(self.context_convs):
+            x = jax.nn.relu(c(params[f"ctx{i}"], x))
+        return x
+
+
+def load_label(label_path, inds, tot):
+    """Select label lines by index (reference ``hubert_dataset.py:80``)."""
+    with open(label_path) as f:
+        labels = [line.rstrip() for line in f]
+    assert len(labels) == tot, \
+        f"number of labels does not match ({len(labels)} != {tot})"
+    return [labels[i] for i in inds]
+
+
+def load_label_offset(label_path, inds, tot):
+    """Byte offsets of selected label lines
+    (reference ``hubert_dataset.py:90``)."""
+    import itertools
+
+    with open(label_path) as f:
+        code_lengths = [len(line.encode("utf-8")) for line in f]
+    assert len(code_lengths) == tot, \
+        f"number of labels does not match ({len(code_lengths)} != {tot})"
+    offsets = list(itertools.accumulate([0] + code_lengths))
+    return [(offsets[i], offsets[i + 1]) for i in inds]
+
+
+def verify_label_lengths(audio_sizes, audio_rate, label_path, label_rate,
+                         inds, tot, tol=0.1):
+    """Warn when audio and frame-label durations disagree by more than
+    ``tol`` seconds (reference ``hubert_dataset.py:101``); returns the number
+    of mismatches."""
+    import logging
+
+    if label_rate < 0:
+        return 0
+    with open(label_path) as f:
+        lengths = [len(line.rstrip().split()) for line in f]
+    assert len(lengths) == tot
+    num_invalid = 0
+    for i, ind in enumerate(inds):
+        dur_from_audio = audio_sizes[i] / audio_rate
+        dur_from_label = lengths[ind] / label_rate
+        if abs(dur_from_audio - dur_from_label) > tol:
+            logging.getLogger(__name__).warning(
+                "audio and label duration differ: audio=%.3f label=%.3f",
+                dur_from_audio, dur_from_label)
+            num_invalid += 1
+    return num_invalid

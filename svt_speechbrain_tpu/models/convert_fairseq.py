@@ -147,3 +147,70 @@ def load_avhubert(path, config):
     """Load + convert; returns (params, state)."""
     sd = load_fairseq_state_dict(path)
     return convert_avhubert_state_dict(sd, config)
+
+
+def convert_wav2vec2_fairseq_state_dict(sd, config):
+    """fairseq ``Wav2Vec2Model`` state dict → our ``Wav2Vec2Encoder`` params
+    (reference loads these via fairseq runtime, ``fairseq_interface.py:26``
+    FairseqWav2Vec2). fairseq naming: ``feature_extractor.conv_layers.N.0``
+    convs (``.2``/``.2.1`` norms), ``post_extract_proj``, ``layer_norm`` (the
+    feature LN), ``encoder.pos_conv.0`` weight-normed conv,
+    ``encoder.layers.N.self_attn...`` transformer layers."""
+    sd = {k.removeprefix("w2v_model."): np.asarray(v) for k, v in sd.items()}
+
+    def get(key):
+        return sd[key]
+
+    params = {"feature_extractor": {}}
+    for i in range(len(config.conv_dim)):
+        pre = f"feature_extractor.conv_layers.{i}."
+        layer = {"conv": {"w": np.transpose(get(pre + "0.weight"), (2, 1, 0))}}
+        if pre + "0.bias" in sd:
+            layer["conv"]["b"] = get(pre + "0.bias")
+        if config.feat_extract_norm == "layer":
+            layer["layer_norm"] = {"scale": get(pre + "2.weight"),
+                                   "bias": get(pre + "2.bias")}
+        elif i == 0:
+            layer["group_norm"] = {"scale": get(pre + "2.weight"),
+                                   "bias": get(pre + "2.bias")}
+        params["feature_extractor"][str(i)] = layer
+
+    params["feat_proj_ln"] = {"scale": get("layer_norm.weight"),
+                              "bias": get("layer_norm.bias")}
+    params["feat_proj"] = {"w": _t(get("post_extract_proj.weight")),
+                           "b": get("post_extract_proj.bias")}
+    pc = "encoder.pos_conv.0."
+    g = get(pc + "weight_g") if pc + "weight_g" in sd else get(
+        pc + "parametrizations.weight.original0")
+    v = get(pc + "weight_v") if pc + "weight_v" in sd else get(
+        pc + "parametrizations.weight.original1")
+    params["pos_conv"] = {"g": np.transpose(g, (2, 1, 0)),
+                          "v": np.transpose(v, (2, 1, 0)),
+                          "b": get(pc + "bias")}
+    params["encoder_ln"] = {"scale": get("encoder.layer_norm.weight"),
+                            "bias": get("encoder.layer_norm.bias")}
+    layers = {}
+    for i in range(config.num_layers):
+        pre = f"encoder.layers.{i}."
+        layers[str(i)] = {
+            "attn": {
+                "wq": _t(get(pre + "self_attn.q_proj.weight")),
+                "bq": get(pre + "self_attn.q_proj.bias"),
+                "wk": _t(get(pre + "self_attn.k_proj.weight")),
+                "bk": get(pre + "self_attn.k_proj.bias"),
+                "wv": _t(get(pre + "self_attn.v_proj.weight")),
+                "bv": get(pre + "self_attn.v_proj.bias"),
+                "wo": _t(get(pre + "self_attn.out_proj.weight")),
+                "bo": get(pre + "self_attn.out_proj.bias"),
+            },
+            "ln1": {"scale": get(pre + "self_attn_layer_norm.weight"),
+                    "bias": get(pre + "self_attn_layer_norm.bias")},
+            "ln2": {"scale": get(pre + "final_layer_norm.weight"),
+                    "bias": get(pre + "final_layer_norm.bias")},
+            "ffn1": {"w": _t(get(pre + "fc1.weight")),
+                     "b": get(pre + "fc1.bias")},
+            "ffn2": {"w": _t(get(pre + "fc2.weight")),
+                     "b": get(pre + "fc2.bias")},
+        }
+    params["layers"] = layers
+    return params

@@ -205,3 +205,17 @@ def g3_loss(d_outputs, predictions, targets, length=None, l1LossCoeff=100.0,
     dl = jnp.mean(discrimloss.reshape(discrimloss.shape[0], -1), axis=1)
     ll = jnp.mean(l1norm.reshape(l1norm.shape[0], -1), axis=1)
     return dl + l1LossCoeff * ll + klLossCoeff * kl
+
+
+def xavier_init_layer(rng, in_size, out_size):
+    """Glorot-initialized linear params dict (the reference's
+    ``xavier_init_layer`` initializes torch layers in place,
+    ``MetricGAN.py:19``)."""
+    from svt_speechbrain_tpu.nnet.core import glorot_uniform
+
+    return {"w": glorot_uniform(rng, (in_size, out_size)),
+            "b": jnp.zeros((out_size,))}
+
+
+# Reference public name (``segan_model.py:Generator``)
+Generator = SeganGenerator

@@ -318,3 +318,122 @@ class SBRNNBlock(Module):
     def __call__(self, params, x):
         out, _ = self.rnn(params["rnn"], x)
         return self.proj(params["proj"], out)
+
+
+class Chomp1d(Module):
+    """Trim trailing frames added by causal padding
+    (reference ``conv_tasnet.py:Chomp1d``)."""
+
+    def __init__(self, chomp_size):
+        self.chomp_size = chomp_size
+
+    def __call__(self, params, x):
+        del params
+        return x[:, :-self.chomp_size] if self.chomp_size else x
+
+
+class TemporalBlocksSequential(Module):
+    """The TCN stack as its own module (reference
+    ``conv_tasnet.py:TemporalBlocksSequential``): n_repeats × n_blocks
+    dilated TemporalBlocks."""
+
+    def __init__(self, channels, hidden, kernel_size=3, n_blocks=8,
+                 n_repeats=3):
+        self.blocks = [TemporalBlock(channels, hidden, kernel_size, 2 ** b)
+                       for _ in range(n_repeats) for b in range(n_blocks)]
+
+    def init(self, rng):
+        keys = split_rngs(rng, len(self.blocks))
+        return {str(i): b.init(k) for i, (b, k) in enumerate(zip(self.blocks, keys))}
+
+    def __call__(self, params, x):
+        for i, blk in enumerate(self.blocks):
+            x = blk(params[str(i)], x)
+        return x
+
+
+class IdentityBlock(Module):
+    """No-op intra/inter block (reference ``dual_path.py:IdentityBlock``)."""
+
+    def init(self, rng):
+        del rng
+        return {}
+
+    def __call__(self, params, x, *a, **kw):
+        del params
+        return x
+
+
+class DPTNetBlock(Module):
+    """DPT-Net style block: self-attention + RNN feed-forward
+    (reference ``dual_path.py:DPTNetBlock``)."""
+
+    def __init__(self, d_model, nhead, dim_feedforward=256, dropout=0.0):
+        from svt_speechbrain_tpu.nnet.attention import MultiheadAttention
+        from svt_speechbrain_tpu.nnet.normalization import LayerNorm
+        from svt_speechbrain_tpu.nnet.rnn import GRU
+
+        self.attn = MultiheadAttention(nhead, d_model, dropout=dropout)
+        self.rnn = GRU(dim_feedforward, input_size=d_model)
+        self.proj = Linear(d_model, dim_feedforward)
+        self.norm1 = LayerNorm(d_model)
+        self.norm2 = LayerNorm(d_model)
+
+    def init(self, rng):
+        k1, k2, k3 = split_rngs(rng, 3)
+        return {"attn": self.attn.init(k1), "rnn": self.rnn.init(k2),
+                "proj": self.proj.init(k3), "norm1": self.norm1.init(None),
+                "norm2": self.norm2.init(None)}
+
+    def __call__(self, params, x):
+        a = self.attn(params["attn"], x, x, x, return_attn_weights=False)
+        x = self.norm1(params["norm1"], x + a)
+        h, _ = self.rnn(params["rnn"], x)
+        h = self.proj(params["proj"], jax.nn.relu(h))
+        return self.norm2(params["norm2"], x + h)
+
+
+class FastTransformerBlock(Module):
+    """The reference wraps the ``fast_transformers`` library
+    (``dual_path.py:FastTransformerBlock``), which is CUDA-only and not
+    installed here; use ``SBTransformerBlock`` (XLA fuses dense attention on
+    TPU — the "fast" kernels target GPU memory patterns)."""
+
+    def __init__(self, *a, **kw):
+        raise ImportError(
+            "fast_transformers is GPU-specific and not available; "
+            "use SBTransformerBlock on TPU")
+
+
+class Dual_Computation_Block(Module):
+    """One dual-path step over chunked input (B, n_chunks, chunk, d):
+    intra-chunk block + inter-chunk block with residuals
+    (reference ``dual_path.py:Dual_Computation_Block``)."""
+
+    def __init__(self, intra_mdl, inter_mdl, skip_around_intra=True):
+        self.intra = intra_mdl
+        self.inter = inter_mdl
+        self.skip_around_intra = skip_around_intra
+
+    def init(self, rng):
+        k1, k2 = split_rngs(rng, 2)
+        return {"intra": self.intra.init(k1), "inter": self.inter.init(k2)}
+
+    def __call__(self, params, x):
+        b, n_chunks, cs, d = x.shape
+        intra = self.intra(params["intra"], x.reshape(b * n_chunks, cs, d))
+        intra = intra.reshape(b, n_chunks, cs, d)
+        if self.skip_around_intra:
+            intra = intra + x
+        swapped = jnp.swapaxes(intra, 1, 2).reshape(b * cs, n_chunks, d)
+        inter = self.inter(params["inter"], swapped)
+        inter = jnp.swapaxes(inter.reshape(b, cs, n_chunks, d), 1, 2)
+        return inter + intra
+
+
+# Reference public names (``dual_path.py`` / ``conv_tasnet.py``)
+select_norm = choose_norm
+PytorchTransformerBlock = SBTransformerBlock
+PyTorchPositionalEncoding = PositionalEncoding
+
+from svt_speechbrain_tpu.nnet.cnn import DepthwiseSeparableConv1d as DepthwiseSeparableConv  # noqa: E402,F401

@@ -109,3 +109,19 @@ class TransformerLM(Module):
         mask = get_lookahead_mask(x)
         h, _ = self.encoder(params["encoder"], e, src_mask=mask, rng=rng, train=train)
         return self.out(params["out"], h)
+
+
+class EncoderWrapper(Module):
+    """Expose a TransformerASR's encode path as a standalone encoder module
+    (reference ``TransformerASR.py:EncoderWrapper``) — what inference
+    interfaces and CTC-only decoding plug into."""
+
+    def __init__(self, transformer):
+        self.transformer = transformer
+
+    def init(self, rng):
+        return self.transformer.init(rng)
+
+    def __call__(self, params, x, wav_lens=None, **kwargs):
+        out, _ = self.transformer.encode(params, x, wav_len=wav_lens)
+        return out

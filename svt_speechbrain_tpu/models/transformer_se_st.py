@@ -109,3 +109,63 @@ class IMU_CRNN(Module):
             x = self.pool(None, x)
         h, _ = self.rnn(params["rnn"], x, rng=rng, train=train)
         return self.out(params["out"], h[:, -1])
+
+
+class ConvBlock(Module):
+    """Conv1d → LayerNorm → ReLU block (reference ``IMU_CRNN.py:ConvBlock``;
+    the reference's BatchNorm is LayerNorm here, like the other lobes)."""
+
+    def __init__(self, out_channels, in_channels, kernel_size=3, stride=1):
+        from svt_speechbrain_tpu.nnet.cnn import Conv1d
+        from svt_speechbrain_tpu.nnet.normalization import LayerNorm
+
+        self.conv = Conv1d(out_channels, kernel_size, in_channels,
+                           stride=stride, padding="same")
+        self.norm = LayerNorm(out_channels)
+
+    def init(self, rng):
+        return {"conv": self.conv.init(rng), "norm": self.norm.init(None)}
+
+    def __call__(self, params, x):
+        return jax.nn.relu(self.norm(params["norm"],
+                                     self.conv(params["conv"], x)))
+
+
+class IMU_CRNN_GRU(Module):
+    """IMU CRNN with a GRU recurrence (reference ``IMU_CRNN.py:
+    IMU_CRNN_GRU``): conv blocks → GRU → linear head."""
+
+    def __init__(self, in_channels=6, conv_channels=(32, 64), hidden=64,
+                 n_classes=2):
+        from svt_speechbrain_tpu.nnet.linear import Linear
+        from svt_speechbrain_tpu.nnet.rnn import GRU
+
+        self.blocks = []
+        ch = in_channels
+        for c in conv_channels:
+            self.blocks.append(ConvBlock(c, ch))
+            ch = c
+        self.rnn = GRU(hidden, input_size=ch)
+        self.head = Linear(n_classes, hidden)
+
+    def init(self, rng):
+        keys = split_rngs(rng, len(self.blocks) + 2)
+        params = {"rnn": self.rnn.init(keys[-2]), "head": self.head.init(keys[-1])}
+        for i, b in enumerate(self.blocks):
+            params[f"block{i}"] = b.init(keys[i])
+        return params
+
+    def __call__(self, params, x):
+        for i, b in enumerate(self.blocks):
+            x = b(params[f"block{i}"], x)
+        out, _ = self.rnn(params["rnn"], x)
+        return self.head(params["head"], out[:, -1])
+
+
+def check_model(model, params, input_shape=(2, 100, 6)):
+    """Shape-check helper (reference ``IMU_CRNN.py:check_model`` prints a
+    torchsummary); returns the output shape for a dummy input."""
+    import numpy as np
+
+    x = jnp.asarray(np.zeros(input_shape, np.float32))
+    return model(params, x).shape

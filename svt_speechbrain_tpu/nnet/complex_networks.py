@@ -380,3 +380,68 @@ class CLiGRU(_CGatedRNNBase):
 CRNN_Layer = CRNN
 CLSTM_Layer = CLSTM
 CLiGRU_Layer = CLiGRU
+
+
+# --- reference ``c_ops.py`` public helpers -------------------------------
+
+def unitary_init(rng, in_features, out_features, criterion="glorot"):
+    """Unitary-ish complex init: random phases with unit-modulus columns
+    (reference ``c_ops.py:unitary_init``)."""
+    k1, k2 = split_rngs(rng, 2)
+    theta = jax.random.uniform(k1, (in_features, out_features),
+                               minval=-jnp.pi, maxval=jnp.pi)
+    del k2, criterion
+    scale = 1.0 / jnp.sqrt(jnp.asarray(in_features, jnp.float32))
+    return scale * jnp.cos(theta), scale * jnp.sin(theta)
+
+
+def affect_init(real_weight, imag_weight, init_func, rng, criterion="glorot"):
+    """Fill (real, imag) weights with ``init_func`` output
+    (reference ``c_ops.py:affect_init``)."""
+    return init_func(rng, real_weight.shape[0], real_weight.shape[1],
+                     criterion)
+
+
+def affect_conv_init(real_weight, imag_weight, kernel_size, init_func, rng,
+                     criterion="glorot"):
+    """Conv variant of ``affect_init`` (reference ``c_ops.py``)."""
+    fan_in = real_weight.shape[-2]
+    fan_out = real_weight.shape[-1]
+    r, i = init_func(rng, fan_in, fan_out, criterion)
+    shape = real_weight.shape
+    return (jnp.broadcast_to(r, shape), jnp.broadcast_to(i, shape))
+
+
+def get_conjugate(x):
+    """Negate the imaginary half of a packed complex tensor
+    (reference ``c_ops.py:get_conjugate``)."""
+    return jnp.concatenate([get_real(x), -get_imag(x)], axis=-1)
+
+
+def multi_mean(x, axes, keepdim=False):
+    """Mean over several axes sequentially (reference
+    ``c_ops.py:multi_mean``)."""
+    for ax in sorted(axes, reverse=True):
+        x = jnp.mean(x, axis=ax, keepdims=keepdim)
+    return x
+
+
+def complex_conv_op(x, real_weight, imag_weight, bias, stride=1,
+                    padding="same", dilation=1, conv1d=True):
+    """Functional complex convolution (reference ``c_ops.py:
+    complex_conv_op``): packs the two real convs of (a+ib)·(Wr+iWi)."""
+    from svt_speechbrain_tpu.nnet.cnn import Conv1d, Conv2d
+
+    cls = Conv1d if conv1d else Conv2d
+    out_ch = real_weight.shape[-1]
+    in_ch = real_weight.shape[-2]
+    k = real_weight.shape[:-2]
+    conv = cls(out_ch, k if len(k) > 1 else k[0], in_ch, stride=stride,
+               dilation=dilation, padding=padding, bias=False)
+    xr, xi = get_real(x), get_imag(x)
+    yr = conv({"w": real_weight}, xr) - conv({"w": imag_weight}, xi)
+    yi = conv({"w": real_weight}, xi) + conv({"w": imag_weight}, xr)
+    y = jnp.concatenate([yr, yi], axis=-1)
+    if bias is not None:
+        y = y + bias
+    return y

@@ -82,3 +82,38 @@ def stoi_loss(y_hat, y, lens=None, reduction="mean"):
     if reduction == "mean":
         return jnp.mean(scores)
     return scores
+
+
+def thirdoct(fs, nfft, num_bands, min_freq):
+    """One-third octave band matrix + center frequencies
+    (reference ``stoi_loss.py:14``); returns (obm (num_bands, nfft//2+1), cf)."""
+    k = np.arange(num_bands)
+    cf = 2.0 ** (k / 3.0) * min_freq
+    obm = _thirdoct(fs=fs, nfft=nfft, num_bands=num_bands, min_freq=min_freq)
+    return obm, cf
+
+
+def removeSilentFrames(x, y, dyn_range=40, framelen=256, hop=128):
+    """Drop frames of ``x`` more than ``dyn_range`` dB below its loudest
+    frame, keeping ``y`` aligned (reference ``stoi_loss.py:36``)."""
+    x = np.asarray(x, np.float64)
+    y = np.asarray(y, np.float64)
+    w = np.hanning(framelen + 2)[1:-1]
+    n_frames = max((len(x) - framelen) // hop + 1, 0)
+    if n_frames == 0:
+        return x, y
+    frames = np.stack([x[i * hop:i * hop + framelen] * w
+                       for i in range(n_frames)])
+    energies = 20 * np.log10(np.linalg.norm(frames, axis=1) / 16.0 + 1e-20)
+    mask = (np.max(energies) - dyn_range - energies) < 0
+    xs = np.zeros_like(x)
+    ys = np.zeros_like(y)
+    count = 0
+    for i in range(n_frames):
+        if mask[i]:
+            lo = count * hop
+            xs[lo:lo + framelen] += x[i * hop:i * hop + framelen] * w
+            ys[lo:lo + framelen] += y[i * hop:i * hop + framelen] * w
+            count += 1
+    end = count * hop + framelen - hop
+    return xs[:max(end, 0)], ys[:max(end, 0)]

@@ -361,3 +361,116 @@ class QLiGRU(_QGatedRNNBase):
 QRNN_Layer = QRNN
 QLSTM_Layer = QLSTM
 QLiGRU_Layer = QLiGRU
+
+
+# --- reference ``q_ops.py`` public helpers -------------------------------
+
+def unitary_init(rng, in_features, out_features, criterion="glorot"):
+    """Unit-quaternion init (reference ``q_ops.py:unitary_init``)."""
+    del criterion
+    k = jax.random.normal(rng, (4, in_features, out_features))
+    norm = jnp.sqrt(jnp.sum(jnp.square(k), axis=0, keepdims=True)) + 1e-12
+    k = k / norm / jnp.sqrt(jnp.asarray(in_features, jnp.float32))
+    return k[0], k[1], k[2], k[3]
+
+
+def affect_init(r, i, j, kk, init_func, rng, criterion="glorot"):
+    """Fill quaternion weights with ``init_func`` output
+    (reference ``q_ops.py:affect_init``)."""
+    return init_func(rng, r.shape[0], r.shape[1], criterion)
+
+
+def affect_conv_init(r, i, j, kk, kernel_size, init_func, rng,
+                     criterion="glorot"):
+    """Conv variant of ``affect_init`` (reference ``q_ops.py``)."""
+    fan_in, fan_out = r.shape[-2], r.shape[-1]
+    comps = init_func(rng, fan_in, fan_out, criterion)
+    return tuple(jnp.broadcast_to(c, r.shape) for c in comps)
+
+
+def quaternion_conv_op(x, wr, wi, wj, wk, bias, stride=1, padding="same",
+                       dilation=1, conv1d=True):
+    """Functional quaternion convolution with the x ⊗ W Hamilton layout
+    (reference ``q_ops.py:quaternion_conv_op``)."""
+    from svt_speechbrain_tpu.nnet.cnn import Conv1d, Conv2d
+
+    cls = Conv1d if conv1d else Conv2d
+    out_ch, in_ch, k = wr.shape[-1], wr.shape[-2], wr.shape[:-2]
+    conv = cls(out_ch, k if len(k) > 1 else k[0], in_ch, stride=stride,
+               dilation=dilation, padding=padding, bias=False)
+    xr, xi, xj, xk = split_quaternion(x)
+    cr = lambda v: conv({"w": wr}, v)
+    ci = lambda v: conv({"w": wi}, v)
+    cj = lambda v: conv({"w": wj}, v)
+    ck = lambda v: conv({"w": wk}, v)
+    yr = cr(xr) - ci(xi) - cj(xj) - ck(xk)
+    yi = ci(xr) + cr(xi) + ck(xj) - cj(xk)
+    yj = cj(xr) - ck(xi) + cr(xj) + ci(xk)
+    yk = ck(xr) + cj(xi) - ci(xj) + cr(xk)
+    y = jnp.concatenate([yr, yi, yj, yk], axis=-1)
+    if bias is not None:
+        y = y + bias
+    return y
+
+
+def _rotation_matrix_rows(wr, wi, wj, wk):
+    n = jnp.sqrt(wr ** 2 + wi ** 2 + wj ** 2 + wk ** 2) + 1e-12
+    r, i, j, k = wr / n, wi / n, wj / n, wk / n
+    row1 = (1 - 2 * (j ** 2 + k ** 2), 2 * (i * j - k * r), 2 * (i * k + j * r))
+    row2 = (2 * (i * j + k * r), 1 - 2 * (i ** 2 + k ** 2), 2 * (j * k - i * r))
+    row3 = (2 * (i * k - j * r), 2 * (j * k + i * r), 1 - 2 * (i ** 2 + j ** 2))
+    return row1, row2, row3
+
+
+def quaternion_linear_rotation_op(x, wr, wi, wj, wk, bias=None, scale=None):
+    """Rotation-parameterized quaternion linear op (reference
+    ``q_ops.py:quaternion_linear_rotation_op``): the 3-D vector part of the
+    input is rotated by the unit quaternion of each weight."""
+    _, xi, xj, xk = split_quaternion(x)
+    (a1, a2, a3), (b1, b2, b3), (c1, c2, c3) = _rotation_matrix_rows(
+        wr, wi, wj, wk)
+    if scale is not None:
+        a1, a2, a3 = scale * a1, scale * a2, scale * a3
+        b1, b2, b3 = scale * b1, scale * b2, scale * b3
+        c1, c2, c3 = scale * c1, scale * c2, scale * c3
+    yr = jnp.zeros(x.shape[:-1] + (wr.shape[-1],), x.dtype)
+    yi = xi @ a1 + xj @ a2 + xk @ a3
+    yj = xi @ b1 + xj @ b2 + xk @ b3
+    yk = xi @ c1 + xj @ c2 + xk @ c3
+    y = jnp.concatenate([yr, yi, yj, yk], axis=-1)
+    if bias is not None:
+        y = y + bias
+    return y
+
+
+def quaternion_conv_rotation_op(x, wr, wi, wj, wk, bias=None, scale=None,
+                                stride=1, padding="same", dilation=1,
+                                conv1d=True):
+    """Conv variant of the rotation op (reference
+    ``q_ops.py:quaternion_conv_rotation_op``)."""
+    from svt_speechbrain_tpu.nnet.cnn import Conv1d, Conv2d
+
+    cls = Conv1d if conv1d else Conv2d
+    out_ch, in_ch, k = wr.shape[-1], wr.shape[-2], wr.shape[:-2]
+    conv = cls(out_ch, k if len(k) > 1 else k[0], in_ch, stride=stride,
+               dilation=dilation, padding=padding, bias=False)
+    rows = _rotation_matrix_rows(wr, wi, wj, wk)
+    if scale is not None:
+        rows = tuple(tuple(scale * w for w in row) for row in rows)
+    _, xi, xj, xk = split_quaternion(x)
+    (a1, a2, a3), (b1, b2, b3), (c1, c2, c3) = rows
+    cv = lambda w, v: conv({"w": w}, v)
+    yi = cv(a1, xi) + cv(a2, xj) + cv(a3, xk)
+    yj = cv(b1, xi) + cv(b2, xj) + cv(b3, xk)
+    yk = cv(c1, xi) + cv(c2, xj) + cv(c3, xk)
+    yr = jnp.zeros_like(yi)
+    y = jnp.concatenate([yr, yi, yj, yk], axis=-1)
+    if bias is not None:
+        y = y + bias
+    return y
+
+
+# The reference's QuaternionLinearCustomBackward saves memory by rebuilding
+# the Hamilton weight matrix in backward; jax autodiff already recomputes it
+# from the four component weights, so the plain op is the equivalent.
+QuaternionLinearCustomBackward = quaternion_linear_op

@@ -383,3 +383,41 @@ class GRUCell(_CellBase):
 class LSTMCell(_CellBase):
     """LSTM cell stack (reference ``RNN.py:570``)."""
     INNER = LSTM
+
+
+def rnn_init(params):
+    """Orthogonalize the recurrent (hidden→hidden) weights of an RNN param
+    pytree in place of torch's ``rnn_init`` module walker
+    (reference ``RNN.py:1589``); returns a new pytree."""
+    import numpy as np
+
+    def orth(w):
+        q, _ = np.linalg.qr(np.asarray(w, dtype=np.float64))
+        return jnp.asarray(q[:, :w.shape[1]], jnp.float32)
+
+    def walk(tree):
+        if isinstance(tree, dict):
+            return {k: (orth(v) if k == "w_hh" else walk(v))
+                    for k, v in tree.items()}
+        return tree
+
+    return walk(params)
+
+
+def pack_padded_sequence(inputs, lengths):
+    """Reference ``RNN.py:1712`` packs to skip pad compute in cuDNN; XLA
+    programs are static-shape, so this is the identity with the lengths
+    carried alongside (masking happens in the losses/attention)."""
+    return inputs, jnp.asarray(lengths)
+
+
+def pad_packed_sequence(inputs):
+    """Inverse of ``pack_padded_sequence`` (reference ``RNN.py:1737``)."""
+    if isinstance(inputs, tuple):
+        return inputs[0]
+    return inputs
+
+
+# Reference layer names (``RNN.py`` LiGRU_Layer/QuasiRNNLayer wrap one layer)
+LiGRU_Layer = LiGRU
+QuasiRNNLayer = QuasiRNN

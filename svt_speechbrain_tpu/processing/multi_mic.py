@@ -198,3 +198,64 @@ class Music(Module):
         spectrum = 1.0 / denom  # (B, D)
         best = jnp.argmax(spectrum, axis=-1)
         return jnp.asarray(self.srp.dirs)[best]
+
+
+def doas2taus(doas, mics, fs, c=343.0):
+    """Directions of arrival (unit xyz) → per-mic delays in samples
+    (reference ``multi_mic.py:1292``): τ = (fs/c)·⟨doa, mic⟩."""
+    return (fs / c) * jnp.matmul(jnp.asarray(doas), jnp.asarray(mics).T)
+
+
+def tdoas2taus(tdoas):
+    """Keep the per-channel delays from a GccPhat TDOA tensor of width
+    M + M(M−1)/2 (reference ``multi_mic.py:1324``)."""
+    n = tdoas.shape[-1]
+    n_channels = int((-1 + (1 + 8 * n) ** 0.5) / 2)
+    return tdoas[..., :n_channels]
+
+
+def steering(taus, n_fft):
+    """Delays (…, n_mics) → steering vectors (…, n_fft, 2, n_mics) with
+    a = e^{−jωτ} (reference ``multi_mic.py:1336``)."""
+    frame_size = int((n_fft - 1) * 2)
+    omegas = 2 * jnp.pi * jnp.arange(n_fft) / frame_size      # (F,)
+    phase = -omegas[None, :] * jnp.asarray(taus)[..., None]   # (..., M, F)
+    a = jnp.stack([jnp.cos(phase), jnp.sin(phase)], axis=-1)  # (..., M, F, 2)
+    return jnp.moveaxis(a, -3, -1)                            # (..., F, 2, M)
+
+
+def sphere(levels_count=4):
+    """Near-uniform unit-sphere directions from a subdivided icosahedron
+    (reference ``multi_mic.py:1383``); duplicate midpoints are merged."""
+    h = (5.0 ** 0.5) / 5.0
+    r = (2.0 / 5.0) * (5.0 ** 0.5)
+    pts = np.zeros((12, 3))
+    pts[0] = [0, 0, 1]
+    pts[11] = [0, 0, -1]
+    ang = 2.0 * np.pi * np.arange(5) / 5.0
+    pts[1:6, 0], pts[1:6, 1], pts[1:6, 2] = r * np.sin(ang), r * np.cos(ang), h
+    pts[6:11, 0], pts[6:11, 1], pts[6:11, 2] = -r * np.sin(ang), -r * np.cos(ang), -h
+    trs = np.array([
+        [0, 2, 1], [0, 3, 2], [0, 4, 3], [0, 5, 4], [0, 1, 5],
+        [9, 1, 2], [10, 2, 3], [6, 3, 4], [7, 4, 5], [8, 5, 1],
+        [4, 7, 6], [5, 8, 7], [1, 9, 8], [2, 10, 9], [3, 6, 10],
+        [11, 6, 7], [11, 7, 8], [11, 8, 9], [11, 9, 10], [11, 10, 6]])
+    pts = [p for p in pts]
+    for _ in range(levels_count):
+        cache = {}
+
+        def midpoint(i, j):
+            key = (min(i, j), max(i, j))
+            if key not in cache:
+                m = pts[i] + pts[j]
+                m = m / np.linalg.norm(m)
+                cache[key] = len(pts)
+                pts.append(m)
+            return cache[key]
+
+        new_trs = []
+        for (a, b, c_) in trs:
+            ab, bc, ca = midpoint(a, b), midpoint(b, c_), midpoint(c_, a)
+            new_trs += [[a, ab, ca], [ab, b, bc], [ca, bc, c_], [ab, bc, ca]]
+        trs = np.asarray(new_trs)
+    return jnp.asarray(np.stack(pts))

@@ -52,3 +52,26 @@ def NMF_separate_spectra(Whats, Xmix):
     magnitude estimates (X1hat, X2hat)."""
     W1, W2 = Whats
     return separate_sources(Xmix, W1, W2)
+
+
+def reconstruct_results(X1hat, X2hat, X_stft, sample_rate, win_length,
+                        hop_length):
+    """Resynthesize separated sources with the mixture phase
+    (reference ``NMF.py:120``): per-source soft mask on the magnitude, then
+    inverse STFT. Returns (wavs1, wavs2) lists of numpy waveforms."""
+    from svt_speechbrain_tpu.processing.features import ISTFT
+
+    import jax.numpy as jnp
+
+    X_stft = np.asarray(X_stft)
+    phase = np.arctan2(X_stft[..., 1], X_stft[..., 0])
+    mag = np.sqrt(X_stft[..., 0] ** 2 + X_stft[..., 1] ** 2)
+    istft = ISTFT(sample_rate, win_length=win_length, hop_length=hop_length)
+    out = []
+    total = np.asarray(X1hat) + np.asarray(X2hat) + 1e-10
+    for Xhat in (X1hat, X2hat):
+        m = np.asarray(Xhat) / total
+        est = m * mag
+        comp = np.stack([est * np.cos(phase), est * np.sin(phase)], axis=-1)
+        out.append(np.asarray(istft(None, jnp.asarray(comp))))
+    return out[0], out[1]

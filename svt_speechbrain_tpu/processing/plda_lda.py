@@ -160,3 +160,87 @@ class Ndx:
         self.modelset = modelset
         self.segset = segset
         self.scoremat = scoremat
+
+
+def ismember(list1, list2):
+    """Elementwise membership mask (reference ``PLDA_LDA.py:31``)."""
+    s = set(list2)
+    return [item in s for item in list1]
+
+
+def diff(list1, list2):
+    """Set difference keeping order (reference ``PLDA_LDA.py:24``)."""
+    s = set(list2)
+    return [item for item in list1 if item not in s]
+
+
+class Scores:
+    """Score-matrix container (reference ``PLDA_LDA.py:Scores``):
+    ``modelset`` × ``segset`` with a validity mask."""
+
+    def __init__(self, scores=None, modelset=None, segset=None, scoremask=None):
+        self.scoremat = np.array([]) if scores is None else np.asarray(scores)
+        self.modelset = np.array([]) if modelset is None else np.asarray(modelset)
+        self.segset = np.array([]) if segset is None else np.asarray(segset)
+        self.scoremask = (np.ones_like(self.scoremat, dtype=bool)
+                          if scoremask is None else scoremask)
+
+    def __repr__(self):
+        return (f"Scores(models={len(self.modelset)}, "
+                f"segs={len(self.segset)})")
+
+
+def fa_model_loop(batch_start, mini_batch_indices, factor_analyser,
+                  stat0, stat1, e_h, e_hh):
+    """Latent-factor E-step inner loop (reference ``PLDA_LDA.py:66``):
+    fills per-session posterior means ``e_h`` and second moments ``e_hh``."""
+    F = factor_analyser.F
+    rank = F.shape[1]
+    inv_sigma = np.linalg.pinv(factor_analyser.Sigma)
+    FtSi = F.T @ inv_sigma
+    prec_base = FtSi @ F
+    for idx in mini_batch_indices:
+        row = batch_start + idx
+        n = stat0[row, 0] if stat0.ndim > 1 else stat0[row]
+        prec = np.eye(rank) + n * prec_base
+        cov = np.linalg.pinv(prec)
+        mean = cov @ FtSi @ stat1[row]
+        e_h[idx] = mean
+        e_hh[idx] = cov + np.outer(mean, mean)
+
+
+def fast_PLDA_scoring(enroll, test, ndx, mu, F, Sigma, p_known=0.0,
+                      scaling_factor=1.0, check_missing=True):
+    """LLR scoring of enroll vs test i-vectors under a trained PLDA model
+    (reference ``PLDA_LDA.py:856``); returns a ``Scores`` object over the
+    trial index ``ndx``."""
+    del p_known, check_missing
+    plda = PLDA(rank_f=F.shape[1])
+    plda.mean, plda.F, plda.Sigma = np.asarray(mu), np.asarray(F), np.asarray(Sigma)
+    enroll_x = np.asarray(enroll.stat1, dtype=np.float64) * scaling_factor
+    test_x = np.asarray(test.stat1, dtype=np.float64) * scaling_factor
+    scores = plda.scoring_matrix(enroll_x, test_x) if hasattr(plda, "scoring_matrix") \
+        else _plda_llr_matrix(plda, enroll_x, test_x)
+    return Scores(scores=scores, modelset=getattr(ndx, "modelset", enroll.modelset),
+                  segset=getattr(ndx, "segset", test.modelset))
+
+
+def _plda_llr_matrix(plda, enroll_x, test_x):
+    """LLR under the two-covariance view of the eigenvoice PLDA model."""
+    B = plda.F @ plda.F.T          # between-speaker covariance
+    W = plda.Sigma                 # within-speaker covariance
+    e = enroll_x - plda.mean
+    t = test_x - plda.mean
+    tot = B + W
+    sig_ss = np.block([[tot, B], [B, tot]])
+    sig_diff = np.block([[tot, np.zeros_like(B)], [np.zeros_like(B), tot]])
+    iss = np.linalg.pinv(sig_ss)
+    idf = np.linalg.pinv(sig_diff)
+    _, ld_ss = np.linalg.slogdet(sig_ss)
+    _, ld_df = np.linalg.slogdet(sig_diff)
+    scores = np.zeros((len(e), len(t)))
+    for i, ei in enumerate(e):
+        for j, tj in enumerate(t):
+            x = np.concatenate([ei, tj])
+            scores[i, j] = -0.5 * (x @ iss @ x + ld_ss) + 0.5 * (x @ idf @ x + ld_df)
+    return scores

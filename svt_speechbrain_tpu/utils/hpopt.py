@@ -128,3 +128,18 @@ def get_trial_id():
     import os
 
     return os.environ.get("ORION_TRIAL_ID", "hpopt")
+
+
+def hpopt_mode(mode):
+    """Reporter-class decorator registry (reference ``hpopt.py:39``)."""
+    def decorator(cls):
+        _hpopt_modes[mode] = cls
+        return cls
+
+    return decorator
+
+
+_hpopt_modes = {
+    "generic": GenericHyperparameterOptimizationReporter,
+    "orion": OrionHyperparameterOptimizationReporter,
+}

@@ -70,3 +70,20 @@ def get_environment_description():
     except Exception:
         backend_str = "JAX backend unavailable\n"
     return "\n".join([python_version_str, deps_str, platform_str, backend_str])
+
+
+class TqdmCompatibleStreamHandler(logging.StreamHandler):
+    """StreamHandler that writes through tqdm so progress bars survive log
+    lines (reference ``logger.py:63``); plain emit when tqdm is absent."""
+
+    def emit(self, record):
+        try:
+            from tqdm import tqdm
+
+            msg = self.format(record)
+            tqdm.write(msg, file=self.stream)
+            self.flush()
+        except ImportError:
+            super().emit(record)
+        except Exception:
+            self.handleError(record)

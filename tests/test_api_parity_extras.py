@@ -390,3 +390,237 @@ def test_sweep_batch2_util_helpers():
     w = IterativeCSVWriter(out, ["duration"])
     w.write(ID="u1", duration=2.5)
     assert out.getvalue().splitlines() == ["ID,duration", "u1,2.5"]
+
+
+def test_sweep_batch3_processing():
+    """Geometry helpers, decomposition round trips, diarization/PLDA public
+    API, stoi helpers."""
+    from svt_speechbrain_tpu.nnet.loss.stoi_loss import (removeSilentFrames,
+                                                         thirdoct)
+    from svt_speechbrain_tpu.processing.decomposition import (
+        _complex_to_tri, _tri_to_complex, f, finv, g, gevd, ginv, inv,
+        pos_def)
+    from svt_speechbrain_tpu.processing.diarization import (
+        Spec_Clust_unorm, cosine_affinity, distribute_overlap, is_overlapped,
+        spectral_clustering_sb)
+    from svt_speechbrain_tpu.processing.multi_mic import (doas2taus, sphere,
+                                                          steering,
+                                                          tdoas2taus)
+    from svt_speechbrain_tpu.processing.plda_lda import (Scores, diff,
+                                                         ismember)
+
+    # sphere points are unit and numerous; steering phases are unit complex
+    doas = sphere(levels_count=1)
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(doas), axis=-1),
+                               1.0, atol=1e-5)
+    assert doas.shape[0] > 12
+    mics = np.array([[-0.05, 0, 0], [0.05, 0, 0]])
+    taus = doas2taus(doas[None], mics, fs=16000)
+    assert taus.shape == (1, doas.shape[0], 2)
+    # tdoas2taus slices the first M columns of M + M(M-1)/2
+    assert tdoas2taus(np.zeros((1, 5, 3))).shape == (1, 5, 2)
+    A = steering(np.asarray(taus)[0, :4], n_fft=9)
+    assert A.shape == (4, 9, 2, 2)
+    np.testing.assert_allclose(A[..., 0, :] ** 2 + A[..., 1, :] ** 2, 1.0,
+                               atol=1e-5)
+
+    # decomposition round trips + generalized eigensolve
+    rng = np.random.default_rng(0)
+    m = rng.normal(size=(2, 3, 3)) + 1j * rng.normal(size=(2, 3, 3))
+    m = m @ np.conj(np.swapaxes(m, -1, -2)) + 3 * np.eye(3)
+    tri = _complex_to_tri(jnp.asarray(m, jnp.complex64))
+    np.testing.assert_allclose(np.asarray(_tri_to_complex(tri)), m, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(finv(f(tri))), np.asarray(tri),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ginv(g(tri))), np.asarray(tri),
+                               atol=1e-5)
+    mi = np.asarray(_tri_to_complex(inv(tri)))
+    prod = mi @ np.asarray(_tri_to_complex(pos_def(tri)))
+    np.testing.assert_allclose(prod, np.broadcast_to(np.eye(3), prod.shape),
+                               atol=1e-4)
+    b = _complex_to_tri(jnp.asarray(np.stack([np.eye(3) * 2] * 2),
+                                    jnp.complex64))
+    vecs, vals = gevd(tri, b)
+    vm = np.asarray(vecs[..., 0]) + 1j * np.asarray(vecs[..., 1])
+    lhs = np.asarray(_tri_to_complex(tri)) @ vm
+    rhs = (np.asarray(_tri_to_complex(pos_def(b))) @ vm
+           ) * np.asarray(vals)[..., None, :]
+    np.testing.assert_allclose(lhs, rhs, atol=1e-4)
+
+    # diarization public API separates two clear clusters
+    X = np.concatenate([rng.normal(size=(10, 8)) + 5,
+                        rng.normal(size=(10, 8)) - 5])
+    labels = spectral_clustering_sb(cosine_affinity(X), n_clusters=2)
+    assert len(set(labels[:10])) == 1 and labels[0] != labels[-1]
+    sc = Spec_Clust_unorm(n_clusters=2).do_spec_clust(X, 2, 0.3)
+    assert sorted(set(sc.labels_)) == [0, 1]
+    assert is_overlapped(2.0, 1.5) and not is_overlapped(2.0, 2.5)
+    out = distribute_overlap([["r", 0.0, 2.0, 0], ["r", 1.0, 3.0, 1]])
+    assert abs(out[0][2] - out[1][1]) < 1e-9
+    assert ismember([1, 2, 3], [2]) == [False, True, False]
+    assert diff([1, 2, 3], [2]) == [1, 3]
+    assert repr(Scores(np.zeros((1, 2)), ["m"], ["a", "b"]))
+
+    obm, cf = thirdoct(10000, 512, 15, 150)
+    assert obm.shape == (15, 257) and len(cf) == 15
+    x = np.concatenate([np.zeros(512), rng.normal(size=2048), np.zeros(512)])
+    xs, ys = removeSilentFrames(x, x.copy())
+    assert len(xs) < len(x)  # silence removed
+
+
+def test_sweep_batch3_plda_scoring_orders():
+    from svt_speechbrain_tpu.processing.plda_lda import (PLDA, StatObject_SB,
+                                                         fast_PLDA_scoring)
+
+    rng = np.random.default_rng(0)
+    dim, spk, per = 8, 6, 12
+    F = rng.normal(size=(dim, 3))
+    means = rng.normal(size=(spk, 3)) @ F.T
+    x, labs = [], []
+    for s in range(spk):
+        x.append(means[s] + 0.3 * rng.normal(size=(per, dim)))
+        labs += [f"s{s}"] * per
+    x = np.concatenate(x)
+    stats = StatObject_SB(modelset=np.array(labs),
+                          segset=np.array([f"u{i}" for i in range(len(x))]),
+                          stat1=x)
+    plda = PLDA(rank_f=3, nb_iter=5).plda(stats)
+    enroll = StatObject_SB(
+        modelset=np.array(["s0", "s1"]), segset=np.array(["e0", "e1"]),
+        stat1=np.stack([x[:per].mean(0), x[per:2 * per].mean(0)]))
+    test = StatObject_SB(
+        modelset=np.array(["t0", "t1"]), segset=np.array(["t0", "t1"]),
+        stat1=np.stack([means[0] + 0.3 * rng.normal(size=dim),
+                        means[1] + 0.3 * rng.normal(size=dim)]))
+    sc = fast_PLDA_scoring(enroll, test, None, plda.mean, plda.F, plda.Sigma)
+    assert sc.scoremat[0, 0] > sc.scoremat[0, 1]
+    assert sc.scoremat[1, 1] > sc.scoremat[1, 0]
+
+
+def test_fairseq_wav2vec2_converter_roundtrip():
+    """Building a fairseq-style state dict from our params and converting it
+    back must reproduce the same forward output."""
+    import dataclasses
+
+    from svt_speechbrain_tpu.models.avhubert import FairseqWav2Vec2
+    from svt_speechbrain_tpu.models.convert_fairseq import (
+        convert_wav2vec2_fairseq_state_dict)
+    from svt_speechbrain_tpu.models.wav2vec2 import (Wav2Vec2Config,
+                                                     Wav2Vec2Encoder)
+
+    cfg = dataclasses.replace(
+        Wav2Vec2Config.large_lv60(), hidden_size=32, num_layers=1,
+        num_heads=4, ffn_size=64, conv_dim=(16, 16), conv_kernel=(10, 3),
+        conv_stride=(5, 2), num_conv_pos_embeddings=16,
+        num_conv_pos_embedding_groups=4)
+    enc = Wav2Vec2Encoder(cfg)
+    p = enc.init(jax.random.PRNGKey(0))
+
+    def t(x):
+        return np.ascontiguousarray(np.asarray(x).T)
+
+    sd = {}
+    for i in range(2):
+        fe = p["feature_extractor"][str(i)]
+        sd[f"feature_extractor.conv_layers.{i}.0.weight"] = np.transpose(
+            np.asarray(fe["conv"]["w"]), (2, 1, 0))
+        sd[f"feature_extractor.conv_layers.{i}.0.bias"] = np.asarray(
+            fe["conv"]["b"])
+        sd[f"feature_extractor.conv_layers.{i}.2.weight"] = np.asarray(
+            fe["layer_norm"]["scale"])
+        sd[f"feature_extractor.conv_layers.{i}.2.bias"] = np.asarray(
+            fe["layer_norm"]["bias"])
+    sd["layer_norm.weight"] = np.asarray(p["feat_proj_ln"]["scale"])
+    sd["layer_norm.bias"] = np.asarray(p["feat_proj_ln"]["bias"])
+    sd["post_extract_proj.weight"] = t(p["feat_proj"]["w"])
+    sd["post_extract_proj.bias"] = np.asarray(p["feat_proj"]["b"])
+    sd["encoder.pos_conv.0.weight_g"] = np.transpose(
+        np.asarray(p["pos_conv"]["g"]), (2, 1, 0))
+    sd["encoder.pos_conv.0.weight_v"] = np.transpose(
+        np.asarray(p["pos_conv"]["v"]), (2, 1, 0))
+    sd["encoder.pos_conv.0.bias"] = np.asarray(p["pos_conv"]["b"])
+    sd["encoder.layer_norm.weight"] = np.asarray(p["encoder_ln"]["scale"])
+    sd["encoder.layer_norm.bias"] = np.asarray(p["encoder_ln"]["bias"])
+    lay = p["layers"]["0"]
+    pre = "encoder.layers.0."
+    for ours, theirs in (("wq", "q_proj"), ("wk", "k_proj"),
+                         ("wv", "v_proj"), ("wo", "out_proj")):
+        sd[pre + f"self_attn.{theirs}.weight"] = t(lay["attn"][ours])
+        sd[pre + f"self_attn.{theirs}.bias"] = np.asarray(
+            lay["attn"]["b" + ours[1]])
+    sd[pre + "self_attn_layer_norm.weight"] = np.asarray(lay["ln1"]["scale"])
+    sd[pre + "self_attn_layer_norm.bias"] = np.asarray(lay["ln1"]["bias"])
+    sd[pre + "final_layer_norm.weight"] = np.asarray(lay["ln2"]["scale"])
+    sd[pre + "final_layer_norm.bias"] = np.asarray(lay["ln2"]["bias"])
+    sd[pre + "fc1.weight"] = t(lay["ffn1"]["w"])
+    sd[pre + "fc1.bias"] = np.asarray(lay["ffn1"]["b"])
+    sd[pre + "fc2.weight"] = t(lay["ffn2"]["w"])
+    sd[pre + "fc2.bias"] = np.asarray(lay["ffn2"]["b"])
+
+    converted = convert_wav2vec2_fairseq_state_dict(sd, cfg)
+    wav = np.random.default_rng(0).normal(size=(1, 4000)).astype(np.float32)
+    np.testing.assert_allclose(np.asarray(enc(converted, wav)),
+                               np.asarray(enc(p, wav)), atol=1e-6)
+
+    m = FairseqWav2Vec2(config=cfg)
+    out = m({"encoder": converted}, wav)
+    assert out.shape[0] == 1 and np.isfinite(np.asarray(out)).all()
+
+
+def test_sweep_batch3_misc():
+    from svt_speechbrain_tpu.models.avhubert import (FairseqWav2Vec1,
+                                                     load_label,
+                                                     load_label_offset,
+                                                     verify_label_lengths)
+    from svt_speechbrain_tpu.models.enhancement import (Generator,
+                                                        xavier_init_layer)
+    from svt_speechbrain_tpu.models.transformer_se_st import (IMU_CRNN_GRU,
+                                                              check_model)
+    from svt_speechbrain_tpu.processing.nmf import (NMF_separate_spectra,
+                                                    nmf_factorize,
+                                                    reconstruct_results)
+    from svt_speechbrain_tpu.processing.features import STFT
+
+    import tempfile
+    import os
+
+    m = IMU_CRNN_GRU()
+    assert check_model(m, m.init(jax.random.PRNGKey(0))) == (2, 2)
+
+    p = xavier_init_layer(jax.random.PRNGKey(1), 4, 8)
+    assert p["w"].shape == (4, 8) and p["b"].shape == (8,)
+    assert Generator is not None
+
+    w1 = FairseqWav2Vec1(conv_dim=(8,) * 5, embedding_dim=16,
+                         context_layers=2)
+    out = w1(w1.init(jax.random.PRNGKey(2)), jnp.zeros((1, 4000)))
+    assert out.shape[-1] == 16
+
+    d = tempfile.mkdtemp()
+    lp = os.path.join(d, "labels.txt")
+    with open(lp, "w") as fh:
+        fh.write("a b\nc d e\nf\n")
+    assert load_label(lp, [2, 0], 3) == ["f", "a b"]
+    assert load_label_offset(lp, [0, 1], 3) == [(0, 4), (4, 10)]
+    assert verify_label_lengths([32000, 48000], 16000, lp, 1.0, [0, 1], 3,
+                                tol=0.5) == 0
+
+    # NMF separation + resynthesis round trip (shapes/finiteness)
+    rng = np.random.default_rng(0)
+    t1 = np.abs(np.sin(2 * np.pi * 440 * np.arange(16000) / 16000))
+    t2 = rng.random(16000)
+    stft = STFT(16000)
+    X1 = np.sqrt(np.sum(np.asarray(stft(None, jnp.asarray(t1[None],
+                 jnp.float32))) ** 2, -1))[0].T
+    X2 = np.sqrt(np.sum(np.asarray(stft(None, jnp.asarray(t2[None],
+                 jnp.float32))) ** 2, -1))[0].T
+    W1, _ = nmf_factorize(X1, rank=4, n_iter=20)
+    W2, _ = nmf_factorize(X2, rank=4, n_iter=20)
+    mix = jnp.asarray((0.5 * t1 + 0.5 * t2)[None], jnp.float32)
+    Xmix_stft = np.asarray(stft(None, mix))
+    Xmix = np.sqrt(np.sum(Xmix_stft ** 2, -1))[0].T
+    X1h, X2h = NMF_separate_spectra((W1, W2), Xmix)
+    w1r, w2r = reconstruct_results(X1h.T[None], X2h.T[None], Xmix_stft,
+                                   16000, 25, 10)
+    # iSTFT length covers the centered frames (≥ input length)
+    assert w1r.shape[1] >= 16000 and np.isfinite(w1r).all()
