@@ -517,3 +517,71 @@ def verify_label_lengths(audio_sizes, audio_rate, label_path, label_rate,
                 dur_from_audio, dur_from_label)
             num_invalid += 1
     return num_invalid
+
+
+def load_audio_visual(manifest_path, max_keep, min_keep, frame_rate,
+                      label_paths=None, label_rates=None, tol=0.1):
+    """Read an AV-HuBERT tsv manifest (root line, then
+    ``id<TAB>video<TAB>audio<TAB>n_video_frames<TAB>n_audio_samples`` rows),
+    filtering by audio length (reference ``hubert_dataset.py:30``).
+    Returns (root, names=[(video, audio)], inds, tot, sizes)."""
+    names, inds, sizes = [], [], []
+    with open(manifest_path) as f:
+        root = f.readline().strip()
+        for ind, line in enumerate(f):
+            items = line.strip().split("\t")
+            sz = int(items[-1])
+            if min_keep is not None and sz < min_keep:
+                continue
+            if max_keep is not None and sz > max_keep:
+                continue
+            names.append((items[1], items[2]))
+            inds.append(ind)
+            sizes.append(sz)
+    tot = ind + 1
+    if label_paths is not None:
+        for lp, lr in zip(label_paths, label_rates or [frame_rate] * len(label_paths)):
+            verify_label_lengths(sizes, 16000, lp, lr, inds, tot, tol=tol)
+    return root, names, inds, tot, sizes
+
+
+class AVHubertDataset:
+    """Minimal AV dataset over a tsv manifest + label files (reference
+    ``hubert_dataset.py:140``): items provide audio samples, video frames
+    (via ``processing.video.load_video``) and the frame labels."""
+
+    def __init__(self, manifest_path, sample_rate=16000, label_paths=(),
+                 label_rates=(), max_keep_sample_size=None,
+                 min_keep_sample_size=None, video_transform=None):
+        self.root, self.names, self.inds, tot, self.sizes = load_audio_visual(
+            manifest_path, max_keep_sample_size, min_keep_sample_size,
+            sample_rate, label_paths=list(label_paths) or None,
+            label_rates=list(label_rates) or None)
+        self.sample_rate = sample_rate
+        self.video_transform = video_transform
+        self.labels = [load_label(lp, self.inds, tot) for lp in label_paths]
+
+    def __len__(self):
+        return len(self.names)
+
+    def __getitem__(self, index):
+        import os
+
+        from svt_speechbrain_tpu.dataio.dataio import read_audio
+
+        video_name, audio_name = self.names[index]
+        item = {"id": index}
+        audio_path = os.path.join(self.root, audio_name)
+        if os.path.exists(audio_path):
+            item["audio"] = read_audio(audio_path)
+        video_path = os.path.join(self.root, video_name)
+        if os.path.exists(video_path):
+            from svt_speechbrain_tpu.processing.video import load_video
+
+            video = load_video(video_path)
+            if self.video_transform is not None:
+                video = self.video_transform(video)
+            item["video"] = video
+        for i, labels in enumerate(self.labels):
+            item[f"label{i}"] = labels[index]
+        return item

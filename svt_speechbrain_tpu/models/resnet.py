@@ -204,3 +204,34 @@ class ResEncoder(Module):
                                     train=train, axis_name=axis_name)
         x = x.reshape(b, t, self.backend_out)
         return x, {"frontend_bn": fbn, "trunk": trunk_state}
+
+
+def conv3x3(out_planes, in_planes, stride=1):
+    """3×3 conv, channel-last (reference ``resnet.py:conv3x3``)."""
+    from svt_speechbrain_tpu.nnet.cnn import Conv2d
+
+    return Conv2d(out_planes, 3, in_planes, stride=stride, padding="same",
+                  bias=False)
+
+
+def downsample_basic_block(out_planes, in_planes, stride=1):
+    """1×1-conv + BN downsample shortcut (reference
+    ``resnet.py:downsample_basic_block``)."""
+    from svt_speechbrain_tpu.nnet.cnn import Conv2d
+    from svt_speechbrain_tpu.nnet.normalization import BatchNorm2d
+
+    return (Conv2d(out_planes, 1, in_planes, stride=stride, padding="valid",
+                   bias=False),
+            BatchNorm2d(out_planes))
+
+
+def downsample_basic_block_v2(out_planes, in_planes, stride=1):
+    """AvgPool + 1×1-conv downsample variant (reference
+    ``resnet.py:downsample_basic_block_v2``); returns (pool_stride, conv,
+    bn) — the caller average-pools with ``pool_stride`` first."""
+    conv, bn = downsample_basic_block(out_planes, in_planes, stride=1)
+    return stride, conv, bn
+
+
+# Reference public name: the torch lobe calls the trunk ``ResNet``
+ResNet = ResNetTrunk

@@ -445,3 +445,36 @@ def complex_conv_op(x, real_weight, imag_weight, bias, stride=1,
     if bias is not None:
         y = y + bias
     return y
+
+
+def c_standardization(input_centred, Vrr, Vii, Vri, eps=1e-5):
+    """Whiten a centred packed-complex tensor by the inverse square root of
+    its 2×2 real/imag covariance (reference ``c_normalization.py:630``):
+    with V = [[Vrr, Vri], [Vri, Vii]], y = V^{-1/2} x computed in closed
+    form via trace/determinant."""
+    tau = Vrr + Vii
+    delta = Vrr * Vii - Vri ** 2 + eps
+    s = jnp.sqrt(delta)
+    t = jnp.sqrt(tau + 2 * s)
+    inverse_st = 1.0 / (s * t)
+    Wrr = (Vii + s) * inverse_st
+    Wii = (Vrr + s) * inverse_st
+    Wri = -Vri * inverse_st
+    xr, xi = get_real(input_centred), get_imag(input_centred)
+    return jnp.concatenate([Wrr * xr + Wri * xi, Wri * xr + Wii * xi],
+                           axis=-1)
+
+
+def c_norm(input_centred, Vrr, Vii, Vri, beta=None, gamma_rr=None,
+           gamma_ri=None, gamma_ii=None, scale=True, center=True, eps=1e-5):
+    """Complex normalization: whitening plus the complex affine transform
+    with the [[γ_rr, γ_ri], [γ_ri, γ_ii]] scale matrix and β shift
+    (reference ``c_normalization.py:697``)."""
+    out = c_standardization(input_centred, Vrr, Vii, Vri, eps=eps)
+    if scale and gamma_rr is not None:
+        xr, xi = get_real(out), get_imag(out)
+        out = jnp.concatenate([gamma_rr * xr + gamma_ri * xi,
+                               gamma_ri * xr + gamma_ii * xi], axis=-1)
+    if center and beta is not None:
+        out = out + beta
+    return out

@@ -114,3 +114,11 @@ class TransducerLoss:
     def __call__(self, logits, targets, input_lens, target_lens):
         return transducer_loss(logits, targets, input_lens, target_lens,
                                self.blank_index, reduction=self.reduction)
+
+
+# The reference exposes a ``Transducer`` autograd.Function plus numba-CUDA
+# ``cu_kernel_*`` lattice kernels (transducer_loss.py:34-239). On TPU the
+# lattice is the scan + associative log-prefix program above and the
+# backward comes from jax autodiff, so the public entry point is the loss
+# class itself.
+Transducer = TransducerLoss

@@ -624,3 +624,59 @@ def test_sweep_batch3_misc():
                                    16000, 25, 10)
     # iSTFT length covers the centered frames (≥ input length)
     assert w1r.shape[1] >= 16000 and np.isfinite(w1r).all()
+
+
+def test_sweep_batch4_complex_whitening_and_av_dataset():
+    import os
+    import tempfile
+
+    import scipy.io.wavfile as wavfile
+
+    from svt_speechbrain_tpu.models.avhubert import (AVHubertDataset,
+                                                     load_audio_visual)
+    from svt_speechbrain_tpu.models.resnet import (ResNet, conv3x3,
+                                                   downsample_basic_block)
+    from svt_speechbrain_tpu.nnet.complex_networks import (c_norm,
+                                                           c_standardization)
+    from svt_speechbrain_tpu.nnet.loss.transducer_loss import Transducer
+
+    # complex whitening: unit variances, zero cross-covariance
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(4096, 6)).astype(np.float32)
+    x[:, 3:] = 0.7 * x[:, :3] + 0.3 * x[:, 3:]
+    x -= x.mean(0)
+    xr, xi = x[:, :3], x[:, 3:]
+    y = np.asarray(c_standardization(
+        jnp.asarray(x), jnp.asarray((xr * xr).mean(0)),
+        jnp.asarray((xi * xi).mean(0)), jnp.asarray((xr * xi).mean(0))))
+    yr, yi = y[:, :3], y[:, 3:]
+    np.testing.assert_allclose((yr * yr).mean(0), 1.0, atol=2e-2)
+    np.testing.assert_allclose((yr * yi).mean(0), 0.0, atol=2e-2)
+    y2 = c_norm(jnp.asarray(x), jnp.asarray((xr * xr).mean(0)),
+                jnp.asarray((xi * xi).mean(0)), jnp.asarray((xr * xi).mean(0)),
+                beta=jnp.ones((6,)), gamma_rr=jnp.ones((3,)),
+                gamma_ri=jnp.zeros((3,)), gamma_ii=jnp.ones((3,)))
+    np.testing.assert_allclose(np.asarray(y2), y + 1.0, atol=1e-5)
+
+    assert ResNet is not None and conv3x3(4, 3) is not None
+    assert len(downsample_basic_block(4, 3)) == 2
+    assert Transducer is not None
+
+    # AV manifest loading + dataset items
+    d = tempfile.mkdtemp()
+    wavfile.write(os.path.join(d, "a0.wav"), 16000,
+                  np.zeros(16000, np.int16))
+    with open(os.path.join(d, "manifest.tsv"), "w") as f:
+        f.write(d + "\n")
+        f.write("u0\tv0.mp4\ta0.wav\t50\t16000\n")
+        f.write("u1\tv1.mp4\ta1.wav\t50\t400\n")
+    lab = os.path.join(d, "lab.txt")
+    with open(lab, "w") as f:
+        f.write("1 2 3\n4 5\n")
+    root, names, inds, tot, sizes = load_audio_visual(
+        os.path.join(d, "manifest.tsv"), None, 1000, 25)
+    assert len(names) == 1 and sizes == [16000] and tot == 2
+    ds = AVHubertDataset(os.path.join(d, "manifest.tsv"), label_paths=[lab],
+                         min_keep_sample_size=1000)
+    item = ds[0]
+    assert "audio" in item and item["label0"] == "1 2 3"
