@@ -90,21 +90,27 @@ def _run_lattice(a_s, b_s, seed_s, interpret=False):
     return out.swapaxes(0, 1)[:, :, :u1]
 
 
-def _lattice_scan(a, b, seed):
+def _lattice_scan(a, b, seed, finite_b=False):
     """Same lattice semantics as ``_run_lattice`` but unskewed, as a
-    ``lax.scan`` over t with the closed-form within-row solve
-    (E + logcumsumexp(base - E)) — the formulation XLA compiles best.
+    ``lax.scan`` over t with the within-row recurrence solved per step.
 
     out[t, u] = logaddexp(out[t-1, u] + a[t-1, u],
                           out[t, u-1] + b[t, u-1],
                           seed[t, u])
+
+    ``finite_b=True`` (the alpha pass: real emission log-probs) uses the
+    cheap closed form ``E + logcumsumexp(base - E)``; the default pair
+    associative scan is -inf safe for masked panels (the beta pass), where
+    the closed form catastrophically cancels on the -1e30 multipliers.
     """
     def row_solve(base, b_row):
-        # out[u] = logaddexp(base[u], out[u-1] + b[u-1]): a first-order
-        # linear recurrence in log space, solved as an associative scan over
-        # (multiplier, value) pairs — safe for -inf panels (the cumsum/
-        # logcumsumexp closed form catastrophically cancels on masked
-        # lattices, e.g. the beta pass)
+        if finite_b:
+            e_pad = jnp.concatenate(
+                [jnp.zeros_like(b_row[:, :1]), b_row[:, :-1]], axis=1)
+            e_cum = jnp.cumsum(e_pad, axis=1)
+            return e_cum + jax.lax.associative_scan(
+                jnp.logaddexp, base - e_cum, axis=1)
+        # first-order linear recurrence over (multiplier, value) pairs
         mult = jnp.concatenate(
             [jnp.full_like(b_row[:, :1], NEG_INF), b_row[:, :-1]], axis=1)
 
@@ -154,7 +160,9 @@ def _alpha(skip, emit_pad, interpret, lattice="scan"):
     b, t, u1 = skip.shape
     if lattice == "scan":
         seed = jnp.full((b, t, u1), NEG_INF).at[:, 0, 0].set(0.0)
-        return _lattice_scan(skip, emit_pad, seed)
+        # only the last emit column is -inf and it never enters the
+        # multipliers (row solve uses b[:, :-1]) → closed form is safe
+        return _lattice_scan(skip, emit_pad, seed, finite_b=True)
     d_total = t + u1 - 1
     seed = jnp.full((b, d_total, u1), NEG_INF).at[:, 0, 0].set(0.0)
     a_s = _run_lattice(_skew(skip, d_total), _skew(emit_pad, d_total), seed,
