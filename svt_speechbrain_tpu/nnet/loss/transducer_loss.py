@@ -105,13 +105,23 @@ def transducer_loss(logits, targets, input_lens, target_lens, blank_index,
 
 class TransducerLoss:
     """Object wrapper matching the reference's ``TransducerLoss`` module
-    (``transducer_loss.py:294``)."""
+    (``transducer_loss.py:294``). ``fused=True`` uses the hand-written
+    lattice + closed-form backward from ``ops.transducer_lattice`` (the
+    counterpart of the reference's CUDA kernels) instead of autodiff."""
 
-    def __init__(self, blank_index=0, reduction="mean"):
+    def __init__(self, blank_index=0, reduction="mean", fused=False):
         self.blank_index = blank_index
         self.reduction = reduction
+        self.fused = fused
 
     def __call__(self, logits, targets, input_lens, target_lens):
+        if self.fused:
+            from svt_speechbrain_tpu.ops.transducer_lattice import (
+                transducer_loss_fused)
+
+            return transducer_loss_fused(logits, targets, input_lens,
+                                         target_lens, self.blank_index,
+                                         reduction=self.reduction)
         return transducer_loss(logits, targets, input_lens, target_lens,
                                self.blank_index, reduction=self.reduction)
 
