@@ -49,9 +49,7 @@ def test_batched_matches_single_chunk(tiny_model):
             batch = np.stack([padded] * 4)  # same chunk replicated to batch
             lens = jnp.full((4,), len(part) / cs, jnp.float32)
             out = tr._forward(tr.params, jnp.asarray(batch), lens)
-            onset, offset, octv, cls = [np.asarray(x)[0, :frames] for x in out]
-            expected.append(np.stack(
-                [onset, offset, octv.astype(np.float32), cls.astype(np.float32)], axis=-1))
+            expected.append(np.asarray(out)[0, :frames])  # packed (F, 4)
         expected = np.concatenate(expected, axis=0)
         np.testing.assert_allclose(stitched[name], expected, atol=1e-6)
 
@@ -65,6 +63,23 @@ def test_int16_feed_matches_float(tiny_model):
     out_i = tr.predict_frames({"s": pcm})["s"]
     out_f = tr.predict_frames({"s": pcm.astype(np.float32) / 32768.0})["s"]
     np.testing.assert_allclose(out_i, out_f, atol=1e-5)
+
+
+def test_u16_compact_mode_close_to_f32(tiny_model):
+    """The half-bandwidth uint16 output packing quantizes probabilities to
+    1/65535 and keeps indices exact."""
+    bridge, head, params = tiny_model
+    rng = np.random.default_rng(3)
+    songs = {"s": rng.normal(size=int(2.2 * 16000)).astype(np.float32)}
+    tr32 = BatchedAMTTranscriber(bridge, head, params, chunk_seconds=1.0,
+                                 batch_size=2, compute_dtype=jnp.float32)
+    tr16 = BatchedAMTTranscriber(bridge, head, params, chunk_seconds=1.0,
+                                 batch_size=2, compute_dtype=jnp.float32,
+                                 compact="u16")
+    out32 = tr32.predict_frames(songs)["s"]
+    out16 = tr16.predict_frames(songs)["s"]
+    np.testing.assert_allclose(out16[:, :2], out32[:, :2], atol=0.5 / 65535)
+    np.testing.assert_array_equal(out16[:, 2:], out32[:, 2:])
 
 
 def test_transcribe_returns_notes(tiny_model):
