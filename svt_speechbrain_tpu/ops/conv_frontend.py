@@ -241,11 +241,15 @@ fused_conv_frontend_vjp.defvjp(_fused_fwd, _fused_bwd)
 
 def can_fuse(config, wav):
     """Dispatch predicate: TPU backend, "layer" norm mode, the wav2vec2
-    kernel/stride schedule, uniform channels, and at least one full
-    receptive field of samples."""
+    kernel/stride schedule, uniform lane-aligned channels, and at least one
+    full receptive field of samples. Channels must be a multiple of the
+    128-lane tile: the kernel's even/odd row split is a (n, C) → (n/2, 2C)
+    reshape, which Mosaic only supports when C is lane-aligned (otherwise
+    "unsupported shape cast" at compile time — e.g. tiny test configs)."""
     return (jax.default_backend() == "tpu"
             and config.feat_extract_norm == "layer"
             and tuple(config.conv_kernel) == KERNELS
             and tuple(config.conv_stride) == STRIDES
             and len(set(config.conv_dim)) == 1
+            and config.conv_dim[0] % 128 == 0
             and wav.ndim == 2 and wav.shape[1] >= RECEPTIVE)
