@@ -26,7 +26,7 @@ def main():
     from svt_speechbrain_tpu.nnet.linear import Linear
     from svt_speechbrain_tpu.inference import BatchedAMTTranscriber
 
-    batch_size = int(os.environ.get("BENCH_BATCH", "64"))
+    batch_size = int(os.environ.get("BENCH_BATCH", "192"))
     chunk_seconds = 5.0
     n_iters = int(os.environ.get("BENCH_ITERS", "20"))
     warmup = 3

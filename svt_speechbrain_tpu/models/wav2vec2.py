@@ -433,7 +433,7 @@ class TransformerLayer(Module):
         }
 
     def __call__(self, params, x, key_padding_mask=None, rng=None, train=False,
-                 position_bias=None):
+                 position_bias=None, key_lengths=None):
         c = self.config
         rngs = split_rngs(rng, 4) if rng is not None else [None] * 4
 
@@ -442,6 +442,10 @@ class TransformerLayer(Module):
                 out = self.attn(params["attn"], h, position_bias,
                                 key_padding_mask=key_padding_mask,
                                 rng=rngs[0], train=train)
+            elif key_lengths is not None:
+                # prefix padding as lengths keeps the flash path available
+                out = self.attn(params["attn"], h, h, h, key_lengths=key_lengths,
+                                rng=rngs[0], train=train, return_attn_weights=False)
             else:
                 out = self.attn(params["attn"], h, h, h, key_padding_mask=key_padding_mask,
                                 rng=rngs[0], train=train, return_attn_weights=False)
@@ -506,12 +510,14 @@ class Wav2Vec2Encoder(Module):
                                    true_samples=true_samples,
                                    fused=not train)
         valid = None
+        key_lengths = None
         if num_frames is not None:
             valid = (jnp.arange(x.shape[1])[None, :]
                      < jnp.asarray(num_frames)[:, None])  # (B, F)
             x = x * valid[..., None].astype(x.dtype)
             if key_padding_mask is None:
                 key_padding_mask = ~valid
+                key_lengths = jnp.asarray(num_frames, jnp.int32)
         if self.feat_proj_ln is not None:
             x = self.feat_proj_ln(params["feat_proj_ln"], x)
         x = self.feat_proj(params["feat_proj"], x)
@@ -541,13 +547,15 @@ class Wav2Vec2Encoder(Module):
                 x = jax.checkpoint(
                     lambda p, h, pb, _layer=layer, _rng=layer_rngs[i]: _layer(
                         p, h, key_padding_mask=key_padding_mask, rng=_rng,
-                        train=train, position_bias=pb))(
+                        train=train, position_bias=pb,
+                        key_lengths=key_lengths))(
                     params["layers"][str(i)], x, position_bias)
             else:
                 x = layer(params["layers"][str(i)], x,
                           key_padding_mask=key_padding_mask,
                           rng=layer_rngs[i], train=train,
-                          position_bias=position_bias)
+                          position_bias=position_bias,
+                          key_lengths=key_lengths)
         if c.do_stable_layer_norm:
             x = self.encoder_ln(params["encoder_ln"], x)
         return x

@@ -23,13 +23,18 @@ NEG_INF = -1e30
 
 def scaled_dot_product_attention(q, k, v, bias=None, mask=None, dropout_rate=0.0,
                                  rng=None, train=False, return_weights=False,
-                                 impl="auto"):
+                                 impl="auto", key_lengths=None):
     """q,k,v: (B, H, T, Dh). ``bias`` broadcastable to (B, H, Tq, Tk) added to
     scores; ``mask`` True = masked out.
 
-    ``impl``: "auto" dispatches unmasked long-sequence attention to the
-    Pallas flash kernel on TPU; "flash" forces it; "xla" forces the einsum
-    path (always used when weights/mask/bias/dropout are needed).
+    ``key_lengths`` (B,) int: prefix-padding mask expressed as each row's
+    valid key count — unlike a boolean ``mask`` it keeps the Pallas flash
+    path available (the kernel masks in-register and skips dead K panels).
+
+    ``impl``: "auto" dispatches long-sequence attention (unmasked or
+    lengths-masked) to the Pallas flash kernel on TPU; "flash" forces it;
+    "xla" forces the einsum path (always used when weights/boolean
+    mask/bias/dropout are needed).
     """
     dh = q.shape[-1]
     flashable = (bias is None and mask is None and not return_weights
@@ -40,11 +45,15 @@ def scaled_dot_product_attention(q, k, v, bias=None, mask=None, dropout_rate=0.0
 
         long_seq = k.shape[2] >= 1024
         if impl == "flash" or (impl == "auto" and long_seq and flash_attention_available()):
-            return flash_attention(q, k, v)
+            return flash_attention(q, k, v, key_lengths)
     scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
     scores = scores / np.sqrt(dh)
     if bias is not None:
         scores = scores + bias.astype(scores.dtype)
+    if key_lengths is not None:
+        kmask = (jnp.arange(k.shape[2])[None, None, None, :]
+                 >= jnp.asarray(key_lengths)[:, None, None, None])
+        mask = kmask if mask is None else jnp.logical_or(mask, kmask)
     if mask is not None:
         scores = jnp.where(mask, NEG_INF, scores)
     weights = jax.nn.softmax(scores, axis=-1)
@@ -99,7 +108,7 @@ class MultiheadAttention(Module):
 
     def __call__(self, params, query, key, value, attn_mask=None,
                  key_padding_mask=None, pos_embs=None, rng=None, train=False,
-                 return_attn_weights=True):
+                 return_attn_weights=True, key_lengths=None):
         b, tq, _ = query.shape
         tk = key.shape[1]
         h, dh = self.nhead, self.head_dim
@@ -124,10 +133,12 @@ class MultiheadAttention(Module):
             kpm = key_padding_mask[:, None, None, :]  # (B,1,1,Tk)
             mask = kpm if mask is None else jnp.logical_or(mask, kpm)
 
-        out, weights = scaled_dot_product_attention(
+        res = scaled_dot_product_attention(
             q, k, v, bias=pos_embs, mask=mask, dropout_rate=self.dropout,
-            rng=rng, train=train, return_weights=True,
+            rng=rng, train=train, return_weights=return_attn_weights,
+            key_lengths=key_lengths,
         )
+        out, weights = res if return_attn_weights else (res, None)
         out = out.transpose(0, 2, 1, 3).reshape(b, tq, self.d_model)
         out = jnp.matmul(out, params["wo"].astype(out.dtype)) + params["bo"].astype(out.dtype)
         if return_attn_weights:

@@ -1,17 +1,26 @@
-"""Pallas TPU flash attention.
+"""Pallas TPU flash attention with per-row valid-length masking.
 
 Fuses scores → softmax → values into one kernel so the (Tq, Tk) score matrix
 never round-trips HBM — q is processed in VMEM blocks against K/V panels.
-This is the long-window path for the AMT encoders (5 s chunks are only ~249
-frames, where XLA's fused attention is already near-optimal; whole-song
-windows of thousands of frames are where this kernel pays, SURVEY.md §5.7).
+At the AMT encoder's 5 s windows (B=64, H=16, T=249) the XLA einsum path
+materializes a 254 MB f32 score tensor per layer; this kernel keeps it in
+VMEM. For whole-song windows of thousands of frames it is also the only
+path that doesn't OOM (SURVEY.md §5.7).
+
+Masking: every padding pattern in this framework is a *prefix* pattern (the
+loaders right-pad), so instead of a boolean (B, Tk) mask the kernel takes a
+per-row ``lengths`` vector. Each (batch·head, q-block) program reads its
+row's length from SMEM, runs the K-panel loop only up to the last valid
+panel (padded rows cost nothing), and masks the tail panel's columns. This
+also lifts the old restriction that Tk be a block multiple — K/V pad freely.
 
 Forward is a Pallas kernel; backward falls back to the XLA einsum attention
 VJP (standard recompute — attention backward is not on the AMT hot path).
 
-Usage: ``nnet.attention.MultiheadAttention`` dispatches here automatically on
-TPU for long unmasked sequences, or explicitly via
-``scaled_dot_product_attention(..., impl="flash")``.
+Usage: ``nnet.attention.MultiheadAttention`` dispatches here automatically
+on TPU when attention weights aren't requested (pass ``key_lengths`` instead
+of a boolean ``key_padding_mask`` to keep the fused path on padded batches),
+or explicitly via ``scaled_dot_product_attention(..., impl="flash")``.
 """
 from __future__ import annotations
 
@@ -27,13 +36,20 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, block_k, seq_k):
+def _round_up(x, m):
+    return -(-x // m) * m
+
+
+def _flash_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, *, scale, block_k,
+                  seq_k_pad):
     """One (batch*head, q-block) program: stream K/V panels with running
     max/sum (the flash-attention recurrence). Matmul inputs stay in the
-    input dtype (bf16 on the MXU fast path) with f32 accumulation."""
+    input dtype (bf16 on the MXU fast path) with f32 accumulation. Panels
+    beyond this row's valid length are skipped; the boundary panel's
+    columns are masked."""
     q = q_ref[0]  # (BQ, D), input dtype
-    bq = q.shape[0]
-    d = q.shape[1]
+    bq, d = q.shape
+    length = len_ref[pl.program_id(0)]  # this row's valid key count
 
     def body(ki, carry):
         m_prev, l_prev, acc = carry
@@ -41,6 +57,9 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, block_k, seq_k):
         v = v_ref[0, pl.ds(ki * block_k, block_k), :]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * scale
+        col = ki * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (bq, block_k), 1)
+        s = jnp.where(col < length, s, NEG_INF)
         m_cur = jnp.max(s, axis=-1)
         m_new = jnp.maximum(m_prev, m_cur)
         p = jnp.exp(s - m_new[:, None])
@@ -51,23 +70,29 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, block_k, seq_k):
             preferred_element_type=jnp.float32)
         return m_new, l_new, acc
 
-    n_k = seq_k // block_k
+    # only the panels that contain valid keys run (zero-length rows skip all)
+    n_k = jnp.minimum((length + block_k - 1) // block_k, seq_k_pad // block_k)
     m0 = jnp.full((bq,), NEG_INF, jnp.float32)
     l0 = jnp.zeros((bq,), jnp.float32)
     acc0 = jnp.zeros((bq, d), jnp.float32)
     _, l_final, acc = jax.lax.fori_loop(0, n_k, body, (m0, l0, acc0))
-    o_ref[0] = (acc / l_final[:, None]).astype(o_ref.dtype)
+    o_ref[0] = (acc / jnp.maximum(l_final, 1e-30)[:, None]).astype(o_ref.dtype)
 
 
-def _xla_attention(q, k, v, scale):
-    s = jnp.einsum("bhqd,bhkd->bhqk", q.astype(jnp.float32), k.astype(jnp.float32)) * scale
+def _xla_attention(q, k, v, scale, lengths=None):
+    s = jnp.einsum("bhqd,bhkd->bhqk", q.astype(jnp.float32),
+                   k.astype(jnp.float32)) * scale
+    if lengths is not None:
+        col = jnp.arange(k.shape[2])
+        s = jnp.where(col[None, None, None, :] < lengths[:, None, None, None],
+                      s, NEG_INF)
     w = jax.nn.softmax(s, axis=-1)
     return jnp.einsum("bhqk,bhkd->bhqd", w, v.astype(jnp.float32)).astype(v.dtype)
 
 
 def _pad_to(x, axis, multiple):
     size = x.shape[axis]
-    target = -(-size // multiple) * multiple
+    target = _round_up(size, multiple)
     if target == size:
         return x, size
     pads = [(0, 0)] * x.ndim
@@ -75,68 +100,78 @@ def _pad_to(x, axis, multiple):
     return jnp.pad(x, pads), size
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
-def flash_attention(q, k, v, scale=None, block_q=256, block_k=512, interpret=False):
-    """q, k, v: (B, H, T, D) → (B, H, Tq, D). Unmasked full attention.
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def flash_attention(q, k, v, lengths=None, scale=None, block_q=256,
+                    block_k=512, interpret=False):
+    """q, k, v: (B, H, T, D) → (B, H, Tq, D). Full attention over each row's
+    first ``lengths[b]`` keys (``lengths`` (B,) int; None = all Tk valid).
 
     Defaults (block_q=256, block_k=512) measured fastest on v5e (≈1.6× XLA
     at T=2048; larger blocks thrash VMEM). ``interpret=True`` runs the Pallas
     interpreter (CPU tests)."""
-    return _flash_forward(q, k, v, scale, block_q, block_k, interpret)
+    return _flash_forward(q, k, v, lengths, scale, block_q, block_k, interpret)
 
 
-def _flash_forward(q, k, v, scale, block_q, block_k, interpret=False):
+def _flash_forward(q, k, v, lengths, scale, block_q, block_k, interpret=False):
     b, h, tq, d = q.shape
     tk = k.shape[2]
     if scale is None:
         scale = 1.0 / np.sqrt(d)
-    block_q = min(block_q, max(tq, 8))
-    block_k = min(block_k, max(tk, 128))
+    block_q = min(block_q, _round_up(max(tq, 8), 8))
+    block_k = min(block_k, _round_up(max(tk, 128), 128))
 
-    # padded K columns would corrupt the softmax, so a non-multiple Tk takes
-    # the XLA path (our fixed-shape pipelines pick block-multiple frames);
-    # q rows pad freely — extra rows are computed and trimmed.
-    if tk % block_k:
-        return _xla_attention(q, k, v, scale)
     q, tq0 = _pad_to(q, 2, block_q)
-    tq_pad = q.shape[2]
+    k, _ = _pad_to(k, 2, block_k)
+    v, _ = _pad_to(v, 2, block_k)
+    tq_pad, tk_pad = q.shape[2], k.shape[2]
+
+    if lengths is None:
+        lengths = jnp.full((b,), tk, jnp.int32)
+    lens_bh = jnp.repeat(jnp.asarray(lengths, jnp.int32), h)  # (B*H,)
 
     bh = b * h
     qf = q.reshape(bh, tq_pad, d)
-    kf = k.reshape(bh, k.shape[2], d)
-    vf = v.reshape(bh, v.shape[2], d)
+    kf = k.reshape(bh, tk_pad, d)
+    vf = v.reshape(bh, tk_pad, d)
 
     out = pl.pallas_call(
         functools.partial(_flash_kernel, scale=scale, block_k=block_k,
-                          seq_k=kf.shape[1]),
+                          seq_k_pad=tk_pad),
         grid=(bh, tq_pad // block_q),
         in_specs=[
+            # whole lengths vector in SMEM; each program indexes its row
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, kf.shape[1], d), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((1, tk_pad, d), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, vf.shape[1], d), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((1, tk_pad, d), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bh, tq_pad, d), q.dtype),
         interpret=interpret,
-    )(qf, kf, vf)
+    )(lens_bh, qf, kf, vf)
     out = out.reshape(b, h, tq_pad, d)
     return out[:, :, :tq0]
 
 
-def _flash_fwd(q, k, v, scale, block_q, block_k, interpret=False):
-    return _flash_forward(q, k, v, scale, block_q, block_k, interpret), (q, k, v)
+def _flash_fwd(q, k, v, lengths, scale, block_q, block_k, interpret=False):
+    return (_flash_forward(q, k, v, lengths, scale, block_q, block_k, interpret),
+            (q, k, v, lengths))
 
 
 def _flash_bwd(scale, block_q, block_k, interpret, residuals, g):
-    q, k, v = residuals
+    q, k, v, lengths = residuals
     d = q.shape[-1]
     s = scale if scale is not None else 1.0 / np.sqrt(d)
-    _, vjp = jax.vjp(lambda q_, k_, v_: _xla_attention(q_, k_, v_, s), q, k, v)
-    return vjp(g)
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_: _xla_attention(q_, k_, v_, s, lengths), q, k, v)
+    dq, dk, dv = vjp(g)
+    dlen = (None if lengths is None
+            else np.zeros(np.shape(lengths), jax.dtypes.float0))
+    return dq, dk, dv, dlen
 
 
 flash_attention.defvjp(_flash_fwd, _flash_bwd)

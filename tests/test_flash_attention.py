@@ -9,27 +9,53 @@ import jax.numpy as jnp
 from svt_speechbrain_tpu.ops.flash_attention import flash_attention, _xla_attention
 
 
-@pytest.mark.parametrize("tq,tk", [(256, 256), (300, 256), (512, 512)])
+@pytest.mark.parametrize("tq,tk", [(256, 256), (300, 256), (512, 512),
+                                   (249, 249), (100, 100)])
 def test_flash_matches_xla_interpret(tq, tk):
     rng = np.random.default_rng(0)
     b, h, d = 2, 4, 64
     q = jnp.asarray(rng.normal(size=(b, h, tq, d)), jnp.float32)
     k = jnp.asarray(rng.normal(size=(b, h, tk, d)), jnp.float32)
     v = jnp.asarray(rng.normal(size=(b, h, tk, d)), jnp.float32)
-    got = flash_attention(q, k, v, None, 128, 128, True)
+    got = flash_attention(q, k, v, None, None, 128, 128, True)
     expected = _xla_attention(q, k, v, 1.0 / np.sqrt(d))
     np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
                                atol=2e-5, rtol=1e-4)
 
 
-def test_flash_fallback_on_ragged_tk():
-    """Non-block-multiple Tk silently takes the exact XLA path."""
-    rng = np.random.default_rng(1)
-    q = jnp.asarray(rng.normal(size=(1, 2, 100, 64)), jnp.float32)
-    k = jnp.asarray(rng.normal(size=(1, 2, 100, 64)), jnp.float32)
-    out = flash_attention(q, k, k, None, 128, 128, True)
-    expected = _xla_attention(q, k, k, 1.0 / np.sqrt(64))
-    np.testing.assert_allclose(np.asarray(out), np.asarray(expected), atol=1e-5)
+@pytest.mark.parametrize("tk,lens", [(249, (249, 200, 64, 1)),
+                                     (512, (512, 300, 128, 0))])
+def test_flash_lengths_mask_matches_xla(tk, lens):
+    """Per-row valid-length masking equals a boolean prefix mask in XLA;
+    zero-length rows return finite values (they're discarded by callers)."""
+    rng = np.random.default_rng(3)
+    b, h, d = len(lens), 4, 64
+    q = jnp.asarray(rng.normal(size=(b, h, tk, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, h, tk, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, h, tk, d)), jnp.float32)
+    lengths = jnp.asarray(lens, jnp.int32)
+    got = np.asarray(flash_attention(q, k, v, lengths, None, 128, 128, True))
+    expected = np.asarray(_xla_attention(q, k, v, 1.0 / np.sqrt(d), lengths))
+    assert np.isfinite(got).all()
+    for i, n in enumerate(lens):
+        if n > 0:  # zero-length rows are unspecified (padding rows)
+            np.testing.assert_allclose(got[i], expected[i], atol=2e-5, rtol=1e-4)
+
+
+def test_flash_padded_rows_match_unpadded():
+    """A batch row padded to a longer Tk gives the same output as running
+    the row unpadded — the exact-lengths eval property at the kernel level."""
+    rng = np.random.default_rng(4)
+    h, d, n = 2, 64, 137
+    q1 = jnp.asarray(rng.normal(size=(1, h, n, d)), jnp.float32)
+    k1 = jnp.asarray(rng.normal(size=(1, h, n, d)), jnp.float32)
+    v1 = jnp.asarray(rng.normal(size=(1, h, n, d)), jnp.float32)
+    unpadded = np.asarray(flash_attention(q1, k1, v1, None, None, 128, 128, True))
+    pad = [(0, 0), (0, 0), (0, 256 - n), (0, 0)]
+    qp, kp, vp = jnp.pad(q1, pad), jnp.pad(k1, pad), jnp.pad(v1, pad)
+    padded = np.asarray(flash_attention(
+        qp, kp, vp, jnp.asarray([n], jnp.int32), None, 128, 128, True))
+    np.testing.assert_allclose(padded[:, :, :n], unpadded, atol=2e-5, rtol=1e-4)
 
 
 def test_flash_gradients_flow():
@@ -37,7 +63,20 @@ def test_flash_gradients_flow():
     q = jnp.asarray(rng.normal(size=(1, 2, 128, 64)), jnp.float32)
 
     def loss(q):
-        return jnp.sum(flash_attention(q, q, q, None, 128, 128, True))
+        return jnp.sum(flash_attention(q, q, q, None, None, 128, 128, True))
+
+    g = jax.grad(loss)(q)
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.abs(g).max()) > 0
+
+
+def test_flash_gradients_flow_with_lengths():
+    rng = np.random.default_rng(5)
+    q = jnp.asarray(rng.normal(size=(2, 2, 100, 64)), jnp.float32)
+    lengths = jnp.asarray([100, 60], jnp.int32)
+
+    def loss(q):
+        return jnp.sum(flash_attention(q, q, q, lengths, None, 128, 128, True))
 
     g = jax.grad(loss)(q)
     assert np.isfinite(np.asarray(g)).all()
