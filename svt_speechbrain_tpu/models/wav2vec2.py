@@ -498,17 +498,20 @@ class Wav2Vec2Encoder(Module):
         return params
 
     def __call__(self, params, wav, key_padding_mask=None, rng=None, train=False,
-                 num_frames=None, true_samples=None):
+                 num_frames=None, true_samples=None, fused_frontend=None):
         """``num_frames`` (B,) enables exact-lengths masking: junk frames
         computed over padding are zeroed before the (zero-padding-equivalent)
         positional conv and excluded from attention, making the padded
         computation equal to running each row unpadded. ``true_samples``
         additionally masks the conv extractor's time-dependent group norm
-        (base models)."""
+        (base models). ``fused_frontend`` overrides the Pallas frontend
+        dispatch (default: fused when not training; a frozen extractor can
+        keep it fused in training since no gradient flows through it)."""
         c = self.config
+        fused = (not train) if fused_frontend is None else fused_frontend
         x = self.feature_extractor(params["feature_extractor"], wav,
                                    true_samples=true_samples,
-                                   fused=not train)
+                                   fused=fused)
         valid = None
         key_lengths = None
         if num_frames is not None:
@@ -683,9 +686,14 @@ class HuggingFaceWav2Vec2(Module):
                 wav = global_layer_norm(wav, row_mask=row_mask)
             if sample_valid is not None:
                 wav = wav * sample_valid.astype(wav.dtype)
+        # a frozen extractor takes no gradient, so the fused Pallas frontend
+        # stays profitable even in training steps
+        fused_frontend = ((not train) or self.freeze
+                          or self.freeze_feature_extractor)
         out = self.encoder(params["encoder"], wav, rng=rng, train=train,
                            num_frames=num_frames,
-                           true_samples=None if wav_lens is None else true_samples)
+                           true_samples=None if wav_lens is None else true_samples,
+                           fused_frontend=fused_frontend)
         if self.output_norm:
             if wav_lens is not None:
                 frame_valid = (jnp.arange(out.shape[1])[None, :]
