@@ -20,6 +20,13 @@ import numpy as np  # noqa: E402
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
+try:  # persistent compile cache: repeat bench runs skip the ~40 s compile
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_CACHE_DIR", "/tmp/svt_jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:  # older jax without the knobs — compile as usual
+    pass
+
 
 def main():
     from svt_speechbrain_tpu.models.wav2vec2 import HuggingFaceWav2Vec2
@@ -63,13 +70,23 @@ def main():
         transcriber.predict_frames(warm)
 
     # the host<->device link (tunneled in this environment) has high
-    # run-to-run variance; report the best of a few passes
+    # run-to-run variance; report the best of a few passes, and tolerate
+    # one transient link failure per pass rather than losing the round
     passes = int(os.environ.get("BENCH_PASSES", "3"))
     rtfx = 0.0
+    failures = 0
     for _ in range(passes):
-        start = time.perf_counter()
-        transcriber.predict_frames(songs)
-        elapsed = time.perf_counter() - start
+        try:
+            start = time.perf_counter()
+            transcriber.predict_frames(songs)
+            elapsed = time.perf_counter() - start
+        except Exception as exc:  # pragma: no cover - flaky-link insurance
+            failures += 1
+            if failures > passes:
+                raise
+            print(f"# bench pass failed ({type(exc).__name__}); retrying",
+                  file=sys.stderr)
+            continue
         rtfx = max(rtfx, audio_seconds / elapsed)
 
     print(json.dumps({

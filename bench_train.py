@@ -18,6 +18,13 @@ import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 import optax  # noqa: E402
 
+try:  # persistent compile cache: repeat bench runs skip the compile
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_CACHE_DIR", "/tmp/svt_jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:  # older jax without the knobs — compile as usual
+    pass
+
 
 def main():
     from svt_speechbrain_tpu.models.wav2vec2 import HuggingFaceWav2Vec2
