@@ -136,6 +136,9 @@ def parse_arguments(arg_list=None):
                         help="JAX platform to run on (tpu, cpu)")
     parser.add_argument("--data_parallel_count", type=int, default=-1,
                         help="Number of devices in the data-parallel mesh (-1 = all)")
+    parser.add_argument("--fsdp", default=False, action="store_true",
+                        help="Fully shard parameters/optimizer state over the "
+                             "data axis (ZeRO-3-style) instead of replicating")
     parser.add_argument("--distributed_launch", default=False, action="store_true",
                         help="Initialize the multi-host (pod) runtime")
     parser.add_argument("--distributed_backend", type=str, default="ici",
@@ -201,6 +204,7 @@ class Brain:
         "data_parallel_count": -1,
         "distributed_launch": False,
         "distributed_backend": "ici",
+        "fsdp": False,
         "precision": "fp32",
         "max_grad_norm": 5.0,
         "nonfinite_patience": 3,
@@ -246,7 +250,7 @@ class Brain:
             self.params[name] = module.init(sub)
             if hasattr(module, "init_state"):
                 self.states[name] = module.init_state()
-        self.params = mesh_lib.replicate(self.mesh, self.params)
+        self.params = self._place_params(self.params)
         self.stateful = bool(self.states)
         if self.stateful:
             self.states = mesh_lib.replicate(self.mesh, self.states)
@@ -290,11 +294,22 @@ class Brain:
         self.host_only_keys = set()
 
     # --------------------------------------------------------- param access
+    def _place_params(self, tree):
+        """Place a param/optimizer pytree on the mesh: replicated (the
+        reference's DP semantics) or fully sharded over the data axis when
+        the ``fsdp`` run-opt is set (ZeRO-3-style; XLA inserts the
+        all-gathers/reduce-scatters — ``parallel.fsdp``)."""
+        if getattr(self, "fsdp", False):
+            from svt_speechbrain_tpu.parallel.fsdp import apply_fsdp
+
+            return apply_fsdp(tree, self.mesh)
+        return mesh_lib.replicate(self.mesh, tree)
+
     def _get_module_params(self, name):
         return self.params[name]
 
     def _set_module_params(self, name, tree):
-        self.params[name] = mesh_lib.replicate(self.mesh, tree)
+        self.params[name] = self._place_params(tree)
 
     def load_module_params(self, name, tree):
         """Install externally-loaded (e.g. HF-converted) parameters."""
@@ -367,13 +382,13 @@ class Brain:
         subset = {n: self.params[n] for n in module_names}
         state = tx.init(subset)
         self.optimizers[name] = {"tx": tx, "modules": tuple(module_names)}
-        self.opt_states[name] = mesh_lib.replicate(self.mesh, state)
+        self.opt_states[name] = self._place_params(state)
         if self.checkpointer is not None:
             self.checkpointer.add_recoverable(
                 f"{name}_opt", PytreeHandle(
                     get=lambda name=name: self.opt_states[name],
                     set=lambda tree, name=name: self.opt_states.__setitem__(
-                        name, mesh_lib.replicate(self.mesh, tree))))
+                        name, self._place_params(tree))))
         self._compiled_steps = {}
 
     def set_learning_rate(self, opt_name, lr):

@@ -6,3 +6,6 @@ from svt_speechbrain_tpu.parallel.distributed import (  # noqa: F401
 from svt_speechbrain_tpu.parallel.mesh import (  # noqa: F401
     make_mesh, shard_batch, replicate, data_parallel_sharding,
 )
+from svt_speechbrain_tpu.parallel.fsdp import (  # noqa: F401
+    apply_fsdp, fsdp_shardings,
+)

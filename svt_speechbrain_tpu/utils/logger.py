@@ -15,7 +15,11 @@ ORDERS_ABBREV = {
 
 def setup_logging(log_file=None, console_level=logging.INFO, file_level=logging.DEBUG):
     """Console INFO + file DEBUG logging (reference ``logger.py:82`` +
-    ``speechbrain/log-config.yaml``)."""
+    ``speechbrain/log-config.yaml``).
+
+    Third-party libraries that log per-dispatch internals at DEBUG (jax's
+    compilation-cache key derivation alone writes ~10 lines per compile)
+    are capped at INFO so ``log.txt`` stays a readable experiment log."""
     root = logging.getLogger()
     root.setLevel(logging.DEBUG)
     for h in list(root.handlers):
@@ -31,6 +35,8 @@ def setup_logging(log_file=None, console_level=logging.INFO, file_level=logging.
         fileh.setFormatter(logging.Formatter(
             "%(asctime)s - %(levelname)s - %(name)s - %(message)s"))
         root.addHandler(fileh)
+    for noisy in ("jax", "jaxlib", "orbax", "absl", "urllib3", "filelock"):
+        logging.getLogger(noisy).setLevel(logging.INFO)
 
 
 def format_order_of_magnitude(number, abbreviate=True):
