@@ -312,6 +312,9 @@ class StreamingAMTTranscriber:
                              jnp.asarray([rel], jnp.float32))
         f = tr.bridge.config.output_length(true_samples)
         rows = np.asarray(packed)[0, :f]  # (f, 4)
+        if rows.dtype == np.uint16:  # compact="u16" passed through kwargs
+            rows = rows.astype(np.float32)
+            rows[:, :2] *= 1.0 / 65535.0
         return self._decoder.feed(rows)
 
     def feed(self, samples):

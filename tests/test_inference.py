@@ -166,3 +166,22 @@ def test_streaming_transcriber_matches_offline(tiny_model):
         pos += step
     got += stream.flush()
     assert got == expected
+
+
+def test_streaming_u16_compact(tiny_model):
+    """The streaming wrapper dequantizes u16-packed chunk outputs."""
+    bridge, head, params = tiny_model
+    from svt_speechbrain_tpu.inference import StreamingAMTTranscriber
+
+    rng = np.random.default_rng(8)
+    wav = rng.normal(size=int(2.3 * 16000)).astype(np.float32)
+    notes_f32, notes_u16 = [], []
+    for compact, out in (("f32", notes_f32), ("u16", notes_u16)):
+        st = StreamingAMTTranscriber(bridge, head, params, chunk_seconds=1.0,
+                                     compute_dtype=jnp.float32,
+                                     compact=compact)
+        out += st.feed(wav)
+        out += st.flush()
+    assert len(notes_f32) == len(notes_u16)
+    for a, b in zip(notes_f32, notes_u16):
+        assert abs(a[0] - b[0]) < 1e-6 and a[2] == b[2]
