@@ -181,10 +181,14 @@ class BatchedAMTTranscriber:
         no per-frame python objects (the reference's per-frame loop,
         ``train_audio_ssl.py:95-100``, was its eval hot spot).
 
-        ``depth`` batches are kept in flight, and a prefetch thread stages the
-        host→device upload of the next batches while the device computes and
-        the main thread stitches — upload, compute, and download overlap.
+        ``depth`` batches are kept in flight: a prefetch thread stages the
+        host→device uploads, the main thread dispatches device batches, and
+        a drainer thread blocks on the device→host downloads and stitches —
+        upload, compute, download, and stitch all overlap, so the device
+        only waits when a link direction is genuinely saturated.
         """
+        import queue as queue_mod
+        import threading
         from concurrent.futures import ThreadPoolExecutor
 
         by_width = {}  # width → (order list, chunk list, rel-length list)
@@ -220,8 +224,22 @@ class BatchedAMTTranscriber:
                     jnp.asarray(lens, jnp.float32))
 
         results = {name: {} for name in songs}
-        pending = []
+        out_q = queue_mod.Queue(maxsize=max(depth, 1))
+        drain_errors = []
+
+        def drainer():
+            while True:
+                item = out_q.get()
+                if item is None:
+                    return
+                try:
+                    self._drain(item, results, b)
+                except Exception as exc:  # surfaced after join
+                    drain_errors.append(exc)
+
         executor = ThreadPoolExecutor(max_workers=1)
+        drain_thread = threading.Thread(target=drainer, daemon=True)
+        drain_thread.start()
         try:
             staged = [executor.submit(stage, j) for j in jobs[:depth + 1]]
             next_stage = len(staged)
@@ -232,13 +250,15 @@ class BatchedAMTTranscriber:
                     staged.append(executor.submit(stage, jobs[next_stage]))
                     next_stage += 1
                 device_out = self._forward(self.params, wavs_dev, lens_dev)
-                pending.append((bi, real, device_out, order_list))
-                if len(pending) >= depth:
-                    self._drain(pending.pop(0), results, b)
-            while pending:
-                self._drain(pending.pop(0), results, b)
+                # blocks only when `depth` outputs are already waiting on the
+                # downlink — backpressure, not a sync point
+                out_q.put((bi, real, device_out, order_list))
         finally:
+            out_q.put(None)
+            drain_thread.join()
             executor.shutdown(wait=True)
+        if drain_errors:
+            raise drain_errors[0]
 
         stitched = {}
         for name in songs:
