@@ -84,11 +84,19 @@ def ddp_init_group(run_opts=None, coordinator_address=None, num_processes=None,
 
     With no arguments, relies on the cluster auto-detection built into
     ``jax.distributed.initialize``; single-host runs skip initialization.
+    ``coordinator_address``/``num_processes``/``process_id`` may come as
+    kwargs or as ``run_opts`` keys (the CLI/yaml route). When a distributed
+    launch was explicitly requested, failure to initialize raises — silently
+    degrading to a single process would train on a fraction of the data.
     """
     import jax
 
     run_opts = run_opts or {}
-    if not run_opts.get("distributed_launch", False) and coordinator_address is None:
+    coordinator_address = coordinator_address or run_opts.get("coordinator_address")
+    num_processes = num_processes if num_processes is not None else run_opts.get("num_processes")
+    process_id = process_id if process_id is not None else run_opts.get("process_id")
+    explicit = run_opts.get("distributed_launch", False)
+    if not explicit and coordinator_address is None:
         return
     try:
         jax.distributed.initialize(
@@ -100,4 +108,11 @@ def ddp_init_group(run_opts=None, coordinator_address=None, num_processes=None,
             f"Initialized distributed runtime: process {jax.process_index()} "
             f"of {jax.process_count()}")
     except Exception as e:
-        logger.warning(f"jax.distributed.initialize failed or already initialized: {e}")
+        if jax.process_count() > 1:  # already initialized by the launcher
+            logger.info(f"distributed runtime already initialized: {e}")
+        elif explicit or coordinator_address is not None:
+            raise RuntimeError(
+                f"--distributed_launch requested but "
+                f"jax.distributed.initialize failed: {e}") from e
+        else:
+            logger.warning(f"jax.distributed.initialize failed: {e}")

@@ -1,0 +1,86 @@
+"""Real multi-process distributed runtime: two OS processes initialize via
+``ddp_init_group`` over a local coordinator, build a global sharded array
+from per-process local shards, and run a cross-process collective — the
+multi-host path that simulated single-process meshes cannot exercise.
+(The reference's analogue is ``torch.distributed.launch`` + NCCL/Gloo DDP,
+``speechbrain/utils/distributed.py:107-184``.)"""
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+from tests.conftest import REPO_ROOT
+
+WORKER = r"""
+import sys
+proc_id = int(sys.argv[1])
+port = sys.argv[2]
+import jax
+jax.config.update("jax_platforms", "cpu")
+sys.path.insert(0, {repo_root!r})
+from svt_speechbrain_tpu.parallel import distributed as dist
+from svt_speechbrain_tpu.parallel import mesh as mesh_lib
+
+dist.ddp_init_group({{"distributed_launch": True,
+                     "coordinator_address": "127.0.0.1:" + port,
+                     "num_processes": 2, "process_id": proc_id}})
+assert jax.process_count() == 2, jax.process_count()
+assert jax.process_index() == proc_id
+
+import numpy as np
+mesh = mesh_lib.make_mesh()
+local = np.full((4, 2), float(proc_id + 1), np.float32)
+arr = mesh_lib.shard_batch(mesh, local)          # global (8, 2) from shards
+total = float(np.asarray(jax.jit(lambda x: x.sum())(arr)))
+assert total == 24.0, total                       # 8*1 + 8*2
+assert dist.if_main_process() == (proc_id == 0)
+dist.ddp_barrier()
+print("MP_OK", proc_id)
+"""
+
+
+def _free_port():
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def test_two_process_distributed_init(tmp_path):
+    port = str(_free_port())
+    script = tmp_path / "worker.py"
+    script.write_text(WORKER.format(repo_root=REPO_ROOT))
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)  # workers use their own 1-device CPU runtime
+    procs = [subprocess.Popen(
+        [sys.executable, str(script), str(i), port],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env, text=True)
+        for i in range(2)]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=240)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            out, _ = p.communicate()
+        outs.append(out)
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {i} failed:\n{out[-2000:]}"
+        assert f"MP_OK {i}" in out
+
+
+def test_ddp_init_group_raises_on_explicit_failure():
+    """Requested distributed launch must not silently degrade to one
+    process when initialization cannot connect."""
+    from svt_speechbrain_tpu.parallel.distributed import ddp_init_group
+    import jax
+
+    if jax.process_count() > 1:  # pragma: no cover
+        pytest.skip("already distributed")
+    with pytest.raises(RuntimeError):
+        # unroutable coordinator, tiny patience via init timeout env is not
+        # available -> rely on invalid address failing fast
+        ddp_init_group({"distributed_launch": True,
+                        "coordinator_address": "127.0.0.1:1",
+                        "num_processes": 2, "process_id": 0})
