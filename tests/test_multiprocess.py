@@ -84,3 +84,113 @@ def test_ddp_init_group_raises_on_explicit_failure():
         ddp_init_group({"distributed_launch": True,
                         "coordinator_address": "127.0.0.1:1",
                         "num_processes": 2, "process_id": 0})
+
+
+BRAIN_WORKER = r"""
+import sys
+proc_id = int(sys.argv[1]); port = sys.argv[2]
+import jax
+jax.config.update("jax_platforms", "cpu")
+sys.path.insert(0, {repo_root!r})
+import numpy as np
+import jax.numpy as jnp
+import svt_speechbrain_tpu as sb
+from svt_speechbrain_tpu.parallel import distributed as dist
+from svt_speechbrain_tpu.nnet.linear import Linear
+from svt_speechbrain_tpu.nnet import losses
+from svt_speechbrain_tpu.dataio.batch import PaddedData
+
+dist.ddp_init_group({{"distributed_launch": True,
+                     "coordinator_address": "127.0.0.1:" + port,
+                     "num_processes": 2, "process_id": proc_id}})
+
+class TinyBrain(sb.Brain):
+    def compute_forward(self, params, batch, stage, rng=None):
+        x, lens = batch["sig"]
+        return self.modules.model(params["model"], x), lens
+    def compute_objectives(self, predictions, batch, stage):
+        logits, lens = predictions
+        target, tlens = batch["anno"]
+        return losses.mse_loss(logits, target.astype(jnp.float32), length=tlens)
+    def init_optimizers(self):
+        import functools, optax
+        self.add_optimizer("opt", functools.partial(optax.sgd), ["model"], lr=0.1)
+
+brain = TinyBrain(modules={{"model": Linear(4, 8)}}, hparams={{"seed": 7}},
+                  run_opts={{"noprogressbar": True}})
+brain.init_optimizers()
+rng = np.random.default_rng(0)
+x = rng.normal(size=(16, 10, 8)).astype(np.float32)
+y = rng.normal(size=(16, 10, 4)).astype(np.float32)
+lens = np.ones(16, np.float32)
+lo, hi = (0, 8) if proc_id == 0 else (8, 16)   # per-process local shard
+batch = {{"sig": PaddedData(x[lo:hi], lens[lo:hi]),
+         "anno": PaddedData(y[lo:hi], lens[lo:hi])}}
+for _ in range(3):
+    loss = brain.fit_batch(batch)
+w = np.asarray(brain.params["model"]["w"])
+print("MPBRAIN_LOSS", float(loss))
+print("MPBRAIN_WSUM", float(np.abs(w).sum()))
+"""
+
+
+def test_two_process_brain_matches_single(tmp_path):
+    """Brain training across two OS processes, each feeding its own local
+    half of the global batch, reaches the same loss/params as one process
+    on the full batch (the gradient psum spans processes)."""
+    import jax
+    import numpy as np
+    import jax.numpy as jnp
+    import svt_speechbrain_tpu as sb
+    from svt_speechbrain_tpu.nnet.linear import Linear
+    from svt_speechbrain_tpu.nnet import losses
+    from svt_speechbrain_tpu.dataio.batch import PaddedData
+
+    class TinyBrain(sb.Brain):
+        def compute_forward(self, params, batch, stage, rng=None):
+            x, lens = batch["sig"]
+            return self.modules.model(params["model"], x), lens
+
+        def compute_objectives(self, predictions, batch, stage):
+            logits, lens = predictions
+            target, tlens = batch["anno"]
+            return losses.mse_loss(logits, target.astype(jnp.float32), length=tlens)
+
+        def init_optimizers(self):
+            import functools
+            import optax
+
+            self.add_optimizer("opt", functools.partial(optax.sgd), ["model"], lr=0.1)
+
+    ref = TinyBrain(modules={"model": Linear(4, 8)}, hparams={"seed": 7},
+                    run_opts={"noprogressbar": True, "data_parallel_count": 1})
+    ref.init_optimizers()
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(16, 10, 8)).astype(np.float32)
+    y = rng.normal(size=(16, 10, 4)).astype(np.float32)
+    lens = np.ones(16, np.float32)
+    batch = {"sig": PaddedData(x, lens), "anno": PaddedData(y, lens)}
+    for _ in range(3):
+        ref_loss = ref.fit_batch(batch)
+    ref_wsum = float(np.abs(np.asarray(ref.params["model"]["w"])).sum())
+
+    port = str(_free_port())
+    script = tmp_path / "brain_worker.py"
+    script.write_text(BRAIN_WORKER.format(repo_root=REPO_ROOT))
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    procs = [subprocess.Popen(
+        [sys.executable, str(script), str(i), port],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env, text=True)
+        for i in range(2)]
+    for i, p in enumerate(procs):
+        try:
+            out, _ = p.communicate(timeout=240)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            out, _ = p.communicate()
+        assert p.returncode == 0, f"proc {i} failed:\n{out[-2000:]}"
+        loss = float(out.split("MPBRAIN_LOSS ")[1].split()[0])
+        wsum = float(out.split("MPBRAIN_WSUM ")[1].split()[0])
+        assert abs(loss - float(ref_loss)) < 1e-4, (loss, float(ref_loss))
+        assert abs(wsum - ref_wsum) < 1e-4, (wsum, ref_wsum)
