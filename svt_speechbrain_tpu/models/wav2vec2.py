@@ -84,6 +84,13 @@ class Wav2Vec2Config:
     # ~30% extra FLOPs for O(layers) → O(1) activation memory, the standard
     # TPU recipe for fitting larger batches (jax.checkpoint)
     remat: bool = False
+    # sequence-parallel activation sharding: a PartitionSpec tuple for the
+    # (B, T, H) activations, e.g. ("data", "seq", None) — applied between
+    # encoder layers with jax.lax.with_sharding_constraint so layernorm/
+    # elementwise regions run on T-shards (Megatron sequence parallelism);
+    # XLA inserts the gathers attention/matmuls need. Requires an active
+    # mesh context (jax.sharding.set_mesh) at trace time.
+    act_sharding: tuple | None = None
 
     @classmethod
     def base(cls):
@@ -464,6 +471,11 @@ class TransformerLayer(Module):
         else:  # post-LN
             x = self.ln1(params["ln1"], x + attn_block(x))
             x = self.ln2(params["ln2"], x + ffn_block(x))
+        if c.act_sharding is not None:
+            from jax.sharding import PartitionSpec
+
+            x = jax.lax.with_sharding_constraint(
+                x, PartitionSpec(*c.act_sharding))
         return x
 
 

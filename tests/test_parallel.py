@@ -234,3 +234,34 @@ def test_fsdp_composes_with_tp_shardings():
     l0 = hybrid["layers"]["0"]
     assert l0["ffn1"]["w"].spec == P("data", "model")   # col-parallel + fsdp
     assert l0["ffn2"]["w"].spec == P("model", "data")   # row-parallel + fsdp
+
+
+def test_sequence_parallel_activations_match():
+    """act_sharding=(data, seq, None): encoder activations sharded over T
+    between layers (Megatron sequence parallelism) — identical numerics to
+    the replicated run; XLA inserts the gathers attention needs."""
+    from jax.sharding import NamedSharding, PartitionSpec as P, set_mesh
+    from svt_speechbrain_tpu.models.wav2vec2 import (
+        HuggingFaceWav2Vec2, Wav2Vec2Config)
+
+    base = dict(hidden_size=32, num_layers=2, num_heads=4, ffn_size=64,
+                conv_dim=(16,) * 7, num_conv_pos_embeddings=16,
+                num_conv_pos_embedding_groups=4)
+    mesh = mesh_lib.make_mesh(axis_names=("data", "seq"), shape=(2, 4))
+    rng = np.random.default_rng(0)
+    wav = rng.normal(size=(4, 24000)).astype(np.float32)
+    lens = np.array([1.0, 0.7, 0.5, 1.0], np.float32)
+
+    outs = {}
+    for name, act in (("rep", None), ("seq", ("data", "seq", None))):
+        bridge = HuggingFaceWav2Vec2(
+            config=Wav2Vec2Config(**base, act_sharding=act), output_norm=True)
+        params = jax.device_put(bridge.init(jax.random.PRNGKey(0)),
+                                NamedSharding(mesh, P()))
+        fn = jax.jit(lambda p, w, l, _b=bridge: _b(p, w, wav_lens=l),
+                     in_shardings=(NamedSharding(mesh, P()),
+                                   NamedSharding(mesh, P("data", None)),
+                                   NamedSharding(mesh, P("data"))))
+        with set_mesh(mesh):
+            outs[name] = np.asarray(fn(params, wav, lens))
+    np.testing.assert_allclose(outs["seq"], outs["rep"], atol=1e-5)
