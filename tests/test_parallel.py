@@ -265,3 +265,58 @@ def test_sequence_parallel_activations_match():
         with set_mesh(mesh):
             outs[name] = np.asarray(fn(params, wav, lens))
     np.testing.assert_allclose(outs["seq"], outs["rep"], atol=1e-5)
+
+
+def test_spmd_pipeline_matches_sequential():
+    """GPipe-style pipeline over a 4-stage "pipe" axis: microbatches rotated
+    through stages with ppermute equal running the stages sequentially."""
+    from svt_speechbrain_tpu.parallel.pipeline import (
+        spmd_pipeline, stack_stage_params)
+
+    mesh = mesh_lib.make_mesh(n_devices=4, axis_names=("pipe",))
+    rng = jax.random.PRNGKey(0)
+    keys = jax.random.split(rng, 4)
+    h = 16
+    lin = Linear(h, h)
+    stage_params = [lin.init(k) for k in keys]
+
+    def stage_fn(params, x):
+        return jnp.tanh(lin(params, x))
+
+    m, mb, t = 6, 2, 8
+    x = jax.random.normal(jax.random.PRNGKey(9), (m, mb, t, h))
+
+    got = spmd_pipeline(stage_fn, stack_stage_params(stage_params), x, mesh)
+
+    want = x
+    for p in stage_params:
+        want = jax.vmap(lambda xi, _p=p: stage_fn(_p, xi))(want)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_spmd_pipeline_transformer_stages():
+    """Pipeline real transformer encoder layers and match the sequential
+    stack (pipeline-parallel wav2vec2 layer blocks)."""
+    from svt_speechbrain_tpu.models.wav2vec2 import (
+        TransformerLayer, Wav2Vec2Config)
+    from svt_speechbrain_tpu.parallel.pipeline import (
+        pipeline_transformer_layers, stack_stage_params)
+
+    cfg = Wav2Vec2Config(hidden_size=32, num_layers=4, num_heads=4,
+                         ffn_size=64, conv_dim=(16,) * 7)
+    layer = TransformerLayer(cfg)
+    keys = jax.random.split(jax.random.PRNGKey(1), 4)
+    stage_params = [layer.init(k) for k in keys]
+    mesh = mesh_lib.make_mesh(n_devices=4, axis_names=("pipe",))
+
+    m, mb, t = 4, 2, 10
+    x = jax.random.normal(jax.random.PRNGKey(2), (m, mb, t, 32))
+    got = pipeline_transformer_layers(
+        layer, stack_stage_params(stage_params), x, mesh)
+
+    want = x
+    for p in stage_params:
+        want = jax.vmap(lambda xi, _p=p: layer(_p, xi))(want)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=1e-4)
