@@ -67,11 +67,28 @@ class Stage(Enum):
     TEST = auto()
 
 
+def enable_compile_cache(cache_dir=None):
+    """Opt into jax's persistent compilation cache so repeat runs skip the
+    multi-minute large-model compiles. Called from experiment setup; safe to
+    call repeatedly / on jax versions without the knobs."""
+    import jax
+
+    cache_dir = cache_dir or os.environ.get("JAX_CACHE_DIR",
+                                            "/tmp/svt_jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
 def create_experiment_directory(experiment_directory, hyperparams_to_save=None,
                                 overrides={}, log_config=DEFAULT_LOG_CONFIG,
                                 save_env_desc=True):
     """Create the output folder with resolved hyperparams, log and env snapshot
-    (reference ``core.py:50-121``); main process only."""
+    (reference ``core.py:50-121``); main process only. Also enables the
+    persistent XLA compile cache (set ``JAX_CACHE_DIR`` to relocate it)."""
+    enable_compile_cache()
 
     def _create(experiment_directory, hyperparams_to_save, overrides, save_env_desc):
         os.makedirs(experiment_directory, exist_ok=True)
