@@ -320,3 +320,26 @@ def test_spmd_pipeline_transformer_stages():
         want = jax.vmap(lambda xi, _p=p: layer(_p, xi))(want)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=2e-5, rtol=1e-4)
+
+
+def test_spmd_pipeline_fewer_microbatches_than_stages():
+    """M < S: the schedule still drains correctly (duplicate warmup
+    injections never reach the collection window)."""
+    from svt_speechbrain_tpu.parallel.pipeline import (
+        spmd_pipeline, stack_stage_params)
+
+    mesh = mesh_lib.make_mesh(n_devices=4, axis_names=("pipe",))
+    keys = jax.random.split(jax.random.PRNGKey(3), 4)
+    lin = Linear(8, 8)
+    stage_params = [lin.init(k) for k in keys]
+
+    def stage_fn(params, x):
+        return jnp.tanh(lin(params, x))
+
+    x = jax.random.normal(jax.random.PRNGKey(4), (2, 3, 8))  # M=2 < S=4
+    got = spmd_pipeline(stage_fn, stack_stage_params(stage_params), x, mesh)
+    want = x
+    for p in stage_params:
+        want = jax.vmap(lambda xi, _p=p: stage_fn(_p, xi))(want)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
