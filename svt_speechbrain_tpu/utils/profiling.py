@@ -11,16 +11,46 @@ logger = logging.getLogger(__name__)
 
 
 @contextlib.contextmanager
-def profile(logdir="./profile", host_tracer_level=2):
-    """Capture an XLA/TPU profiler trace viewable in TensorBoard/Perfetto."""
+def profile(logdir="./profile", host_tracer_level=2, timeout_s=60.0):
+    """Capture an XLA/TPU profiler trace viewable in TensorBoard/Perfetto.
+
+    Trace collection runs in a watchdog thread: on remoted/relayed backends
+    (e.g. a tunneled TPU) ``stop_trace`` can hang waiting for device traces
+    that never arrive — after ``timeout_s`` the context exits with a warning
+    instead of hanging the experiment. The wrapped computation itself always
+    runs."""
+    import threading
+
     import jax
 
-    jax.profiler.start_trace(logdir, create_perfetto_link=False)
+    started = False
+    try:
+        jax.profiler.start_trace(logdir, create_perfetto_link=False)
+        started = True
+    except Exception as e:
+        logger.warning(f"profiler start_trace failed ({e}); running unprofiled")
     try:
         yield logdir
     finally:
-        jax.profiler.stop_trace()
-        logger.info(f"Profiler trace written to {logdir}")
+        if started:
+            done = threading.Event()
+
+            def stop():
+                try:
+                    jax.profiler.stop_trace()
+                except Exception as e:  # pragma: no cover
+                    logger.warning(f"profiler stop_trace failed: {e}")
+                done.set()
+
+            t = threading.Thread(target=stop, daemon=True)
+            t.start()
+            if done.wait(timeout_s):
+                logger.info(f"Profiler trace written to {logdir}")
+            else:
+                logger.warning(
+                    f"profiler stop_trace did not finish within {timeout_s}s "
+                    "(relayed backends may not support trace collection); "
+                    "continuing without a trace")
 
 
 @contextlib.contextmanager
