@@ -59,7 +59,7 @@ class BatchedAMTTranscriber:
                  sample_rate=16000, frame_rate=49.8, pitch_octave_num=4,
                  pitch_class_num=12, onset_threshold=0.4, offset_threshold=0.5,
                  compute_dtype=jnp.bfloat16, mesh=None, chunking="ceil",
-                 compact="f32"):
+                 compact="f32", song_bucket_seconds=30.0):
         self.bridge = bridge
         self.head = head
         self.chunk_samples = int(round(chunk_seconds * sample_rate))
@@ -80,10 +80,17 @@ class BatchedAMTTranscriber:
         # attention context is identical and the frame streams match the
         # recipes' batch-1 eval bit for bit; each bucket runs in its own
         # batches (a handful of extra compiled shapes).
-        if chunking not in ("ceil", "reference"):
+        # "song": ONE window per song (padded to `song_bucket_seconds`
+        # buckets) — every frame attends over the ENTIRE song. The reference
+        # chunks because full songs don't fit GPU attention
+        # (SURVEY.md §5.7); the lengths-masked Pallas flash kernel streams
+        # K/V panels, so whole-song windows (3-5 min ≈ 9-15k frames) run in
+        # VMEM-bounded memory on TPU. Use a small batch_size here.
+        if chunking not in ("ceil", "reference", "song"):
             raise ValueError(chunking)
         self.chunking = chunking
         self.pad_bucket = sample_rate  # 1 s buckets, like pad_multiples[sig]
+        self.song_bucket = int(round(song_bucket_seconds * sample_rate))
         if compact not in ("f32", "u16"):
             raise ValueError(compact)
         self.compact = compact
@@ -148,6 +155,11 @@ class BatchedAMTTranscriber:
         n = len(wav)
         cs = self.chunk_samples
         dtype = np.int16 if wav.dtype == np.int16 else np.float32
+        if self.chunking == "song":
+            width = int(max(1, -(-n // self.song_bucket)) * self.song_bucket)
+            buf = np.zeros(width, dtype=dtype)
+            buf[:n] = wav
+            return ([buf], [self.bridge.config.output_length(n)], [width], [n])
         if self.chunking == "reference":
             n_chunks = max(1, round(n / cs))
         else:

@@ -185,3 +185,24 @@ def test_streaming_u16_compact(tiny_model):
     assert len(notes_f32) == len(notes_u16)
     for a, b in zip(notes_f32, notes_u16):
         assert abs(a[0] - b[0]) < 1e-6 and a[2] == b[2]
+
+
+def test_song_mode_padding_invariant(tiny_model):
+    """chunking="song": one whole-song window per song; the bucketed padded
+    batch equals running each song unpadded (exact-lengths masking)."""
+    bridge, head, params = tiny_model
+    rng = np.random.default_rng(9)
+    songs = {"a": rng.normal(size=int(3.3 * 16000)).astype(np.float32),
+             "b": rng.normal(size=int(1.1 * 16000)).astype(np.float32)}
+    tr = BatchedAMTTranscriber(bridge, head, params, batch_size=2,
+                               compute_dtype=jnp.float32, chunking="song",
+                               song_bucket_seconds=2.0)
+    got = tr.predict_frames(songs)
+    for name, wav in songs.items():
+        frames = bridge.config.output_length(len(wav))
+        assert got[name].shape == (frames, 4)
+        # unpadded single-song forward
+        out = tr._forward(tr.params, jnp.asarray(wav)[None],
+                          jnp.asarray([1.0], jnp.float32))
+        want = np.asarray(out)[0, :frames]
+        np.testing.assert_allclose(got[name], want, atol=2e-5, rtol=1e-4)
