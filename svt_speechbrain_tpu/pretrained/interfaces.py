@@ -83,10 +83,15 @@ class SingingTranscriber(Pretrained):
     HPARAMS_NEEDED = ["frame_rate", "onset_threshold", "offset_threshold"]
     MODULES_NEEDED = ["wav2vec2", "model"]
 
-    def __init__(self, *args, batch_size=32, chunk_seconds=5.0, **kwargs):
+    def __init__(self, *args, batch_size=32, chunk_seconds=5.0,
+                 chunking="ceil", **kwargs):
         super().__init__(*args, **kwargs)
         self.batch_size = batch_size
         self.chunk_seconds = chunk_seconds
+        # "ceil" (throughput) | "reference" (bit-equal to the recipes'
+        # batch-1 eval) | "song" (whole-song attention windows via the
+        # flash kernel — use a small batch_size)
+        self.chunking = chunking
         self._transcriber = None
 
     def _get_transcriber(self):
@@ -99,7 +104,8 @@ class SingingTranscriber(Pretrained):
                 chunk_seconds=self.chunk_seconds, batch_size=self.batch_size,
                 frame_rate=self.hparams.frame_rate,
                 onset_threshold=self.hparams.onset_threshold,
-                offset_threshold=self.hparams.offset_threshold)
+                offset_threshold=self.hparams.offset_threshold,
+                chunking=self.chunking)
         return self._transcriber
 
     def transcribe_file(self, path):
