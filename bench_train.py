@@ -31,7 +31,7 @@ def main():
     from svt_speechbrain_tpu.nnet.linear import Linear
     from svt_speechbrain_tpu.nnet import losses
 
-    batch = int(os.environ.get("BENCH_TRAIN_BATCH", "8"))
+    batch = int(os.environ.get("BENCH_TRAIN_BATCH", "16"))
     seconds = 5
     samples = seconds * 16000
     bridge = HuggingFaceWav2Vec2(source="facebook/wav2vec2-large-lv60",
