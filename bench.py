@@ -71,29 +71,44 @@ def main():
 
     # the host<->device link (tunneled in this environment) has high
     # run-to-run variance; report the best of a few passes, and tolerate
-    # one transient link failure per pass rather than losing the round
+    # transient link failures (each failed pass is replaced by an extra
+    # attempt, up to `passes` retries) rather than losing the round
     passes = int(os.environ.get("BENCH_PASSES", "3"))
     rtfx = 0.0
-    failures = 0
-    for _ in range(passes):
+    timed = 0
+    attempts = 0
+    last_exc = None
+    while timed < passes and attempts < 2 * passes:
+        attempts += 1
         try:
             start = time.perf_counter()
             transcriber.predict_frames(songs)
             elapsed = time.perf_counter() - start
         except Exception as exc:  # pragma: no cover - flaky-link insurance
-            failures += 1
-            if failures > passes:
-                raise
+            last_exc = exc
             print(f"# bench pass failed ({type(exc).__name__}); retrying",
                   file=sys.stderr)
             continue
+        timed += 1
         rtfx = max(rtfx, audio_seconds / elapsed)
+    if timed == 0:
+        raise RuntimeError("all bench passes failed") from last_exc
+
+    # MFU from analytic model FLOPs — link-variance-independent (bench.py
+    # runs bf16 compute, so the bf16 peak is the right denominator)
+    from svt_speechbrain_tpu.utils.flops import (
+        amt_forward_flops, mfu, peak_flops_per_sec)
+    flops_per_audio_sec = amt_forward_flops(
+        bridge.config, transcriber.chunk_samples) / chunk_seconds
+    achieved = flops_per_audio_sec * rtfx
 
     print(json.dumps({
         "metric": "amt_inference_rtfx_w2v2_large",
         "value": round(rtfx, 2),
         "unit": "audio_sec_per_sec_per_chip",
         "vs_baseline": round(rtfx / 20.0, 3),
+        "tflops_per_sec": round(achieved / 1e12, 2),
+        "mfu": round(achieved / peak_flops_per_sec(), 4),
     }))
 
 

@@ -104,12 +104,23 @@ def main():
         np.asarray(loss)
         dt = time.perf_counter() - t0
         best = max(best, n_iters * batch * seconds / dt)
+
+    # MFU from analytic train FLOPs (fwd + 2×fwd backward, +1×fwd if remat)
+    from svt_speechbrain_tpu.utils.flops import (
+        amt_train_flops, peak_flops_per_sec)
+    flops_per_audio_sec = amt_train_flops(
+        bridge.config, samples, remat=bridge.config.remat) / seconds
+    achieved = flops_per_audio_sec * best
+
     print(json.dumps({
         "metric": "amt_train_rtfx_w2v2_large",
         "value": round(best, 2),
         "unit": "audio_sec_per_sec_per_chip",
         "batch": batch,
         "remat": bridge.config.remat,
+        "precision": "bf16" if bf16 else "fp32",
+        "tflops_per_sec": round(achieved / 1e12, 2),
+        "mfu": round(achieved / peak_flops_per_sec(), 4),
     }))
 
 

@@ -240,14 +240,28 @@ class BatchedAMTTranscriber:
         drain_errors = []
 
         def drainer():
+            # catches BaseException (e.g. a KeyboardInterrupt delivered
+            # inside np.asarray): a silently-dead drainer would leave the
+            # producer's bounded put blocked forever
             while True:
                 item = out_q.get()
                 if item is None:
                     return
                 try:
                     self._drain(item, results, b)
-                except Exception as exc:  # surfaced after join
+                except BaseException as exc:  # surfaced after join
                     drain_errors.append(exc)
+
+        def put_guarded(item):
+            # bounded-queue put that can't hang on a dead drainer
+            while True:
+                try:
+                    out_q.put(item, timeout=5.0)
+                    return
+                except queue_mod.Full:
+                    if not drain_thread.is_alive():
+                        raise RuntimeError("drainer thread died") from (
+                            drain_errors[0] if drain_errors else None)
 
         executor = ThreadPoolExecutor(max_workers=1)
         drain_thread = threading.Thread(target=drainer, daemon=True)
@@ -264,10 +278,14 @@ class BatchedAMTTranscriber:
                 device_out = self._forward(self.params, wavs_dev, lens_dev)
                 # blocks only when `depth` outputs are already waiting on the
                 # downlink — backpressure, not a sync point
-                out_q.put((bi, real, device_out, order_list))
+                put_guarded((bi, real, device_out, order_list))
         finally:
-            out_q.put(None)
-            drain_thread.join()
+            if drain_thread.is_alive():
+                try:
+                    put_guarded(None)
+                except RuntimeError:
+                    pass
+            drain_thread.join(timeout=60.0)
             executor.shutdown(wait=True)
         if drain_errors:
             raise drain_errors[0]

@@ -16,9 +16,12 @@ import math
 
 
 class NewBobScheduler:
-    """New-bob annealing on validation loss (reference ``schedulers.py:55-146``):
-    if relative improvement < threshold (and patience exhausted), multiply the
-    value by ``annealing_factor``."""
+    """New-bob annealing on validation loss (same behavior as reference
+    ``schedulers.py:55-146``): whenever the relative improvement over the
+    previous epoch's metric falls below ``improvement_threshold``, burn one
+    unit of patience; with patience exhausted, multiply the value by
+    ``annealing_factor`` and refill patience. The first epoch never anneals
+    (there is no previous metric to compare against)."""
 
     def __init__(self, initial_value, annealing_factor=0.5,
                  improvement_threshold=0.0025, patient=0):
@@ -27,26 +30,26 @@ class NewBobScheduler:
         self.improvement_threshold = improvement_threshold
         self.patient = patient
         self.metric_values = []
-        self.current_patient = self.patient
+        self.current_patient = patient
+
+    def _stalled(self, metric_value):
+        if not self.metric_values:
+            return False
+        last = self.metric_values[-1]
+        gain = 0.0 if last == 0 else (last - metric_value) / last
+        return gain < self.improvement_threshold
 
     def __call__(self, metric_value):
         """Returns ``(old_value, new_value)``."""
-        old_value = new_value = self.hyperparam_value
-        if len(self.metric_values) > 0:
-            prev_metric = self.metric_values[-1]
-            if prev_metric == 0:
-                improvement = 0
+        old = self.hyperparam_value
+        if self._stalled(metric_value):
+            if self.current_patient > 0:
+                self.current_patient -= 1
             else:
-                improvement = (prev_metric - metric_value) / prev_metric
-            if improvement < self.improvement_threshold:
-                if self.current_patient == 0:
-                    new_value *= self.annealing_factor
-                    self.current_patient = self.patient
-                else:
-                    self.current_patient -= 1
+                self.hyperparam_value = old * self.annealing_factor
+                self.current_patient = self.patient
         self.metric_values.append(metric_value)
-        self.hyperparam_value = new_value
-        return old_value, new_value
+        return old, self.hyperparam_value
 
     def state_dict(self):
         return {

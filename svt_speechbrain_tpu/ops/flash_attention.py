@@ -87,6 +87,11 @@ def _xla_attention(q, k, v, scale, lengths=None):
         s = jnp.where(col[None, None, None, :] < lengths[:, None, None, None],
                       s, NEG_INF)
     w = jax.nn.softmax(s, axis=-1)
+    if lengths is not None:
+        # fully-padded rows (lengths == 0): softmax over an all-NEG_INF row
+        # is uniform; zero those rows so this path agrees with the Pallas
+        # kernel, which skips every key panel and emits zeros
+        w = jnp.where((lengths > 0)[:, None, None, None], w, 0.0)
     return jnp.einsum("bhqk,bhkd->bhqd", w, v.astype(jnp.float32)).astype(v.dtype)
 
 

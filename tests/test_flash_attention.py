@@ -26,8 +26,8 @@ def test_flash_matches_xla_interpret(tq, tk):
 @pytest.mark.parametrize("tk,lens", [(249, (249, 200, 64, 1)),
                                      (512, (512, 300, 128, 0))])
 def test_flash_lengths_mask_matches_xla(tk, lens):
-    """Per-row valid-length masking equals a boolean prefix mask in XLA;
-    zero-length rows return finite values (they're discarded by callers)."""
+    """Per-row valid-length masking equals a boolean prefix mask in XLA —
+    including fully-padded rows, where both paths now emit zeros."""
     rng = np.random.default_rng(3)
     b, h, d = len(lens), 4, 64
     q = jnp.asarray(rng.normal(size=(b, h, tk, d)), jnp.float32)
@@ -37,9 +37,10 @@ def test_flash_lengths_mask_matches_xla(tk, lens):
     got = np.asarray(flash_attention(q, k, v, lengths, None, 128, 128, True))
     expected = np.asarray(_xla_attention(q, k, v, 1.0 / np.sqrt(d), lengths))
     assert np.isfinite(got).all()
+    np.testing.assert_allclose(got, expected, atol=2e-5, rtol=1e-4)
     for i, n in enumerate(lens):
-        if n > 0:  # zero-length rows are unspecified (padding rows)
-            np.testing.assert_allclose(got[i], expected[i], atol=2e-5, rtol=1e-4)
+        if n == 0:  # both impls zero fully-padded rows
+            np.testing.assert_array_equal(got[i], 0.0)
 
 
 def test_flash_padded_rows_match_unpadded():
