@@ -182,8 +182,12 @@ def load_wav2vec2(path, config=None):
                 conv_dim=tuple(hf["conv_dim"]),
                 conv_kernel=tuple(hf["conv_kernel"]),
                 conv_stride=tuple(hf["conv_stride"]),
-                feat_extract_norm=hf["feat_extract_norm"],
-                conv_bias=hf["conv_bias"],
+                # data2vec-audio configs omit feat_extract_norm (their
+                # extractor is always per-layer LN)
+                feat_extract_norm=hf.get(
+                    "feat_extract_norm",
+                    "layer" if model_type == "data2vec-audio" else "group"),
+                conv_bias=hf.get("conv_bias", False),
                 num_conv_pos_embeddings=hf["num_conv_pos_embeddings"],
                 num_conv_pos_embedding_groups=hf["num_conv_pos_embedding_groups"],
                 do_stable_layer_norm=hf.get("do_stable_layer_norm", False),
