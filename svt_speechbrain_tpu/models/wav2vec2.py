@@ -80,6 +80,10 @@ class Wav2Vec2Config:
     rel_pos_bias: bool = False
     num_buckets: int = 320
     max_bucket_distance: int = 800
+    # rematerialize the conv feature extractor in the backward pass — its
+    # intermediate activations are O(T_samples · 512) and dominate HBM on
+    # whole-song windows (minutes of audio); recompute costs ~13% extra FLOPs
+    remat_frontend: bool = False
     # rematerialize each transformer layer in the backward pass — trades
     # ~30% extra FLOPs for O(layers) → O(1) activation memory, the standard
     # TPU recipe for fitting larger batches (jax.checkpoint)
@@ -521,9 +525,15 @@ class Wav2Vec2Encoder(Module):
         keep it fused in training since no gradient flows through it)."""
         c = self.config
         fused = (not train) if fused_frontend is None else fused_frontend
-        x = self.feature_extractor(params["feature_extractor"], wav,
-                                   true_samples=true_samples,
-                                   fused=fused)
+        if c.remat_frontend:
+            x = jax.checkpoint(
+                lambda p, w: self.feature_extractor(
+                    p, w, true_samples=true_samples, fused=fused))(
+                params["feature_extractor"], wav)
+        else:
+            x = self.feature_extractor(params["feature_extractor"], wav,
+                                       true_samples=true_samples,
+                                       fused=fused)
         valid = None
         key_lengths = None
         if num_frames is not None:

@@ -14,8 +14,13 @@ row's length from SMEM, runs the K-panel loop only up to the last valid
 panel (padded rows cost nothing), and masks the tail panel's columns. This
 also lifts the old restriction that Tk be a block multiple — K/V pad freely.
 
-Forward is a Pallas kernel; backward falls back to the XLA einsum attention
-VJP (standard recompute — attention backward is not on the AMT hot path).
+Forward and backward are both Pallas kernels (FlashAttention-2 schedule):
+the forward additionally emits the per-row logsumexp when taken under
+``jax.grad``; the backward recomputes probability panels from (q, k, lse)
+and runs two programs — dQ over (row, q-block) streaming K/V panels, and
+dK/dV over (row, k-block) streaming Q/dO panels — so *training* never
+materializes a (Tq, Tk) score tensor either. Per-row length masking
+applies in every kernel; padded key panels are skipped, not computed.
 
 Usage: ``nnet.attention.MultiheadAttention`` dispatches here automatically
 on TPU when attention weights aren't requested (pass ``key_lengths`` instead
@@ -40,13 +45,13 @@ def _round_up(x, m):
     return -(-x // m) * m
 
 
-def _flash_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, *, scale, block_k,
-                  seq_k_pad):
-    """One (batch*head, q-block) program: stream K/V panels with running
-    max/sum (the flash-attention recurrence). Matmul inputs stay in the
-    input dtype (bf16 on the MXU fast path) with f32 accumulation. Panels
-    beyond this row's valid length are skipped; the boundary panel's
-    columns are masked."""
+def _fwd_recurrence(len_ref, q_ref, k_ref, v_ref, *, scale, block_k,
+                    seq_k_pad):
+    """Shared forward body: stream K/V panels with running max/sum (the
+    flash-attention recurrence). Matmul inputs stay in the input dtype
+    (bf16 on the MXU fast path) with f32 accumulation. Panels beyond this
+    row's valid length are skipped; the boundary panel's columns are
+    masked. Returns (out_block, m_final, l_final)."""
     q = q_ref[0]  # (BQ, D), input dtype
     bq, d = q.shape
     length = len_ref[pl.program_id(0)]  # this row's valid key count
@@ -75,8 +80,124 @@ def _flash_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, *, scale, block_k,
     m0 = jnp.full((bq,), NEG_INF, jnp.float32)
     l0 = jnp.zeros((bq,), jnp.float32)
     acc0 = jnp.zeros((bq, d), jnp.float32)
-    _, l_final, acc = jax.lax.fori_loop(0, n_k, body, (m0, l0, acc0))
-    o_ref[0] = (acc / jnp.maximum(l_final, 1e-30)[:, None]).astype(o_ref.dtype)
+    m_final, l_final, acc = jax.lax.fori_loop(0, n_k, body, (m0, l0, acc0))
+    out = acc / jnp.maximum(l_final, 1e-30)[:, None]
+    return out, m_final, l_final
+
+
+def _flash_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, *, scale, block_k,
+                  seq_k_pad):
+    out, _, _ = _fwd_recurrence(len_ref, q_ref, k_ref, v_ref, scale=scale,
+                                block_k=block_k, seq_k_pad=seq_k_pad)
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+def _flash_kernel_lse(len_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *,
+                      scale, block_k, seq_k_pad):
+    """Training-path forward: also emit the per-row logsumexp
+    L = m + log(l) the backward needs to rebuild probability panels.
+
+    ``lse_ref`` is a full (1, 1, Tq_pad) row block shared by all q-block
+    programs of the same row (Mosaic constrains trailing block dims to
+    (8k, 128k) or the exact array dims — a (1, block_q) vector block is
+    rejected); each program writes its slice."""
+    out, m_final, l_final = _fwd_recurrence(
+        len_ref, q_ref, k_ref, v_ref, scale=scale, block_k=block_k,
+        seq_k_pad=seq_k_pad)
+    o_ref[0] = out.astype(o_ref.dtype)
+    bq = out.shape[0]
+    j = pl.program_id(1)
+    lse_ref[0, 0, pl.ds(j * bq, bq)] = jnp.where(
+        l_final > 0.0, m_final + jnp.log(jnp.maximum(l_final, 1e-30)),
+        NEG_INF)
+
+
+def _flash_bwd_dq_kernel(len_ref, q_ref, do_ref, lse_ref, delta_ref, k_ref,
+                         v_ref, dq_ref, *, scale, block_k, seq_k_pad):
+    """dQ program for one (row, q-block): stream K/V panels, rebuild
+    P = exp(S − L), dS = P ∘ (dO·Vᵀ − Δ), accumulate dQ += scale · dS·K.
+    Same skip/mask schedule as the forward."""
+    q = q_ref[0]
+    do = do_ref[0].astype(jnp.float32)
+    bq, d = q.shape
+    j = pl.program_id(1)
+    lse = lse_ref[0, 0, pl.ds(j * bq, bq)]
+    delta = delta_ref[0, 0, pl.ds(j * bq, bq)]
+    length = len_ref[pl.program_id(0)]
+
+    def body(ki, acc):
+        k = k_ref[0, pl.ds(ki * block_k, block_k), :]
+        v = v_ref[0, pl.ds(ki * block_k, block_k), :]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        col = ki * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (bq, block_k), 1)
+        valid = col < length
+        # explicit where (not exp of NEG_INF−NEG_INF) so fully-masked rows
+        # stay exactly zero
+        p = jnp.where(valid, jnp.exp(s - lse[:, None]), 0.0)
+        dp = jax.lax.dot_general(do, v.astype(jnp.float32),
+                                 (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - delta[:, None]) * scale
+        return acc + jax.lax.dot_general(
+            ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    n_k = jnp.minimum((length + block_k - 1) // block_k, seq_k_pad // block_k)
+    acc0 = jnp.zeros((bq, d), jnp.float32)
+    acc = jax.lax.fori_loop(0, n_k, body, acc0)
+    dq_ref[0] = acc.astype(dq_ref.dtype)
+
+
+def _flash_bwd_dkv_kernel(len_ref, q_ref, do_ref, lse_ref, delta_ref, k_ref,
+                          v_ref, dk_ref, dv_ref, *, scale, block_q,
+                          seq_q_pad):
+    """dK/dV program for one (row, k-block): stream Q/dO panels,
+    dV += Pᵀ·dO and dK += scale · dSᵀ·Q. A k-block entirely beyond this
+    row's valid length writes zeros without compute."""
+    k = k_ref[0]
+    v = v_ref[0]
+    bk, d = k.shape
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    length = len_ref[i]
+    col = j * bk + jax.lax.broadcasted_iota(jnp.int32, (1, bk), 1)[0]
+
+    @pl.when(j * bk >= length)
+    def _():
+        dk_ref[0] = jnp.zeros_like(dk_ref[0])
+        dv_ref[0] = jnp.zeros_like(dv_ref[0])
+
+    @pl.when(j * bk < length)
+    def _():
+        def body(qi, carry):
+            dk_acc, dv_acc = carry
+            q = q_ref[0, pl.ds(qi * block_q, block_q), :]
+            do = do_ref[0, pl.ds(qi * block_q, block_q), :].astype(jnp.float32)
+            lse = lse_ref[0, 0, pl.ds(qi * block_q, block_q)]
+            delta = delta_ref[0, 0, pl.ds(qi * block_q, block_q)]
+            s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32) * scale
+            valid = col[None, :] < length
+            p = jnp.where(valid, jnp.exp(s - lse[:, None]), 0.0)
+            dv_acc = dv_acc + jax.lax.dot_general(
+                p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dp = jax.lax.dot_general(do, v.astype(jnp.float32),
+                                     (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            ds = p * (dp - delta[:, None]) * scale
+            dk_acc = dk_acc + jax.lax.dot_general(
+                ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            return dk_acc, dv_acc
+
+        n_q = seq_q_pad // block_q
+        z = jnp.zeros((bk, d), jnp.float32)
+        dk_acc, dv_acc = jax.lax.fori_loop(0, n_q, body, (z, z))
+        dk_ref[0] = dk_acc.astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc.astype(dv_ref.dtype)
 
 
 def _xla_attention(q, k, v, scale, lengths=None):
@@ -117,7 +238,8 @@ def flash_attention(q, k, v, lengths=None, scale=None, block_q=256,
     return _flash_forward(q, k, v, lengths, scale, block_q, block_k, interpret)
 
 
-def _flash_forward(q, k, v, lengths, scale, block_q, block_k, interpret=False):
+def _prepare(q, k, v, lengths, scale, block_q, block_k):
+    """Shared padding/flattening for forward and backward pallas calls."""
     b, h, tq, d = q.shape
     tk = k.shape[2]
     if scale is None:
@@ -138,43 +260,117 @@ def _flash_forward(q, k, v, lengths, scale, block_q, block_k, interpret=False):
     qf = q.reshape(bh, tq_pad, d)
     kf = k.reshape(bh, tk_pad, d)
     vf = v.reshape(bh, tk_pad, d)
+    return (qf, kf, vf, lens_bh, scale, block_q, block_k,
+            b, h, tq0, tq_pad, tk_pad, d)
 
-    out = pl.pallas_call(
-        functools.partial(_flash_kernel, scale=scale, block_k=block_k,
-                          seq_k_pad=tk_pad),
+
+def _flash_forward(q, k, v, lengths, scale, block_q, block_k,
+                   interpret=False, return_lse=False):
+    (qf, kf, vf, lens_bh, scale, block_q, block_k,
+     b, h, tq0, tq_pad, tk_pad, d) = _prepare(
+        q, k, v, lengths, scale, block_q, block_k)
+    bh = b * h
+
+    qspec = pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM)
+    kspec = pl.BlockSpec((1, tk_pad, d), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    common = dict(
         grid=(bh, tq_pad // block_q),
         in_specs=[
             # whole lengths vector in SMEM; each program indexes its row
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tk_pad, d), lambda i, j: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tk_pad, d), lambda i, j: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
+            qspec, kspec, kspec,
         ],
-        out_specs=pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((bh, tq_pad, d), q.dtype),
         interpret=interpret,
+    )
+    if return_lse:
+        out, lse = pl.pallas_call(
+            functools.partial(_flash_kernel_lse, scale=scale,
+                              block_k=block_k, seq_k_pad=tk_pad),
+            out_specs=(qspec,
+                       pl.BlockSpec((1, 1, tq_pad), lambda i, j: (i, 0, 0),
+                                    memory_space=pltpu.VMEM)),
+            out_shape=(jax.ShapeDtypeStruct((bh, tq_pad, d), q.dtype),
+                       jax.ShapeDtypeStruct((bh, 1, tq_pad), jnp.float32)),
+            **common,
+        )(lens_bh, qf, kf, vf)
+        return out.reshape(b, h, tq_pad, d)[:, :, :tq0], lse
+    out = pl.pallas_call(
+        functools.partial(_flash_kernel, scale=scale, block_k=block_k,
+                          seq_k_pad=tk_pad),
+        out_specs=qspec,
+        out_shape=jax.ShapeDtypeStruct((bh, tq_pad, d), q.dtype),
+        **common,
     )(lens_bh, qf, kf, vf)
-    out = out.reshape(b, h, tq_pad, d)
-    return out[:, :, :tq0]
+    return out.reshape(b, h, tq_pad, d)[:, :, :tq0]
 
 
 def _flash_fwd(q, k, v, lengths, scale, block_q, block_k, interpret=False):
-    return (_flash_forward(q, k, v, lengths, scale, block_q, block_k, interpret),
-            (q, k, v, lengths))
+    out, lse = _flash_forward(q, k, v, lengths, scale, block_q, block_k,
+                              interpret, return_lse=True)
+    return out, (q, k, v, lengths, out, lse)
 
 
 def _flash_bwd(scale, block_q, block_k, interpret, residuals, g):
-    q, k, v, lengths = residuals
-    d = q.shape[-1]
-    s = scale if scale is not None else 1.0 / np.sqrt(d)
-    _, vjp = jax.vjp(
-        lambda q_, k_, v_: _xla_attention(q_, k_, v_, s, lengths), q, k, v)
-    dq, dk, dv = vjp(g)
-    dlen = (None if lengths is None
+    """FlashAttention-2 backward: Δ = rowsum(dO ∘ O) in XLA (one fused
+    elementwise-reduce), then two Pallas programs — dQ over (row, q-block)
+    and dK/dV over (row, k-block) — rebuilding probability panels from the
+    saved logsumexp. No (Tq, Tk) tensor is ever materialized."""
+    q, k, v, lengths, out, lse = residuals
+    had_lengths = lengths is not None
+    (qf, kf, vf, lens_bh, scale, block_q, block_k,
+     b, h, tq0, tq_pad, tk_pad, d) = _prepare(
+        q, k, v, lengths, scale, block_q, block_k)
+    bh = b * h
+
+    g_pad, _ = _pad_to(g, 2, block_q)
+    o_pad, _ = _pad_to(out, 2, block_q)
+    dof = g_pad.reshape(bh, tq_pad, d)
+    of = o_pad.reshape(bh, tq_pad, d)
+    delta = jnp.sum(dof.astype(jnp.float32) * of.astype(jnp.float32),
+                    axis=-1)[:, None, :]  # (bh, 1, tq_pad), like lse
+
+    len_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    q_block = pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0),
+                           memory_space=pltpu.VMEM)
+    q_all = pl.BlockSpec((1, tq_pad, d), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    k_block = pl.BlockSpec((1, block_k, d), lambda i, j: (i, j, 0),
+                           memory_space=pltpu.VMEM)
+    k_all = pl.BlockSpec((1, tk_pad, d), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    row_all = pl.BlockSpec((1, 1, tq_pad), lambda i, j: (i, 0, 0),
+                           memory_space=pltpu.VMEM)
+
+    dq = pl.pallas_call(
+        functools.partial(_flash_bwd_dq_kernel, scale=scale,
+                          block_k=block_k, seq_k_pad=tk_pad),
+        grid=(bh, tq_pad // block_q),
+        in_specs=[len_spec, q_block, q_block, row_all, row_all,
+                  k_all, k_all],
+        out_specs=q_block,
+        out_shape=jax.ShapeDtypeStruct((bh, tq_pad, d), q.dtype),
+        interpret=interpret,
+    )(lens_bh, qf, dof, lse, delta, kf, vf)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_flash_bwd_dkv_kernel, scale=scale,
+                          block_q=block_q, seq_q_pad=tq_pad),
+        grid=(bh, tk_pad // block_k),
+        in_specs=[len_spec, q_all, q_all, row_all, row_all,
+                  k_block, k_block],
+        out_specs=(k_block, k_block),
+        out_shape=(jax.ShapeDtypeStruct((bh, tk_pad, d), k.dtype),
+                   jax.ShapeDtypeStruct((bh, tk_pad, d), v.dtype)),
+        interpret=interpret,
+    )(lens_bh, qf, dof, lse, delta, kf, vf)
+
+    tk0 = k.shape[2]
+    dq = dq.reshape(b, h, tq_pad, d)[:, :, :tq0]
+    dk = dk.reshape(b, h, tk_pad, d)[:, :, :tk0]
+    dv = dv.reshape(b, h, tk_pad, d)[:, :, :tk0]
+    dlen = (None if not had_lengths
             else np.zeros(np.shape(lengths), jax.dtypes.float0))
     return dq, dk, dv, dlen
 

@@ -82,3 +82,76 @@ def test_flash_gradients_flow_with_lengths():
     g = jax.grad(loss)(q)
     assert np.isfinite(np.asarray(g)).all()
     assert float(jnp.abs(g).max()) > 0
+
+
+@pytest.mark.parametrize("tk,lens", [
+    (249, (249, 200, 64, 0)),     # boundary-panel masking + zero-length row
+    (512, (512, 300, 128, 1)),    # block-multiple Tk, near-empty row
+    (100, None),                  # no lengths at all
+])
+def test_flash_backward_matches_xla_vjp(tk, lens):
+    """The Pallas backward (dQ + dK/dV kernels rebuilding P from the saved
+    logsumexp) equals the XLA einsum attention's VJP for q, k, AND v under
+    every masking regime — including rows whose grads flow only through
+    a partial key prefix."""
+    rng = np.random.default_rng(7)
+    b = 4 if lens else 2
+    h, d = 4, 64
+    q = jnp.asarray(rng.normal(size=(b, h, tk, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, h, tk, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, h, tk, d)), jnp.float32)
+    lengths = None if lens is None else jnp.asarray(lens, jnp.int32)
+    scale = 1.0 / np.sqrt(d)
+
+    def loss_flash(q, k, v):
+        o = flash_attention(q, k, v, lengths, None, 128, 128, True)
+        return jnp.sum(jnp.sin(o) * jnp.cos(o * 0.5))
+
+    def loss_xla(q, k, v):
+        o = _xla_attention(q, k, v, scale, lengths)
+        return jnp.sum(jnp.sin(o) * jnp.cos(o * 0.5))
+
+    lf, gf = jax.value_and_grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    lx, gx = jax.value_and_grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    np.testing.assert_allclose(float(lf), float(lx), rtol=1e-5)
+    for name, got, want in zip(("dq", "dk", "dv"), gf, gx):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-5, rtol=1e-3, err_msg=name)
+
+
+def test_flash_backward_unequal_tq_tk():
+    """Cross-attention shapes (Tq != Tk) and non-block-multiple both ways."""
+    rng = np.random.default_rng(8)
+    b, h, d, tq, tk = 2, 2, 64, 70, 150
+    q = jnp.asarray(rng.normal(size=(b, h, tq, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, h, tk, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, h, tk, d)), jnp.float32)
+    lengths = jnp.asarray([150, 90], jnp.int32)
+    scale = 1.0 / np.sqrt(d)
+
+    gf = jax.grad(lambda q, k, v: jnp.sum(
+        flash_attention(q, k, v, lengths, None, 64, 128, True) ** 2),
+        argnums=(0, 1, 2))(q, k, v)
+    gx = jax.grad(lambda q, k, v: jnp.sum(
+        _xla_attention(q, k, v, scale, lengths) ** 2),
+        argnums=(0, 1, 2))(q, k, v)
+    for name, got, want in zip(("dq", "dk", "dv"), gf, gx):
+        assert got.shape == want.shape, name
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-5, rtol=1e-3, err_msg=name)
+
+
+def test_flash_backward_bf16_finite():
+    """bf16 inputs (the training compute dtype): backward runs the same
+    kernels and produces finite, nonzero bf16 grads."""
+    rng = np.random.default_rng(9)
+    q = jnp.asarray(rng.normal(size=(2, 2, 256, 64)), jnp.bfloat16)
+    lengths = jnp.asarray([256, 100], jnp.int32)
+
+    g = jax.grad(lambda q: jnp.sum(
+        flash_attention(q, q, q, lengths, None, 128, 128,
+                        True).astype(jnp.float32)))(q)
+    assert g.dtype == jnp.bfloat16
+    gn = np.asarray(g.astype(jnp.float32))
+    assert np.isfinite(gn).all()
+    assert np.abs(gn).max() > 0

@@ -237,3 +237,30 @@ def test_bridge_name_sniffing():
         assert cfg.do_stable_layer_norm == stable, name
         assert cfg.pos_conv_type == pos, name
         assert cfg.rel_pos_bias == rel, name
+
+
+def test_remat_frontend_matches_plain():
+    """remat_frontend recomputes the conv extractor in backward (whole-song
+    training memory) without changing values or gradients."""
+    import jax
+    import jax.numpy as jnp
+
+    cfg = dict(hidden_size=32, num_layers=2, num_heads=4, ffn_size=64,
+               conv_dim=(16, 16), conv_kernel=(10, 3), conv_stride=(5, 2),
+               num_conv_pos_embeddings=16, num_conv_pos_embedding_groups=4)
+    a = HuggingFaceWav2Vec2(Wav2Vec2Config(**cfg))
+    b = HuggingFaceWav2Vec2(Wav2Vec2Config(**cfg, remat_frontend=True,
+                                           remat=True))
+    params = a.init(jax.random.PRNGKey(0))
+    wav = jnp.asarray(np.random.default_rng(2).normal(size=(2, 3000)),
+                      jnp.float32)
+
+    fa = np.asarray(a(params, wav))
+    fb = np.asarray(b(params, wav))
+    np.testing.assert_allclose(fb, fa, atol=1e-6)
+
+    ga = jax.grad(lambda p: jnp.sum(a(p, wav) ** 2))(params)
+    gb = jax.grad(lambda p: jnp.sum(b(p, wav) ** 2))(params)
+    jax.tree_util.tree_map(
+        lambda x, y: np.testing.assert_allclose(
+            np.asarray(x), np.asarray(y), atol=1e-5, rtol=1e-4), ga, gb)

@@ -52,6 +52,36 @@ def smoke_flash_attention():
     assert np.isfinite(got).all()
 
 
+def smoke_flash_attention_backward():
+    """Mosaic-compile + numerics of the Pallas backward (dQ and dK/dV
+    kernels) against the XLA attention VJP on the real chip."""
+    from svt_speechbrain_tpu.ops.flash_attention import (
+        flash_attention, _xla_attention)
+
+    rng = np.random.default_rng(1)
+    b, h, t, d = 8, 16, 249, 64
+    q, k, v = (jnp.asarray(rng.normal(size=(b, h, t, d)), jnp.bfloat16)
+               for _ in range(3))
+    lens = jnp.asarray([t, t, t, t, 200, 100, 50, 0], jnp.int32)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, lens).astype(jnp.float32) ** 2)
+
+    def loss_xla(q, k, v):
+        return jnp.sum(_xla_attention(
+            q, k, v, 1.0 / np.sqrt(d), lens).astype(jnp.float32) ** 2)
+
+    gf = jax.jit(jax.grad(loss_flash, argnums=(0, 1, 2)))(q, k, v)
+    gx = jax.jit(jax.grad(loss_xla, argnums=(0, 1, 2)))(q, k, v)
+    for name, a, b_ in zip(("dq", "dk", "dv"), gf, gx):
+        a = np.asarray(a, np.float32)
+        b_ = np.asarray(b_, np.float32)
+        assert np.isfinite(a).all(), name
+        denom = max(np.abs(b_).max(), 1e-3)
+        err = np.abs(a - b_).max() / denom
+        assert err < 3e-2, f"flash bwd {name} vs xla vjp: rel {err}"
+
+
 def smoke_conv_frontend():
     from svt_speechbrain_tpu.ops.conv_frontend import (
         fused_conv_frontend, pack_weights, _xla_reference, can_fuse)
@@ -157,6 +187,8 @@ def main():
               "Pallas kernels will run in interpret mode and this smoke "
               "proves nothing about Mosaic compilation.")
     check("flash attention (lengths-masked, T=249)", smoke_flash_attention)
+    check("flash attention BACKWARD (dQ + dK/dV kernels)",
+          smoke_flash_attention_backward)
     check("fused conv frontend (512ch + 32ch fallback)", smoke_conv_frontend)
     check("transducer lattice (scan + pallas vs autodiff)",
           smoke_transducer_lattice)
