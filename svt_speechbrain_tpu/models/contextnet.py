@@ -50,7 +50,7 @@ class ContextNetBlock(Module):
         self.residual = residual
         self.stride = stride
         self.res_conv = (Conv1d(channels, 1, in_channels, stride=stride,
-                                padding="same", bias=False)
+                                padding="same", padding_mode="reflect", bias=False)
                          if residual else None)
         self.swish = Swish()
 
@@ -112,8 +112,8 @@ class ESPnetVGG(Module):
         self.convs = []
         in_ch = 1
         for ch in vgg_channels:
-            self.convs.append((Conv2d(ch, 3, in_ch, padding="same"),
-                               Conv2d(ch, 3, ch, padding="same")))
+            self.convs.append((Conv2d(ch, 3, in_ch, padding="same", padding_mode="reflect"),
+                               Conv2d(ch, 3, ch, padding="same", padding_mode="reflect")))
             in_ch = ch
         self.pool = Pooling2d("max", (2, 2))
         feat = input_size

@@ -27,7 +27,8 @@ class ConvolutionFrontEnd(Module):
             for l in range(num_layers_per_block):
                 stride = strides[b] if l == num_layers_per_block - 1 else 1
                 layers.append(Conv2d(out_channels[b], kernel_sizes[b], in_ch,
-                                     stride=(stride, stride), padding="same"))
+                                     stride=(stride, stride), padding="same",
+                                     padding_mode="reflect"))
                 in_ch = out_channels[b]
             self.blocks.append(layers)
         self.norms = [LayerNorm(out_channels[b]) for b in range(num_blocks)]

@@ -22,8 +22,8 @@ class CNNBlock(Module):
 
     def __init__(self, channels, in_channels, kernel_size=(3, 3), pooling_size=(2, 2),
                  dropout=0.15):
-        self.conv1 = Conv2d(channels, kernel_size, in_channels, padding="same")
-        self.conv2 = Conv2d(channels, kernel_size, channels, padding="same")
+        self.conv1 = Conv2d(channels, kernel_size, in_channels, padding="same", padding_mode="reflect")
+        self.conv2 = Conv2d(channels, kernel_size, channels, padding="same", padding_mode="reflect")
         self.norm1 = LayerNorm(channels)
         self.norm2 = LayerNorm(channels)
         self.pool = Pooling2d("max", (1, pooling_size[-1]))

@@ -10,22 +10,29 @@ import jax.numpy as jnp
 from svt_speechbrain_tpu.nnet.core import Module, split_rngs
 from svt_speechbrain_tpu.nnet.cnn import Conv1d
 from svt_speechbrain_tpu.nnet.linear import Linear
-from svt_speechbrain_tpu.nnet.normalization import LayerNorm
+from svt_speechbrain_tpu.nnet.normalization import BatchNorm1d
 
 
 class TDNNBlock(Module):
-    """Conv1d + ReLU + norm (reference ``ECAPA_TDNN.py:40``)."""
+    """Conv1d + ReLU + BatchNorm1d (reference ``ECAPA_TDNN.py:40``; running
+    statistics live in the state tree)."""
 
     def __init__(self, in_channels, out_channels, kernel_size, dilation):
         self.conv = Conv1d(out_channels, kernel_size, in_channels,
-                           dilation=dilation, padding="same")
-        self.norm = LayerNorm(out_channels)
+                           dilation=dilation, padding="same",
+                           padding_mode="reflect")
+        self.norm = BatchNorm1d(out_channels)
 
     def init(self, rng):
         return {"conv": self.conv.init(rng), "norm": self.norm.init(None)}
 
-    def __call__(self, params, x):
-        return self.norm(params["norm"], jax.nn.relu(self.conv(params["conv"], x)))
+    def init_state(self):
+        return self.norm.init_state()
+
+    def __call__(self, params, x, state, train=False):
+        return self.norm(params["norm"],
+                         state, jax.nn.relu(self.conv(params["conv"], x)),
+                         train=train)
 
 
 class Res2NetBlock(Module):
@@ -43,15 +50,20 @@ class Res2NetBlock(Module):
         keys = split_rngs(rng, len(self.blocks))
         return {str(i): b.init(k) for i, (b, k) in enumerate(zip(self.blocks, keys))}
 
-    def __call__(self, params, x):
+    def init_state(self):
+        return {str(i): b.init_state() for i, b in enumerate(self.blocks)}
+
+    def __call__(self, params, x, state, train=False):
         chunks = jnp.split(x, self.scale, axis=-1)
         outs = [chunks[0]]
+        new_state = {}
         y = None
         for i, chunk in enumerate(chunks[1:]):
             inp = chunk if i == 0 else chunk + y
-            y = self.blocks[i](params[str(i)], inp)
+            y, new_state[str(i)] = self.blocks[i](params[str(i)], inp,
+                                                  state[str(i)], train=train)
             outs.append(y)
-        return jnp.concatenate(outs, axis=-1)
+        return jnp.concatenate(outs, axis=-1), new_state
 
 
 class SEBlock(Module):
@@ -92,7 +104,10 @@ class AttentiveStatisticsPooling(Module):
         k1, k2 = split_rngs(rng, 2)
         return {"tdnn": self.tdnn.init(k1), "conv": self.conv.init(k2)}
 
-    def __call__(self, params, x, lengths=None):
+    def init_state(self):
+        return self.tdnn.init_state()
+
+    def __call__(self, params, x, state, lengths=None, train=False):
         t = x.shape[1]
         if lengths is None:
             lengths = jnp.ones((x.shape[0],))
@@ -113,12 +128,13 @@ class AttentiveStatisticsPooling(Module):
                 axis=-1)
         else:
             attn_in = x
-        attn = self.conv(params["conv"], jnp.tanh(
-            self.tdnn(params["tdnn"], attn_in)))
+        h, new_state = self.tdnn(params["tdnn"], attn_in, state, train=train)
+        attn = self.conv(params["conv"], jnp.tanh(h))
         attn = jnp.where(mask > 0, attn, -1e30)
         attn = jax.nn.softmax(attn, axis=1)
         mean, std = masked_stats(x, attn)
-        return jnp.concatenate([mean[:, 0], std[:, 0]], axis=-1)[:, None, :]
+        pooled = jnp.concatenate([mean[:, 0], std[:, 0]], axis=-1)[:, None, :]
+        return pooled, new_state
 
 
 class SERes2NetBlock(Module):
@@ -144,15 +160,24 @@ class SERes2NetBlock(Module):
             params["shortcut"] = self.shortcut.init(keys[4])
         return params
 
-    def __call__(self, params, x, lengths=None):
+    def init_state(self):
+        return {"tdnn1": self.tdnn1.init_state(),
+                "res2net": self.res2net.init_state(),
+                "tdnn2": self.tdnn2.init_state()}
+
+    def __call__(self, params, x, state, lengths=None, train=False):
         residual = x
         if self.shortcut is not None:
             residual = self.shortcut(params["shortcut"], x)
-        y = self.tdnn1(params["tdnn1"], x)
-        y = self.res2net(params["res2net"], y)
-        y = self.tdnn2(params["tdnn2"], y)
+        new_state = {}
+        y, new_state["tdnn1"] = self.tdnn1(params["tdnn1"], x,
+                                           state["tdnn1"], train=train)
+        y, new_state["res2net"] = self.res2net(params["res2net"], y,
+                                               state["res2net"], train=train)
+        y, new_state["tdnn2"] = self.tdnn2(params["tdnn2"], y,
+                                           state["tdnn2"], train=train)
         y = self.se(params["se"], y, lengths)
-        return y + residual
+        return y + residual, new_state
 
 
 class ECAPA_TDNN(Module):
@@ -172,7 +197,7 @@ class ECAPA_TDNN(Module):
                              kernel_sizes[-1], dilations[-1])
         self.asp = AttentiveStatisticsPooling(channels[-1], attention_channels,
                                               global_context)
-        self.asp_norm = LayerNorm(channels[-1] * 2)
+        self.asp_norm = BatchNorm1d(channels[-1] * 2)
         self.fc = Conv1d(lin_neurons, 1, channels[-1] * 2, padding="valid")
 
     def init(self, rng):
@@ -186,18 +211,41 @@ class ECAPA_TDNN(Module):
             params[f"block{i + 1}"] = b.init(keys[i + 1])
         return params
 
-    def __call__(self, params, x, lengths=None):
-        """x: (B, T, F) → (B, 1, lin_neurons)."""
-        h = self.block0(params["block0"], x)
+    def init_state(self):
+        return {"block0": self.block0.init_state(),
+                "mfa": self.mfa.init_state(),
+                "asp": self.asp.init_state(),
+                "asp_norm": self.asp_norm.init_state(),
+                **{f"block{i + 1}": b.init_state()
+                   for i, b in enumerate(self.blocks)}}
+
+    def __call__(self, params, x, lengths=None, state=None, train=False):
+        """x: (B, T, F) → (B, 1, lin_neurons). With ``state`` (running BN
+        statistics) returns ``(emb, new_state)``; without, returns ``emb``
+        (train mode uses batch statistics like torch)."""
+        return_state = state is not None
+        if state is None:
+            state = self.init_state()
+        new_state = {}
+        h, new_state["block0"] = self.block0(params["block0"], x,
+                                             state["block0"], train=train)
         outs = []
         for i, b in enumerate(self.blocks):
-            h = b(params[f"block{i + 1}"], h, lengths)
+            h, new_state[f"block{i + 1}"] = b(
+                params[f"block{i + 1}"], h, state[f"block{i + 1}"],
+                lengths=lengths, train=train)
             outs.append(h)
         h = jnp.concatenate(outs, axis=-1)
-        h = self.mfa(params["mfa"], h)
-        h = self.asp(params["asp"], h, lengths)
-        h = self.asp_norm(params["asp_norm"], h)
-        return self.fc(params["fc"], h)
+        h, new_state["mfa"] = self.mfa(params["mfa"], h, state["mfa"],
+                                       train=train)
+        h, new_state["asp"] = self.asp(params["asp"], h, state["asp"],
+                                       lengths=lengths, train=train)
+        h, new_state["asp_norm"] = self.asp_norm(
+            params["asp_norm"], state["asp_norm"], h, train=train)
+        emb = self.fc(params["fc"], h)
+        if return_state:
+            return emb, new_state
+        return emb
 
 
 class Classifier(Module):

@@ -58,7 +58,7 @@ class TemporalBlock(Module):
     def __init__(self, channels, hidden, kernel_size, dilation):
         self.conv_in = Conv1d(hidden, 1, channels, padding="valid")
         self.dconv = Conv1d(hidden, kernel_size, hidden, dilation=dilation,
-                            padding="same", groups=hidden)
+                            padding="same", padding_mode="reflect", groups=hidden)
         self.conv_out = Conv1d(channels, 1, hidden, padding="valid")
         self.norm1 = LayerNorm(hidden)
         self.norm2 = LayerNorm(hidden)

@@ -8,16 +8,20 @@ import jax.numpy as jnp
 from svt_speechbrain_tpu.nnet.core import Module, split_rngs
 from svt_speechbrain_tpu.nnet.cnn import Conv1d
 from svt_speechbrain_tpu.nnet.linear import Linear
-from svt_speechbrain_tpu.nnet.normalization import LayerNorm
+from svt_speechbrain_tpu.nnet.normalization import BatchNorm1d
 from svt_speechbrain_tpu.nnet.pooling import StatisticsPooling
 
 
 class Xvector(Module):
-    """TDNN stack + statistics pooling + embedding (reference ``Xvector.py:18``).
+    """TDNN stack + statistics pooling + embedding (reference ``Xvector.py:18``):
+    each block is Conv1d → activation → BatchNorm1d, exactly like the
+    reference (running statistics live in the state tree).
 
-    BatchNorm1d in the reference is replaced by LayerNorm for stateless
-    purity (equivalent capacity; running stats are not needed for the
-    framework tests)."""
+    Stateful API: ``init_state()`` → per-block running stats;
+    ``__call__(params, x, lengths=None, state=state, train=...)`` returns
+    ``(emb, new_state)``. Without ``state`` the call returns just ``emb``
+    (train mode uses batch statistics like torch; eval then normalizes
+    with the untrained (0, 1) stats)."""
 
     def __init__(self, in_channels=40, activation="leaky_relu",
                  tdnn_blocks=5, tdnn_channels=(512, 512, 512, 512, 1500),
@@ -28,8 +32,9 @@ class Xvector(Module):
         in_ch = in_channels
         for i in range(tdnn_blocks):
             self.blocks.append(Conv1d(tdnn_channels[i], tdnn_kernel_sizes[i], in_ch,
-                                      dilation=tdnn_dilations[i], padding="same"))
-            self.norms.append(LayerNorm(tdnn_channels[i]))
+                                      dilation=tdnn_dilations[i], padding="same",
+                                      padding_mode="reflect"))
+            self.norms.append(BatchNorm1d(tdnn_channels[i]))
             in_ch = tdnn_channels[i]
         self.pool = StatisticsPooling()
         self.fc = Linear(lin_neurons, in_ch * 2)
@@ -42,14 +47,26 @@ class Xvector(Module):
             params[f"tdnn{i}"] = {"conv": blk.init(keys[i]), "norm": norm.init(None)}
         return params
 
-    def __call__(self, params, x, lengths=None):
+    def init_state(self):
+        return {f"tdnn{i}": norm.init_state()
+                for i, norm in enumerate(self.norms)}
+
+    def __call__(self, params, x, lengths=None, state=None, train=False):
         """x: (B, T, F) → (B, 1, lin_neurons) embeddings."""
         act = jax.nn.leaky_relu if self.activation == "leaky_relu" else jax.nn.relu
+        return_state = state is not None
+        if state is None:
+            state = self.init_state()
+        new_state = {}
         for i, (blk, norm) in enumerate(zip(self.blocks, self.norms)):
             x = act(blk(params[f"tdnn{i}"]["conv"], x))
-            x = norm(params[f"tdnn{i}"]["norm"], x)
+            x, new_state[f"tdnn{i}"] = norm(
+                params[f"tdnn{i}"]["norm"], state[f"tdnn{i}"], x, train=train)
         stats = self.pool(None, x, lengths=lengths)
-        return self.fc(params["fc"], stats)[:, None, :]
+        emb = self.fc(params["fc"], stats)[:, None, :]
+        if return_state:
+            return emb, new_state
+        return emb
 
 
 class Discriminator(Module):

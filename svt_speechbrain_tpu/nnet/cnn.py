@@ -50,6 +50,7 @@ class _ConvNd(Module):
         padding="same",
         groups=1,
         bias=True,
+        padding_mode="zeros",
     ):
         n = self.NDIM
         self.out_channels = out_channels
@@ -60,6 +61,10 @@ class _ConvNd(Module):
         self.padding = padding
         self.groups = groups
         self.use_bias = bias
+        # "zeros" mirrors torch nn.Conv* (HF-converted models); "reflect"
+        # mirrors the reference speechbrain Conv* default (CNN.py:80) —
+        # speechbrain-lobe models pass padding_mode="reflect" explicitly
+        self.padding_mode = padding_mode
         if in_channels % groups or out_channels % groups:
             raise ValueError("in/out channels must be divisible by groups")
 
@@ -99,6 +104,14 @@ class _ConvNd(Module):
         spatial = "DHW"[-n:] if n > 1 else "W"
         lhs_spec = "N" + spatial + "C"
         rhs_spec = spatial + "IO"
+        conv_padding = self._pad_config()
+        if self.padding_mode != "zeros" and any(
+                p != (0, 0) for p in conv_padding):
+            mode = {"reflect": "reflect", "replicate": "edge",
+                    "circular": "wrap"}[self.padding_mode]
+            x = jnp.pad(x, [(0, 0)] + list(conv_padding) + [(0, 0)],
+                        mode=mode)
+            conv_padding = [(0, 0)] * n
         dn = jax.lax.conv_dimension_numbers(x.shape, params["w"].shape, (lhs_spec, rhs_spec, lhs_spec))
         # no preferred_element_type: the TPU MXU accumulates bf16 convs in
         # f32 regardless, and forcing an f32 output breaks the transpose
@@ -108,7 +121,7 @@ class _ConvNd(Module):
             x,
             params["w"].astype(x.dtype),
             window_strides=self.stride,
-            padding=self._pad_config(),
+            padding=conv_padding,
             rhs_dilation=self.dilation,
             dimension_numbers=dn,
             feature_group_count=self.groups,

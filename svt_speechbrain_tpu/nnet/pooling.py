@@ -73,13 +73,15 @@ class StatisticsPooling(Module):
         del params
         if lengths is None:
             mean = jnp.mean(x, axis=1)
-            std = jnp.std(x, axis=1)
+            # torch.std default: unbiased (n-1), which the reference uses
+            std = jnp.std(x, axis=1, ddof=1)
         else:
             t = x.shape[1]
             n = jnp.clip(jnp.round(lengths * t), 1, t)[:, None]
             mask = (jnp.arange(t)[None, :, None] < n[..., None]).astype(x.dtype)
             mean = jnp.sum(x * mask, axis=1) / n
-            var = jnp.sum(jnp.square(x - mean[:, None]) * mask, axis=1) / n
+            var = (jnp.sum(jnp.square(x - mean[:, None]) * mask, axis=1)
+                   / jnp.maximum(n - 1, 1))
             std = jnp.sqrt(var + self.eps)
         outs = []
         if self.return_mean:

@@ -175,29 +175,138 @@ class GRU(_RNNBase):
         return (1 - z) * n + z * h
 
 
-class LiGRU(_RNNBase):
-    """Light GRU: no reset gate, ReLU + batch-norm-free variant
-    (reference ``RNN.py:386``; the original uses per-layer BN on w_ih — we
-    use layer norm for stateless purity, noted deviation)."""
+class LiGRU(Module):
+    """Light GRU, reference-exact (``RNN.py:386`` LiGRU / ``:1125``
+    LiGRU_Layer): per layer, bias-free W (in→2H) and U (H→2H) projections;
+    the W projection of ALL timesteps is normalized at once over the
+    flattened (batch·time, 2H) frames — per-layer BatchNorm with
+    momentum 0.05 by default (running statistics live in the state tree),
+    or LayerNorm — BEFORE the recurrence; gate order is (candidate at,
+    update zt); a bidirectional layer shares W/U between directions (the
+    reference concatenates the flipped sequence on the batch axis).
 
-    GATES = 2
+    Hoisting the W matmul + norm out of the scan also keeps the MXU busy:
+    the scan body is two (B, H)×(H, 2H) matmuls and elementwise gates.
 
-    def __init__(self, *args, nonlinearity="relu", normalization="layernorm", **kwargs):
-        super().__init__(*args, **kwargs)
-        self.act = jax.nn.relu if nonlinearity == "relu" else jnp.tanh
+    Stateful API (batchnorm): ``init_state()`` → running stats;
+    ``__call__(params, x, hx=None, state=state, train=...)`` returns
+    ``(out, finals, new_state)``. Without ``state`` the call stays
+    2-tuple-compatible — train mode uses batch statistics exactly like the
+    reference, eval falls back to the untrained (0, 1) running stats.
+    """
+
+    def __init__(self, hidden_size, input_shape=None, input_size=None,
+                 num_layers=1, bias=True, dropout=0.0, bidirectional=False,
+                 nonlinearity="relu", normalization="batchnorm",
+                 re_init=True):
+        del bias, re_init  # reference LiGRU projections are bias-free
+        if input_size is None and input_shape is not None:
+            input_size = int(np.prod(input_shape[2:]))
+        self.hidden_size = hidden_size
+        self.input_size = input_size
+        self.num_layers = num_layers
+        self.dropout = dropout
+        self.bidirectional = bidirectional
         self.normalization = normalization
+        if nonlinearity == "tanh":
+            self.act = jnp.tanh
+        elif nonlinearity == "sin":
+            self.act = jnp.sin
+        elif nonlinearity == "leaky_relu":
+            self.act = jax.nn.leaky_relu
+        else:
+            self.act = jax.nn.relu
 
-    def _cell(self, p, x_t, h):
-        gi = x_t @ p["w_ih"]
-        if self.normalization == "layernorm":
-            from svt_speechbrain_tpu.nnet.normalization import layer_norm
+    def _norm_module(self):
+        from svt_speechbrain_tpu.nnet.normalization import BatchNorm1d
 
-            gi = layer_norm(gi, None, None)
-        gh = h @ p["w_hh"]
-        z_in, n_in = jnp.split(gi + gh, 2, axis=-1)
-        z = jax.nn.sigmoid(z_in)
-        n = self.act(n_in)
-        return z * h + (1 - z) * n
+        return BatchNorm1d(2 * self.hidden_size, momentum=0.05)
+
+    def init(self, rng):
+        params = {}
+        n_dir = 2 if self.bidirectional else 1
+        keys = split_rngs(rng, self.num_layers * 2)
+        for layer in range(self.num_layers):
+            in_size = (self.input_size if layer == 0
+                       else self.hidden_size * n_dir)
+            p = {
+                "w": _rnn_uniform(keys[2 * layer],
+                                  (in_size, 2 * self.hidden_size),
+                                  self.hidden_size),
+                "u": _rnn_uniform(keys[2 * layer + 1],
+                                  (self.hidden_size, 2 * self.hidden_size),
+                                  self.hidden_size),
+            }
+            if self.normalization in ("batchnorm", "layernorm"):
+                p["norm"] = {
+                    "scale": jnp.ones((2 * self.hidden_size,), jnp.float32),
+                    "bias": jnp.zeros((2 * self.hidden_size,), jnp.float32),
+                }
+            params[f"l{layer}"] = p
+        return params
+
+    def init_state(self):
+        if self.normalization != "batchnorm":
+            return {}
+        return {f"l{layer}": self._norm_module().init_state()
+                for layer in range(self.num_layers)}
+
+    def _layer(self, p, x, w_normed, h0):
+        """Recurrence over pre-normalized w projections: (B', T, 2H)."""
+        def step(h, w_t):
+            gates = w_t + h @ p["u"]
+            at, zt = jnp.split(gates, 2, axis=-1)
+            z = jax.nn.sigmoid(zt)
+            hcand = self.act(at)
+            h_new = z * h + (1 - z) * hcand
+            return h_new, h_new
+
+        ws = jnp.moveaxis(w_normed, 1, 0)
+        final, outs = jax.lax.scan(step, h0, ws)
+        return jnp.moveaxis(outs, 0, 1), final
+
+    def __call__(self, params, x, hx=None, state=None, train=False,
+                 rng=None):
+        from svt_speechbrain_tpu.nnet.dropout import dropout as _drop
+        from svt_speechbrain_tpu.nnet.normalization import layer_norm
+
+        if x.ndim == 4:
+            x = x.reshape(x.shape[0], x.shape[1], -1)
+        return_state = state is not None
+        if state is None:
+            state = self.init_state()
+        new_state = {}
+        finals = []
+        b = x.shape[0]
+        for layer in range(self.num_layers):
+            p = params[f"l{layer}"]
+            inp = x
+            if self.bidirectional:  # flipped copy rides the batch axis
+                inp = jnp.concatenate([x, jnp.flip(x, axis=1)], axis=0)
+            w = inp @ p["w"]
+            if self.normalization == "batchnorm":
+                flat = w.reshape(-1, w.shape[-1])
+                y, st = self._norm_module()(
+                    p["norm"], state[f"l{layer}"], flat, train=train)
+                w = y.reshape(w.shape)
+                new_state[f"l{layer}"] = st
+            elif self.normalization == "layernorm":
+                w = layer_norm(w, p["norm"]["scale"], p["norm"]["bias"])
+            h0 = (jnp.zeros((inp.shape[0], self.hidden_size))
+                  if hx is None else hx)
+            outs, final = self._layer(p, x, w, h0)
+            if self.bidirectional:
+                outs = jnp.concatenate(
+                    [outs[:b], jnp.flip(outs[b:], axis=1)], axis=-1)
+            x = outs
+            finals.append(final)
+            if (train and rng is not None and self.dropout > 0
+                    and layer < self.num_layers - 1):
+                rng, sub = jax.random.split(rng)
+                x = _drop(x, self.dropout, sub, True)
+        if return_state:
+            return x, finals, new_state
+        return x, finals
 
 
 class QuasiRNN(Module):

@@ -30,3 +30,36 @@ REFERENCE_ROOT = "/root/reference"
 
 def reference_available():
     return os.path.isdir(REFERENCE_ROOT)
+
+
+def import_reference_speechbrain():
+    """Import the reference speechbrain package for golden-parity tests.
+
+    Its deps missing from this image (hyperpyyaml, torchaudio, ruamel) are
+    stubbed — none of their functionality is exercised by the numeric
+    modules the tests touch. Returns the imported package."""
+    import importlib.machinery
+    import types
+
+    def stub(name, **attrs):
+        if name in sys.modules:
+            return sys.modules[name]
+        m = types.ModuleType(name)
+        m.__spec__ = importlib.machinery.ModuleSpec(name, None)
+        for k, v in attrs.items():
+            setattr(m, k, v)
+        sys.modules[name] = m
+        return m
+
+    stub("hyperpyyaml", load_hyperpyyaml=lambda *a, **k: {},
+         resolve_references=lambda *a, **k: None)
+    stub("torchaudio", load=None, info=None,
+         set_audio_backend=lambda *a, **k: None,
+         get_audio_backend=lambda: "soundfile")
+    ry = stub("ruamel")
+    ry.yaml = stub("ruamel.yaml", YAML=object)
+    if REFERENCE_ROOT not in sys.path:
+        sys.path.insert(0, REFERENCE_ROOT)
+    import speechbrain
+
+    return speechbrain
