@@ -312,9 +312,9 @@ class BatchedAMTTranscriber:
     def transcribe(self, songs, fast=True):
         """dict name → waveform ⇒ dict name → [[onset_s, offset_s, midi], ...].
 
-        ``fast=True`` uses the vectorized decoder; ``fast=False`` uses the
-        bit-exact reference decoder (identical except for rare majority-vote
-        ties)."""
+        ``fast=True`` uses the vectorized decoder, ``fast=False`` the
+        reference state machine — both produce bit-identical notes
+        (equivalence-tested including majority-vote ties)."""
         decode = frame2note_fast if fast else frame2note
         frames = self.predict_frames(songs)
         return {

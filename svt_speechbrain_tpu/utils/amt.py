@@ -93,15 +93,20 @@ def onset_peaks(onset_probs, onset_thres, local_max_size=3):
     peaks = np.zeros(n, dtype=bool)
     if n == 0:
         return peaks
-    # windowed max via stride tricks would need edge handling; n is small
-    # (song_len * 49.8 ≈ 1e4) so a per-frame max over a 7-wide slice is cheap.
-    for i in range(n):
-        lo = max(i - local_max_size, 0)
-        hi = min(i + local_max_size + 1, n - 1)
-        window = onset_probs[lo:hi]
-        if window.size and onset_probs[i] >= onset_thres and onset_probs[i] == window.max():
-            peaks[i] = True
-    return peaks
+    # vectorized sliding max: 2k+1 shifted-maximum passes instead of a
+    # per-frame python loop (the stitcher decodes ~50 frames per audio
+    # second, so this runs at full pipeline RTFx)
+    k = local_max_size
+    wmax = np.full(n, -np.inf)
+    for d in range(-k, k + 1):
+        # window indices i+d must fall in [0, n-2] (the n-1 clamp quirk)
+        lo = max(0, -d)
+        hi = min(n, (n - 1) - d)
+        if hi > lo:
+            np.maximum(wmax[lo:hi], onset_probs[lo + d:hi + d],
+                       out=wmax[lo:hi])
+    # empty windows (wmax still -inf) are never peaks
+    return (onset_probs >= onset_thres) & (onset_probs == wmax)
 
 
 def frame2note(frame_info, onset_thres, offset_thres, frame_size=1 / 49.8):
@@ -164,10 +169,11 @@ def frame2note(frame_info, onset_thres, offset_thres, frame_size=1 / 49.8):
 def frame2note_fast(frame_info, onset_thres, offset_thres, frame_size=1 / 49.8):
     """Vectorized ``frame2note`` for the batched inference path.
 
-    Identical to ``frame2note`` except majority-vote ties break toward the
-    smallest pitch (bincount argmax) instead of CPython set-iteration order —
-    ties require two pitches with exactly equal vote counts in one note, which
-    is rare; the golden-parity eval path uses the exact decoder.
+    BIT-IDENTICAL to ``frame2note`` (equivalence-tested including vote
+    ties): peak/offset/segment extraction is vectorized numpy; the
+    per-note majority vote — a few dozen elements — uses the exact
+    decoder's ``max(set(votes), key=votes.count)`` expression so even
+    CPython set-iteration tie-breaking matches.
     """
     arr = np.asarray(frame_info, dtype=np.float64)
     n = len(arr)
@@ -184,15 +190,15 @@ def frame2note_fast(frame_info, onset_thres, offset_thres, frame_size=1 / 49.8):
         return []
     event_idx = np.flatnonzero(peaks | offsets)
     result = []
-    for k, start in enumerate(peak_idx):
+    for start in peak_idx:
         # segment ends at the next peak-or-offset event, else end of sequence
         pos = np.searchsorted(event_idx, start + 1)
         end = event_idx[pos] if pos < len(event_idx) else None
         seg_end = end if end is not None else n
-        seg_votes = pitches[start:seg_end][votes_ok[start:seg_end]]
+        seg_votes = pitches[start:seg_end][votes_ok[start:seg_end]].tolist()
         if len(seg_votes) == 0:
             continue
-        pitch = int(np.bincount(seg_votes).argmax())
+        pitch = max(set(seg_votes), key=seg_votes.count)
         close_time = (end if end is not None else n - 1) * frame_size
         result.append([start * frame_size, close_time, pitch + MIDI_BASE])
     return result

@@ -111,3 +111,35 @@ def test_roundtrip_note2frame_frame2note():
     for (on, off, midi), ref in zip(decoded, notes):
         assert abs(on - ref[0]) < 0.05
         assert midi == ref[2]
+
+
+def test_frame2note_fast_bit_identical_including_ties():
+    """The vectorized decoder equals the exact one on random streams AND on
+    engineered majority-vote ties (same CPython set-iteration tie-break)."""
+    from svt_speechbrain_tpu.utils.amt import frame2note, frame2note_fast
+
+    rng = np.random.default_rng(123)
+    for trial in range(30):
+        n = int(rng.integers(5, 400))
+        frames = np.stack([
+            rng.random(n),                      # onset probs
+            rng.random(n),                      # offset probs
+            rng.integers(0, 5, n).astype(float),
+            rng.integers(0, 13, n).astype(float),
+        ], axis=-1)
+        exact = frame2note(frames, 0.5, 0.5)
+        fast = frame2note_fast(frames, 0.5, 0.5)
+        assert fast == exact, trial
+
+    # engineered tie: one note with exactly equal votes for two pitches
+    frames = np.zeros((12, 4))
+    frames[:, 1] = 0.0
+    frames[0, 0] = 0.9            # single onset peak at frame 0
+    frames[:, 2] = 1.0            # octave 1
+    frames[0:3, 3] = 2.0          # pitch class 2 × 3 votes
+    frames[3:6, 3] = 7.0          # pitch class 7 × 3 votes
+    frames[6:, 2] = 4.0           # none-bin: no further votes
+    exact = frame2note(frames, 0.5, 0.5)
+    fast = frame2note_fast(frames, 0.5, 0.5)
+    assert len(exact) == 1
+    assert fast == exact

@@ -206,3 +206,38 @@ def test_song_mode_padding_invariant(tiny_model):
                           jnp.asarray([1.0], jnp.float32))
         want = np.asarray(out)[0, :frames]
         np.testing.assert_allclose(got[name], want, atol=2e-5, rtol=1e-4)
+
+
+def test_mesh_inference_matches_single_device(tiny_model):
+    """The transcriber's mesh mode (batch sharded over "data", params
+    replicated) produces IDENTICAL stitched frames to the single-device
+    path on this 8-device virtual mesh — the north-star pipeline is
+    multi-chip-correct, not just the train step."""
+    from svt_speechbrain_tpu.parallel import mesh as mesh_lib
+
+    bridge, head, params = tiny_model
+    rng = np.random.default_rng(11)
+    songs = {
+        "a": rng.normal(size=int(3.3 * 16000)).astype(np.float32),
+        "b": rng.normal(size=int(1.0 * 16000)).astype(np.float32),
+        "c": (rng.normal(size=int(2.1 * 16000)) * 3000).astype(np.int16),
+    }
+    single = BatchedAMTTranscriber(bridge, head, params, chunk_seconds=1.0,
+                                   batch_size=8, compute_dtype=jnp.float32)
+    mesh = mesh_lib.make_mesh(n_devices=8, axis_names=("data",))
+    sharded = BatchedAMTTranscriber(bridge, head, params, chunk_seconds=1.0,
+                                    batch_size=8, compute_dtype=jnp.float32,
+                                    mesh=mesh)
+    got_single = single.predict_frames(songs)
+    got_mesh = sharded.predict_frames(songs)
+    for name in songs:
+        assert got_single[name].shape == got_mesh[name].shape
+        np.testing.assert_allclose(got_mesh[name], got_single[name],
+                                   atol=1e-6)
+
+    # decoded note events identical too
+    notes_single = single.transcribe(songs, fast=False)
+    notes_mesh = sharded.transcribe(songs, fast=False)
+    for name in songs:
+        np.testing.assert_allclose(np.asarray(notes_mesh[name]),
+                                   np.asarray(notes_single[name]))
