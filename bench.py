@@ -74,6 +74,7 @@ def main():
     # transient link failures (each failed pass is replaced by an extra
     # attempt, up to `passes` retries) rather than losing the round
     passes = int(os.environ.get("BENCH_PASSES", "3"))
+    depth = int(os.environ.get("BENCH_DEPTH", "2"))
     rtfx = 0.0
     timed = 0
     attempts = 0
@@ -82,7 +83,7 @@ def main():
         attempts += 1
         try:
             start = time.perf_counter()
-            transcriber.predict_frames(songs)
+            transcriber.predict_frames(songs, depth=depth)
             elapsed = time.perf_counter() - start
         except Exception as exc:  # pragma: no cover - flaky-link insurance
             last_exc = exc

@@ -1,5 +1,6 @@
 """ContextNet and ESPnetVGG encoder lobes (analogue of reference
-``speechbrain/lobes/models/ContextNet.py`` / ``ESPnetVGG.py``)."""
+``speechbrain/lobes/models/ContextNet.py`` / ``ESPnetVGG.py``). ContextNet
+uses the reference's BatchNorm1d (running stats in the state tree)."""
 from __future__ import annotations
 
 import jax
@@ -8,7 +9,7 @@ import jax.numpy as jnp
 from svt_speechbrain_tpu.nnet.core import Module, split_rngs
 from svt_speechbrain_tpu.nnet.cnn import Conv1d, Conv2d, DepthwiseSeparableConv1d
 from svt_speechbrain_tpu.nnet.linear import Linear
-from svt_speechbrain_tpu.nnet.normalization import LayerNorm
+from svt_speechbrain_tpu.nnet.normalization import BatchNorm1d
 from svt_speechbrain_tpu.nnet.pooling import Pooling2d
 from svt_speechbrain_tpu.nnet.rnn import LSTM
 from svt_speechbrain_tpu.nnet.activations import Swish
@@ -45,7 +46,7 @@ class ContextNetBlock(Module):
             self.convs.append(DepthwiseSeparableConv1d(
                 channels, kernel_size, ch, stride=s))
             ch = channels
-        self.norms = [LayerNorm(channels) for _ in range(n_convs)]
+        self.norms = [BatchNorm1d(channels) for _ in range(n_convs)]
         self.se = SEmodule(channels, channels)
         self.residual = residual
         self.stride = stride
@@ -64,18 +65,23 @@ class ContextNetBlock(Module):
             params["res"] = self.res_conv.init(keys[-2])
         return params
 
-    def __call__(self, params, x):
+    def init_state(self):
+        return {f"norm{i}": n.init_state() for i, n in enumerate(self.norms)}
+
+    def __call__(self, params, x, state, train=False):
         residual = x
+        new_state = {}
         for i, conv in enumerate(self.convs):
             x = conv(params[f"conv{i}"], x)
-            x = self.norms[i](params[f"norm{i}"], x)
+            x, new_state[f"norm{i}"] = self.norms[i](
+                params[f"norm{i}"], state[f"norm{i}"], x, train=train)
             x = self.swish(None, x)
         x = self.se(params["se"], x)
         if self.res_conv is not None:
             res = self.res_conv(params["res"], residual)
             if res.shape == x.shape:
                 x = x + res
-        return x
+        return x, new_state
 
 
 class ContextNet(Module):
@@ -98,9 +104,22 @@ class ContextNet(Module):
         keys = split_rngs(rng, len(self.blocks))
         return {str(i): b.init(k) for i, (b, k) in enumerate(zip(self.blocks, keys))}
 
-    def __call__(self, params, x):
+    def init_state(self):
+        return {str(i): b.init_state() for i, b in enumerate(self.blocks)}
+
+    def __call__(self, params, x, state=None, train=False):
+        """With ``state`` (BatchNorm running stats) returns ``(out,
+        new_state)``; without, returns ``out`` (train mode uses batch
+        statistics like torch)."""
+        return_state = state is not None
+        if state is None:
+            state = self.init_state()
+        new_state = {}
         for i, b in enumerate(self.blocks):
-            x = b(params[str(i)], x)
+            x, new_state[str(i)] = b(params[str(i)], x, state[str(i)],
+                                     train=train)
+        if return_state:
+            return x, new_state
         return x
 
 

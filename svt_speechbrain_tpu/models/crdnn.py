@@ -10,7 +10,7 @@ import jax.numpy as jnp
 from svt_speechbrain_tpu.nnet.core import Module, split_rngs
 from svt_speechbrain_tpu.nnet.cnn import Conv2d
 from svt_speechbrain_tpu.nnet.linear import Linear
-from svt_speechbrain_tpu.nnet.normalization import LayerNorm
+from svt_speechbrain_tpu.nnet.normalization import BatchNorm1d, LayerNorm
 from svt_speechbrain_tpu.nnet.pooling import Pooling2d
 from svt_speechbrain_tpu.nnet.rnn import LSTM, GRU, LiGRU
 from svt_speechbrain_tpu.nnet.dropout import dropout as _dropout
@@ -48,23 +48,27 @@ class CNNBlock(Module):
 
 
 class DNNBlock(Module):
-    """Linear + LayerNorm + LeakyReLU (reference ``CRDNN.py:245``)."""
+    """Linear + BatchNorm1d + LeakyReLU (reference ``CRDNN.py:283``; running
+    stats in the state tree)."""
 
     def __init__(self, neurons, input_size, dropout=0.15):
         self.linear = Linear(neurons, input_size)
-        self.norm = LayerNorm(neurons)
+        self.norm = BatchNorm1d(neurons)
         self.dropout = dropout
 
     def init(self, rng):
         return {"linear": self.linear.init(rng), "norm": self.norm.init(None)}
 
-    def __call__(self, params, x, rng=None, train=False):
+    def init_state(self):
+        return self.norm.init_state()
+
+    def __call__(self, params, x, state, rng=None, train=False):
         x = self.linear(params["linear"], x)
-        x = self.norm(params["norm"], x)
+        x, new_state = self.norm(params["norm"], state, x, train=train)
         x = jax.nn.leaky_relu(x)
         if rng is not None:
             x = _dropout(x, self.dropout, rng, train)
-        return x
+        return x, new_state
 
 
 class CRDNN(Module):
@@ -107,8 +111,21 @@ class CRDNN(Module):
             params[f"dnn{i}"] = blk.init(keys[len(self.cnn) + 1 + i])
         return params
 
-    def __call__(self, params, x, rng=None, train=False):
-        """x: (B, T, F) → (B, T', dnn_neurons)."""
+    def init_state(self):
+        state = {f"dnn{i}": blk.init_state()
+                 for i, blk in enumerate(self.dnn)}
+        if hasattr(self.rnn, "init_state"):
+            state["rnn"] = self.rnn.init_state()
+        return state
+
+    def __call__(self, params, x, rng=None, train=False, state=None):
+        """x: (B, T, F) → (B, T', dnn_neurons). With ``state`` (BatchNorm /
+        LiGRU running stats) returns ``(out, new_state)``; without, train
+        mode uses batch statistics like torch."""
+        return_state = state is not None
+        if state is None:
+            state = self.init_state()
+        new_state = {}
         rngs = split_rngs(rng, len(self.cnn) + 1 + len(self.dnn)) if rng is not None \
             else [None] * (len(self.cnn) + 1 + len(self.dnn))
         h = x[..., None]  # (B, T, F, 1)
@@ -118,9 +135,19 @@ class CRDNN(Module):
             h = Pooling2d("max", (self.time_pooling_size, 1))(None, h)
         b, t = h.shape[0], h.shape[1]
         h = h.reshape(b, t, -1)
-        h, _ = self.rnn(params["rnn"], h, rng=rngs[len(self.cnn)], train=train)
+        if "rnn" in state:
+            h, _, new_state["rnn"] = self.rnn(
+                params["rnn"], h, state=state["rnn"],
+                rng=rngs[len(self.cnn)], train=train)
+        else:
+            h, _ = self.rnn(params["rnn"], h, rng=rngs[len(self.cnn)],
+                            train=train)
         for i, blk in enumerate(self.dnn):
-            h = blk(params[f"dnn{i}"], h, rng=rngs[len(self.cnn) + 1 + i], train=train)
+            h, new_state[f"dnn{i}"] = blk(
+                params[f"dnn{i}"], h, state[f"dnn{i}"],
+                rng=rngs[len(self.cnn) + 1 + i], train=train)
+        if return_state:
+            return h, new_state
         return h
 
 

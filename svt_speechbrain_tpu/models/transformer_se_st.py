@@ -84,12 +84,15 @@ class IMU_CRNN(Module):
 
     def __init__(self, input_size=6, channels=(32, 64), kernel_size=5,
                  rnn_neurons=64, outputs=8, pool_size=2, dropout=0.1):
+        from svt_speechbrain_tpu.nnet.normalization import BatchNorm1d
+
         self.convs = []
         in_ch = input_size
         for ch in channels:
             self.convs.append(Conv1d(ch, kernel_size, in_ch, padding="same"))
             in_ch = ch
-        self.norms = [LayerNorm(ch) for ch in channels]
+        # reference IMU_CRNN uses torch BatchNorm1d (running stats in state)
+        self.norms = [BatchNorm1d(ch) for ch in channels]
         self.pool = Pooling1d("max", pool_size)
         self.rnn = GRU(rnn_neurons, input_size=in_ch, num_layers=1)
         self.out = Linear(outputs, rnn_neurons)
@@ -102,33 +105,52 @@ class IMU_CRNN(Module):
             params[f"norm{i}"] = self.norms[i].init(None)
         return params
 
-    def __call__(self, params, x, rng=None, train=False):
+    def init_state(self):
+        return {f"norm{i}": n.init_state() for i, n in enumerate(self.norms)}
+
+    def __call__(self, params, x, rng=None, train=False, state=None):
+        return_state = state is not None
+        if state is None:
+            state = self.init_state()
+        new_state = {}
         for i in range(len(self.convs)):
             x = jax.nn.leaky_relu(self.convs[i](params[f"conv{i}"], x))
-            x = self.norms[i](params[f"norm{i}"], x)
+            x, new_state[f"norm{i}"] = self.norms[i](
+                params[f"norm{i}"], state[f"norm{i}"], x, train=train)
             x = self.pool(None, x)
         h, _ = self.rnn(params["rnn"], x, rng=rng, train=train)
-        return self.out(params["out"], h[:, -1])
+        out = self.out(params["out"], h[:, -1])
+        if return_state:
+            return out, new_state
+        return out
 
 
 class ConvBlock(Module):
-    """Conv1d → LayerNorm → ReLU block (reference ``IMU_CRNN.py:ConvBlock``;
-    the reference's BatchNorm is LayerNorm here, like the other lobes)."""
+    """Conv1d → BatchNorm1d → ReLU block (reference ``IMU_CRNN.py:ConvBlock``;
+    running stats in the state tree)."""
 
     def __init__(self, out_channels, in_channels, kernel_size=3, stride=1):
         from svt_speechbrain_tpu.nnet.cnn import Conv1d
-        from svt_speechbrain_tpu.nnet.normalization import LayerNorm
+        from svt_speechbrain_tpu.nnet.normalization import BatchNorm1d
 
         self.conv = Conv1d(out_channels, kernel_size, in_channels,
                            stride=stride, padding="same")
-        self.norm = LayerNorm(out_channels)
+        self.norm = BatchNorm1d(out_channels)
 
     def init(self, rng):
         return {"conv": self.conv.init(rng), "norm": self.norm.init(None)}
 
-    def __call__(self, params, x):
-        return jax.nn.relu(self.norm(params["norm"],
-                                     self.conv(params["conv"], x)))
+    def init_state(self):
+        return self.norm.init_state()
+
+    def __call__(self, params, x, state=None, train=False):
+        y = self.conv(params["conv"], x)
+        st = self.norm.init_state() if state is None else state
+        y, new_state = self.norm(params["norm"], st, y, train=train)
+        y = jax.nn.relu(y)
+        if state is None:
+            return y
+        return y, new_state
 
 
 class IMU_CRNN_GRU(Module):
