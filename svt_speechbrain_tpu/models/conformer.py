@@ -8,15 +8,15 @@ import jax.numpy as jnp
 from svt_speechbrain_tpu.nnet.core import Module, split_rngs
 from svt_speechbrain_tpu.nnet.linear import Linear
 from svt_speechbrain_tpu.nnet.cnn import Conv1d
-from svt_speechbrain_tpu.nnet.normalization import LayerNorm
+from svt_speechbrain_tpu.nnet.normalization import BatchNorm1d, LayerNorm
 from svt_speechbrain_tpu.nnet.attention import RelPosMHAXL, RelPosEncXL, MultiheadAttention
 from svt_speechbrain_tpu.nnet.activations import Swish
 from svt_speechbrain_tpu.nnet.dropout import dropout as _dropout
 
 
 class ConvolutionModule(Module):
-    """Pointwise → GLU → depthwise → LayerNorm+Swish → pointwise
-    (reference ``Conformer.py:24``; BatchNorm swapped for LayerNorm)."""
+    """Pointwise → GLU → depthwise → BatchNorm+Swish → pointwise
+    (reference ``Conformer.py:24``; running stats in the state tree)."""
 
     def __init__(self, input_size, kernel_size=31, bias=True, causal=False,
                  dilation=1):
@@ -25,7 +25,7 @@ class ConvolutionModule(Module):
         self.dw = Conv1d(input_size, kernel_size, input_size, groups=input_size,
                          padding="causal" if causal else "same",
                          dilation=dilation, bias=bias)
-        self.norm = LayerNorm(input_size)
+        self.norm = BatchNorm1d(input_size)
         self.pw2 = Linear(input_size, input_size, bias=bias)
         self.pre_norm = LayerNorm(input_size)
 
@@ -35,15 +35,24 @@ class ConvolutionModule(Module):
                 "dw": self.dw.init(k2), "norm": self.norm.init(None),
                 "pw2": self.pw2.init(k3)}
 
-    def __call__(self, params, x):
+    def init_state(self):
+        return self.norm.init_state()
+
+    def __call__(self, params, x, state=None, train=False):
+        return_state = state is not None
+        if state is None:
+            state = self.init_state()
         h = self.pre_norm(params["pre_norm"], x)
         h = self.pw1(params["pw1"], h)
         a, b = jnp.split(h, 2, axis=-1)
         h = a * jax.nn.sigmoid(b)  # GLU
         h = self.dw(params["dw"], h)
-        h = self.norm(params["norm"], h)
+        h, new_state = self.norm(params["norm"], state, h, train=train)
         h = h * jax.nn.sigmoid(h)  # swish
-        return self.pw2(params["pw2"], h)
+        out = self.pw2(params["pw2"], h)
+        if return_state:
+            return out, new_state
+        return out
 
 
 class ConformerEncoderLayer(Module):
@@ -88,8 +97,14 @@ class ConformerEncoderLayer(Module):
         y = _dropout(y, self.dropout, rng, train)
         return h[1](pb, y)
 
+    def init_state(self):
+        return {"conv": self.conv.init_state()}
+
     def __call__(self, params, x, pos_embs=None, src_key_padding_mask=None,
-                 rng=None, train=False):
+                 rng=None, train=False, state=None):
+        return_state = state is not None
+        if state is None:
+            state = self.init_state()
         rngs = split_rngs(rng, 4) if rng is not None else [None] * 4
         x = x + 0.5 * self._half_ffn(params, x, 1, rngs[0], train)
         h = self.norm_mha(params["norm_mha"], x)
@@ -102,9 +117,14 @@ class ConformerEncoderLayer(Module):
                                    key_padding_mask=src_key_padding_mask,
                                    rng=rngs[1], train=train)
         x = x + _dropout(attn_out, self.dropout, rngs[2], train)
-        x = x + self.conv(params["conv"], x)
+        conv_out, conv_state = self.conv(params["conv"], x,
+                                         state=state["conv"], train=train)
+        x = x + conv_out
         x = x + 0.5 * self._half_ffn(params, x, 2, rngs[3], train)
-        return self.norm_out(params["norm_out"], x)
+        out = self.norm_out(params["norm_out"], x)
+        if return_state:
+            return out, {"conv": conv_state}
+        return out
 
 
 class ConformerEncoder(Module):
@@ -124,13 +144,24 @@ class ConformerEncoder(Module):
         keys = split_rngs(rng, len(self.layers))
         return {str(i): l.init(k) for i, (l, k) in enumerate(zip(self.layers, keys))}
 
-    def __call__(self, params, x, src_key_padding_mask=None, rng=None, train=False):
+    def init_state(self):
+        return {str(i): l.init_state() for i, l in enumerate(self.layers)}
+
+    def __call__(self, params, x, src_key_padding_mask=None, rng=None,
+                 train=False, state=None):
+        return_state = state is not None
+        if state is None:
+            state = self.init_state()
+        new_state = {}
         pos_embs = self.pos_enc(None, x) if self.pos_enc is not None else None
         rngs = split_rngs(rng, len(self.layers)) if rng is not None else [None] * len(self.layers)
         for i, layer in enumerate(self.layers):
-            x = layer(params[str(i)], x, pos_embs=pos_embs,
-                      src_key_padding_mask=src_key_padding_mask,
-                      rng=rngs[i], train=train)
+            x, new_state[str(i)] = layer(
+                params[str(i)], x, pos_embs=pos_embs,
+                src_key_padding_mask=src_key_padding_mask,
+                rng=rngs[i], train=train, state=state[str(i)])
+        if return_state:
+            return x, new_state
         return x
 
 
