@@ -285,7 +285,12 @@ class BatchedAMTTranscriber:
                     put_guarded(None)
                 except RuntimeError:
                     pass
-            drain_thread.join(timeout=60.0)
+            # wait for the drainer to finish — it always terminates (exits on
+            # the None sentinel, and a died drainer is no longer alive). A
+            # SLOW drainer (e.g. a degraded device→host link) must be waited
+            # out, not abandoned: a timed-out join here would silently stitch
+            # incomplete results.
+            drain_thread.join()
             executor.shutdown(wait=True)
         if drain_errors:
             raise drain_errors[0]
