@@ -190,7 +190,10 @@ class RelPosEncXL(Module):
                            * -(np.log(10000.0) / self.emb_dim))
         sinusoid = pos * inv_freq[None, :]
         pe = jnp.zeros((2 * t - 1, self.emb_dim), jnp.float32)
-        pe = pe.at[:, 0::2].set(jnp.sin(sinusoid))
+        # the reference reuses sin(|pos|) for future (negative) positions
+        # ("same for past and future", attention.py:350) — only the past/
+        # future distinction in cos matters (and cos is even anyway)
+        pe = pe.at[:, 0::2].set(jnp.sin(jnp.abs(sinusoid)))
         pe = pe.at[:, 1::2].set(jnp.cos(sinusoid))
         return pe[None].astype(x.dtype)
 
@@ -248,7 +251,9 @@ class RelPosMHAXL(Module):
         ac = jnp.einsum("bhqd,bhkd->bhqk", q_u, k, preferred_element_type=jnp.float32)
         bd = jnp.einsum("bhqd,bhkd->bhqk", q_v, jnp.broadcast_to(p, (b,) + p.shape[1:]),
                         preferred_element_type=jnp.float32)
-        scores = (ac + self._rel_shift(bd)) / np.sqrt(dh)
+        # the reference scales by 1/sqrt(embed_dim) — NOT head_dim
+        # (attention.py:451, a deliberate speechbrain quirk)
+        scores = (ac + self._rel_shift(bd)) / np.sqrt(d)
 
         mask = None
         if attn_mask is not None:

@@ -238,3 +238,68 @@ def test_conformer_encoder_matches_reference():
         np.testing.assert_allclose(
             np.asarray(new_state[str(i)]["conv"]["mean"]),
             bn.running_mean.numpy(), atol=1e-5, rtol=1e-4)
+
+
+def test_relpos_attention_matches_reference():
+    """RelPosEncXL positional encodings and RelPosMHAXL attention equal the
+    reference (converted packed in_proj + linear_pos + pos biases),
+    including the reference's 1/sqrt(embed_dim) score scaling and
+    key-padding masking."""
+    import torch
+
+    sb = import_reference_speechbrain()
+    from svt_speechbrain_tpu.nnet.attention import RelPosEncXL, RelPosMHAXL
+
+    b, t, d, h = 3, 14, 32, 4
+    torch.manual_seed(7)
+    ref_pe = sb.nnet.attention.RelPosEncXL(d)
+    ref = sb.nnet.attention.RelPosMHAXL(d, h, dropout=0.0).eval()
+
+    rng = np.random.default_rng(8)
+    x = rng.normal(size=(b, t, d)).astype(np.float32)
+
+    with torch.no_grad():
+        pos_ref = ref_pe(torch.tensor(x))
+    pos_my = RelPosEncXL(d)(None, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(pos_my), pos_ref.numpy(),
+                               atol=1e-6)
+
+    # the reference SELF-attention path views the packed projection as
+    # (H, 3*dh) and chunks per head (attention.py:551-557) — q/k/v rows are
+    # INTERLEAVED per head, unlike the plain [q; k; v] block layout its own
+    # cross-attention path uses. Convert accordingly.
+    dh = d // h
+    w3 = ref.in_proj_weight.detach().numpy().reshape(h, 3, dh, d)
+    params = {
+        "wq": w3[:, 0].reshape(d, d).T.copy(),
+        "wk": w3[:, 1].reshape(d, d).T.copy(),
+        "wv": w3[:, 2].reshape(d, d).T.copy(),
+        "wo": ref.out_proj.weight.detach().numpy().T.copy(),
+        "bo": ref.out_proj.bias.detach().numpy().copy(),
+        "wpos": ref.linear_pos.weight.detach().numpy().T.copy(),
+        # stored (dh, H) but VIEWed as (H, dh) in the forward
+        # (attention.py:586-592) — raw-memory reshape, not a transpose
+        "u": ref.pos_bias_u.detach().numpy().reshape(h, dh).copy(),
+        "v": ref.pos_bias_v.detach().numpy().reshape(h, dh).copy(),
+    }
+    mine = RelPosMHAXL(d, h, dropout=0.0)
+
+    with torch.no_grad():
+        want, _ = ref(torch.tensor(x), torch.tensor(x), torch.tensor(x),
+                      pos_embs=pos_ref)
+    got, _ = mine(params, jnp.asarray(x), jnp.asarray(x), jnp.asarray(x),
+                  pos_embs=jnp.asarray(pos_my))
+    np.testing.assert_allclose(np.asarray(got), want.numpy(),
+                               atol=1e-5, rtol=1e-4)
+
+    kpm = np.zeros((b, t), dtype=bool)
+    kpm[0, -5:] = True
+    with torch.no_grad():
+        want_m, _ = ref(torch.tensor(x), torch.tensor(x), torch.tensor(x),
+                        pos_embs=pos_ref,
+                        key_padding_mask=torch.tensor(kpm))
+    got_m, _ = mine(params, jnp.asarray(x), jnp.asarray(x), jnp.asarray(x),
+                    pos_embs=jnp.asarray(pos_my),
+                    key_padding_mask=jnp.asarray(kpm))
+    np.testing.assert_allclose(np.asarray(got_m), want_m.numpy(),
+                               atol=1e-5, rtol=1e-4)
