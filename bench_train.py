@@ -18,6 +18,8 @@ import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 import optax  # noqa: E402
 
+if os.environ.get("BENCH_TRAIN_RNG", "rbg") == "rbg":
+    jax.config.update("jax_default_prng_impl", "rbg")
 try:  # persistent compile cache: repeat bench runs skip the compile
     jax.config.update("jax_compilation_cache_dir",
                       os.environ.get("JAX_CACHE_DIR", "/tmp/svt_jax_cache"))
@@ -37,6 +39,10 @@ def main():
     bridge = HuggingFaceWav2Vec2(source="facebook/wav2vec2-large-lv60",
                                  output_norm=True)
     bridge.config.remat = os.environ.get("BENCH_TRAIN_REMAT", "0") == "1"
+    bridge.config.attention_impl = os.environ.get("BENCH_TRAIN_ATTN", "auto")
+    if bridge.config.attention_impl == "flash":
+        # the Pallas path has no in-kernel attention dropout (PARITY.md)
+        bridge.config.attention_dropout = 0.0
     head = Linear(input_size=1024, n_neurons=20)
     k1, k2 = jax.random.split(jax.random.PRNGKey(0))
     params = {"wav2vec2": bridge.init(k1), "model": head.init(k2)}

@@ -80,6 +80,9 @@ class Wav2Vec2Config:
     rel_pos_bias: bool = False
     num_buckets: int = 320
     max_bucket_distance: int = 800
+    # attention dispatch for the encoder layers: "auto" (XLA below 1024
+    # frames, Pallas flash above), "flash", or "xla"
+    attention_impl: str = "auto"
     # rematerialize the conv feature extractor in the backward pass — its
     # intermediate activations are O(T_samples · 512) and dominate HBM on
     # whole-song windows (minutes of audio); recompute costs ~13% extra FLOPs
@@ -456,10 +459,12 @@ class TransformerLayer(Module):
             elif key_lengths is not None:
                 # prefix padding as lengths keeps the flash path available
                 out = self.attn(params["attn"], h, h, h, key_lengths=key_lengths,
-                                rng=rngs[0], train=train, return_attn_weights=False)
+                                rng=rngs[0], train=train, return_attn_weights=False,
+                                impl=c.attention_impl)
             else:
                 out = self.attn(params["attn"], h, h, h, key_padding_mask=key_padding_mask,
-                                rng=rngs[0], train=train, return_attn_weights=False)
+                                rng=rngs[0], train=train, return_attn_weights=False,
+                                impl=c.attention_impl)
             return _dropout(out, c.hidden_dropout, rngs[1], train)
 
         def ffn_block(h):

@@ -108,7 +108,7 @@ class MultiheadAttention(Module):
 
     def __call__(self, params, query, key, value, attn_mask=None,
                  key_padding_mask=None, pos_embs=None, rng=None, train=False,
-                 return_attn_weights=True, key_lengths=None):
+                 return_attn_weights=True, key_lengths=None, impl="auto"):
         b, tq, _ = query.shape
         tk = key.shape[1]
         h, dh = self.nhead, self.head_dim
@@ -136,7 +136,7 @@ class MultiheadAttention(Module):
         res = scaled_dot_product_attention(
             q, k, v, bias=pos_embs, mask=mask, dropout_rate=self.dropout,
             rng=rng, train=train, return_weights=return_attn_weights,
-            key_lengths=key_lengths,
+            key_lengths=key_lengths, impl=impl,
         )
         out, weights = res if return_attn_weights else (res, None)
         out = out.transpose(0, 2, 1, 3).reshape(b, tq, self.d_model)
