@@ -105,3 +105,71 @@ def test_augmentations_shapes_and_noop():
     td = TimeDomainSpecAugment(sample_rate=16000)
     out = td(None, wav, lengths=jnp.ones(4), rng=key)
     assert out.shape == wav.shape
+
+
+def test_fbank_matches_reference_torch():
+    """Golden parity of our Fbank vs the reference speechbrain Fbank
+    (STFT → power spectrum → mel filterbank → log) on real-ish audio."""
+    import pytest
+    from tests.conftest import import_reference_speechbrain, reference_available
+
+    if not reference_available():
+        pytest.skip("reference checkout not present")
+    import torch
+
+    import importlib
+
+    import_reference_speechbrain()
+    feats_mod = importlib.import_module("speechbrain.lobes.features")
+    from svt_speechbrain_tpu.models.features import Fbank
+
+    rng = np.random.default_rng(3)
+    wav = (np.sin(np.arange(16000) * 0.05)
+           + 0.3 * rng.normal(size=16000)).astype(np.float32)[None]
+
+    import unittest.mock
+
+    # the reference Deltas buffer hardcodes .cuda() at construction
+    # (processing/features.py:817) — neutralize for CPU golden comparison
+    with unittest.mock.patch.object(torch.Tensor, "cuda",
+                                    lambda self, *a, **k: self):
+        ref = feats_mod.Fbank(n_mels=40)
+    ref.eval()
+    with torch.no_grad():
+        want = ref(torch.tensor(wav)).numpy()
+    mine = Fbank(n_mels=40)
+    got = np.asarray(mine(None, jnp.asarray(wav)))
+    assert got.shape == want.shape, (got.shape, want.shape)
+    np.testing.assert_allclose(got, want, atol=2e-3, rtol=1e-3)
+
+
+def test_mfcc_matches_reference_torch():
+    import pytest
+    from tests.conftest import import_reference_speechbrain, reference_available
+
+    if not reference_available():
+        pytest.skip("reference checkout not present")
+    import torch
+
+    import importlib
+
+    import_reference_speechbrain()
+    feats_mod = importlib.import_module("speechbrain.lobes.features")
+    from svt_speechbrain_tpu.models.features import MFCC
+
+    rng = np.random.default_rng(4)
+    wav = (np.sin(np.arange(16000) * 0.03)
+           + 0.2 * rng.normal(size=16000)).astype(np.float32)[None]
+
+    import unittest.mock
+
+    with unittest.mock.patch.object(torch.Tensor, "cuda",
+                                    lambda self, *a, **k: self):
+        ref = feats_mod.MFCC(n_mfcc=20, deltas=True, context=False)
+    ref.eval()
+    with torch.no_grad():
+        want = ref(torch.tensor(wav)).numpy()
+    mine = MFCC(n_mfcc=20, deltas=True, context=False)
+    got = np.asarray(mine(None, jnp.asarray(wav)))
+    assert got.shape == want.shape, (got.shape, want.shape)
+    np.testing.assert_allclose(got, want, atol=5e-3, rtol=1e-2)
