@@ -136,57 +136,191 @@ class ConvTasNet(Module):
         return jnp.stack(outs, axis=1)
 
 
-class DualPathModel(Module):
-    """Dual-path (SepFormer-style) mask network: chunk → intra-chunk
-    transformer → inter-chunk transformer → masks
-    (reference ``dual_path.py:Dual_Path_Model`` + SBTransformerBlock)."""
+class DualComputationBlock(Module):
+    """One dual-path block (reference ``dual_path.py:Dual_Computation_Block``):
+    intra-chunk model (chunks folded into batch) → optional linear →
+    per-item global norm → optional skip; inter-chunk model (positions
+    folded into batch) → optional linear → norm → residual sum."""
 
-    def __init__(self, in_channels=256, d_model=128, n_sources=2, chunk_size=50,
-                 num_layers=2, nhead=4, d_ffn=256, num_dp_blocks=2):
-        self.chunk_size = chunk_size
-        self.n_sources = n_sources
-        self.in_channels = in_channels
-        self.proj_in = Linear(d_model, in_channels)
-        self.pos = PositionalEncoding(d_model)
-        self.intra = [TransformerEncoder(num_layers, nhead, d_ffn, d_model=d_model)
-                      for _ in range(num_dp_blocks)]
-        self.inter = [TransformerEncoder(num_layers, nhead, d_ffn, d_model=d_model)
-                      for _ in range(num_dp_blocks)]
-        self.proj_out = Linear(n_sources * in_channels, d_model)
+    def __init__(self, intra_mdl, inter_mdl, out_channels, norm="ln",
+                 skip_around_intra=True, linear_layer_after_inter_intra=True):
+        self.intra_mdl = intra_mdl
+        self.inter_mdl = inter_mdl
+        self.skip_around_intra = skip_around_intra
+        self.use_linear = linear_layer_after_inter_intra
+        self.norm = norm
+        if norm is not None:
+            # "ln" = GroupNorm(1, N) over ALL non-batch dims with per-channel
+            # affine — exactly GlobalLayerNorm in channel-last layout
+            self.intra_norm = GlobalLayerNorm(out_channels, eps=1e-8)
+            self.inter_norm = GlobalLayerNorm(out_channels, eps=1e-8)
+        if linear_layer_after_inter_intra:
+            width = getattr(intra_mdl, "output_size", out_channels)
+            self.intra_linear = Linear(out_channels, width)
+            width = getattr(inter_mdl, "output_size", out_channels)
+            self.inter_linear = Linear(out_channels, width)
 
     def init(self, rng):
-        keys = split_rngs(rng, 2 * len(self.intra) + 2)
-        params = {"proj_in": self.proj_in.init(keys[0]),
-                  "proj_out": self.proj_out.init(keys[-1])}
-        for i, (a, e) in enumerate(zip(self.intra, self.inter)):
-            params[f"intra{i}"] = a.init(keys[1 + 2 * i])
-            params[f"inter{i}"] = e.init(keys[2 + 2 * i])
+        k = split_rngs(rng, 4)
+        params = {"intra": self.intra_mdl.init(k[0]),
+                  "inter": self.inter_mdl.init(k[1])}
+        if self.norm is not None:
+            params["intra_norm"] = self.intra_norm.init(None)
+            params["inter_norm"] = self.inter_norm.init(None)
+        if self.use_linear:
+            params["intra_linear"] = self.intra_linear.init(k[2])
+            params["inter_linear"] = self.inter_linear.init(k[3])
         return params
+
+    def __call__(self, params, x):
+        """x: (B, S, K, d) chunked activations → same shape."""
+        b, s, kk, d = x.shape
+        intra = self.intra_mdl(params["intra"], x.reshape(b * s, kk, d))
+        if self.use_linear:
+            intra = self.intra_linear(params["intra_linear"], intra)
+        intra = intra.reshape(b, s, kk, d)
+        if self.norm is not None:
+            intra = self.intra_norm(params["intra_norm"], intra)
+        if self.skip_around_intra:
+            intra = intra + x
+
+        inter = intra.transpose(0, 2, 1, 3).reshape(b * kk, s, d)
+        inter = self.inter_mdl(params["inter"], inter)
+        if self.use_linear:
+            inter = self.inter_linear(params["inter_linear"], inter)
+        inter = inter.reshape(b, kk, s, d).transpose(0, 2, 1, 3)
+        if self.norm is not None:
+            inter = self.inter_norm(params["inter_norm"], inter)
+        return inter + intra
+
+
+class Dual_Path_Model(Module):
+    """Reference-exact dual-path mask network
+    (``dual_path.py:Dual_Path_Model``, channel-last): per-item global norm
+    → 1x1 bottleneck → optional scaled global positional encoding →
+    50%-overlap segmentation → ``num_layers`` dual blocks → PReLU → 1x1 to
+    ``num_spks`` channel groups → overlap-add → tanh×sigmoid output gate →
+    1x1 back to encoder channels → ReLU.
+
+    ``__call__(params, h)`` with encoder output h (B, T, C) returns masks
+    (B, T, spks, C)."""
+
+    def __init__(self, in_channels, out_channels, intra_model, inter_model,
+                 num_layers=1, norm="ln", K=200, num_spks=2,
+                 skip_around_intra=True, linear_layer_after_inter_intra=True,
+                 use_global_pos_enc=False, max_length=20000):
+        self.num_spks = num_spks
+        self.num_layers = num_layers
+        self.K = K
+        self.in_channels = in_channels
+        self.out_channels = out_channels
+        self.norm = GlobalLayerNorm(in_channels, eps=1e-8)
+        self.conv_in = Linear(out_channels, in_channels, bias=False)
+        self.use_global_pos_enc = use_global_pos_enc
+        if use_global_pos_enc:
+            from svt_speechbrain_tpu.models.transformer import (
+                PositionalEncoding)
+
+            self.pos_enc = PositionalEncoding(out_channels, max_length)
+        self.blocks = [DualComputationBlock(
+            intra_model, inter_model, out_channels, norm,
+            skip_around_intra, linear_layer_after_inter_intra)
+            for _ in range(num_layers)]
+        self.conv2d = Linear(out_channels * num_spks, out_channels)
+        self.end_conv = Linear(in_channels, out_channels, bias=False)
+        self.output = Linear(out_channels, out_channels)
+        self.output_gate = Linear(out_channels, out_channels)
+
+    def init(self, rng):
+        keys = split_rngs(rng, self.num_layers + 5)
+        params = {
+            "norm": self.norm.init(None),
+            "conv_in": self.conv_in.init(keys[0]),
+            "conv2d": self.conv2d.init(keys[1]),
+            "end_conv": self.end_conv.init(keys[2]),
+            "output": self.output.init(keys[3]),
+            "output_gate": self.output_gate.init(keys[4]),
+            "prelu": {"alpha": jnp.asarray(0.25, jnp.float32)},
+            "blocks": {str(i): blk.init(keys[5 + i])
+                       for i, blk in enumerate(self.blocks)},
+        }
+        return params
+
+    def _segment(self, x):
+        """(B, L, d) → (B, S, K, d) 50%-overlap chunks + gap."""
+        b, t, d = x.shape
+        k = self.K
+        p = k // 2
+        gap = k - (p + t % k) % k
+        x = jnp.pad(x, ((0, 0), (p, p + gap), (0, 0)))
+        s1 = x[:, :-p].reshape(b, -1, k, d)
+        s2 = x[:, p:].reshape(b, -1, k, d)
+        return jnp.stack([s1, s2], axis=2).reshape(b, -1, k, d), gap
+
+    def _over_add(self, x, gap):
+        """(B, S, K, d) → (B, L, d) overlap-and-add."""
+        b, s, k, d = x.shape
+        p = k // 2
+        pairs = x.reshape(b, s // 2, 2, k, d)
+        a = pairs[:, :, 0].reshape(b, -1, d)[:, p:]
+        c = pairs[:, :, 1].reshape(b, -1, d)[:, :-p]
+        y = a + c
+        if gap > 0:
+            y = y[:, :-gap]
+        return y
+
+    def __call__(self, params, h):
+        b, t, _ = h.shape
+        x = self.norm(params["norm"], h)
+        x = self.conv_in(params["conv_in"], x)
+        if self.use_global_pos_enc:
+            base = x
+            x = self.pos_enc(None, x) + base * (self.out_channels ** 0.5)
+        x, gap = self._segment(x)
+        for i, blk in enumerate(self.blocks):
+            x = blk(params["blocks"][str(i)], x)
+        alpha = params["prelu"]["alpha"]
+        x = jnp.where(x >= 0, x, alpha * x)  # shared-parameter PReLU
+        x = self.conv2d(params["conv2d"], x)  # (B, S, K, spks*d)
+        s_chunks, kk = x.shape[1], x.shape[2]
+        x = x.reshape(b, s_chunks, kk, self.num_spks, self.out_channels)
+        x = x.transpose(0, 3, 1, 2, 4).reshape(
+            b * self.num_spks, s_chunks, kk, self.out_channels)
+        x = self._over_add(x, gap)
+        x = (jnp.tanh(self.output(params["output"], x))
+             * jax.nn.sigmoid(self.output_gate(params["output_gate"], x)))
+        x = self.end_conv(params["end_conv"], x)  # (B*spks, L, C_in)
+        x = jax.nn.relu(x)
+        x = x.reshape(b, self.num_spks, -1, self.in_channels)
+        return x.transpose(0, 2, 1, 3)  # (B, T, spks, C)
+
+
+class DualPathModel(Module):
+    """Convenience SepFormer-style mask net: ``Dual_Path_Model`` with
+    SBTransformerBlock intra/inter models (the sepformer recipe layout)."""
+
+    def __init__(self, in_channels=256, d_model=128, n_sources=2, chunk_size=50,
+                 num_layers=2, nhead=4, d_ffn=256, num_dp_blocks=2,
+                 use_global_pos_enc=True):
+        intra = SBTransformerBlock(num_layers, d_model, nhead, d_ffn,
+                                   use_positional_encoding=True,
+                                   norm_before=True)
+        inter = SBTransformerBlock(num_layers, d_model, nhead, d_ffn,
+                                   use_positional_encoding=True,
+                                   norm_before=True)
+        self.core = Dual_Path_Model(
+            in_channels, d_model, intra, inter, num_layers=num_dp_blocks,
+            K=chunk_size, num_spks=n_sources,
+            use_global_pos_enc=use_global_pos_enc)
+        self.n_sources = n_sources
+        self.in_channels = in_channels
+
+    def init(self, rng):
+        return self.core.init(rng)
 
     def __call__(self, params, h):
         """h: (B, T, C) encoder output → (B, T, S, C) masks."""
-        b, t, _ = h.shape
-        cs = self.chunk_size
-        pad = (-t) % cs
-        x = jnp.pad(h, ((0, 0), (0, pad), (0, 0)))
-        x = self.proj_in(params["proj_in"], x)
-        n_chunks = x.shape[1] // cs
-        d = x.shape[-1]
-        x = x.reshape(b, n_chunks, cs, d)
-        for i in range(len(self.intra)):
-            # intra-chunk: fold chunks into batch
-            xi = x.reshape(b * n_chunks, cs, d)
-            xi = xi + self.pos(None, xi)
-            xi, _ = self.intra[i](params[f"intra{i}"], xi)
-            x = xi.reshape(b, n_chunks, cs, d)
-            # inter-chunk: fold positions into batch
-            xo = x.transpose(0, 2, 1, 3).reshape(b * cs, n_chunks, d)
-            xo = xo + self.pos(None, xo)
-            xo, _ = self.inter[i](params[f"inter{i}"], xo)
-            x = xo.reshape(b, cs, n_chunks, d).transpose(0, 2, 1, 3)
-        x = x.reshape(b, n_chunks * cs, d)[:, :t]
-        masks = jax.nn.relu(self.proj_out(params["proj_out"], x))
-        return masks.reshape(b, t, self.n_sources, self.in_channels)
+        return self.core(params, h)
 
 
 class SepFormer(Module):
@@ -214,7 +348,6 @@ class SepFormer(Module):
 
 
 # Reference public names (``lobes/models/dual_path.py`` / ``conv_tasnet.py``)
-Dual_Path_Model = DualPathModel
 SepformerWrapper = SepFormer
 Encoder = TasNetEncoder
 Decoder = TasNetDecoder
@@ -280,11 +413,13 @@ class SBTransformerBlock(Module):
     (reference ``dual_path.py`` SBTransformerBlock)."""
 
     def __init__(self, num_layers, d_model, nhead, d_ffn=2048,
-                 use_positional_encoding=False):
+                 use_positional_encoding=False, norm_before=False):
         self.encoder = TransformerEncoder(num_layers, nhead, d_ffn,
-                                          d_model=d_model)
+                                          d_model=d_model,
+                                          normalize_before=norm_before)
         self.pos = (PositionalEncoding(d_model)
                     if use_positional_encoding else None)
+        self.output_size = d_model
 
     def init(self, rng):
         return {"encoder": self.encoder.init(rng)}
@@ -310,6 +445,7 @@ class SBRNNBlock(Module):
                        num_layers=num_layers, bidirectional=bidirectional)
         width = hidden_channels * (2 if bidirectional else 1)
         self.proj = Linear(input_size, width)
+        self.output_size = input_size
 
     def init(self, rng):
         k1, k2 = split_rngs(rng, 2)
