@@ -54,11 +54,11 @@ def main():
     # ~1 MB/s in one direction for long windows. Scale the workload down so
     # the bench still completes and reports an honest (low) RTFx instead of
     # running for hours.
-    probe = jnp.asarray(np.zeros((1 << 20,), np.float32))  # 4 MB
+    probe = jnp.asarray(np.zeros((1 << 16,), np.float32))  # 256 KB
     probe.block_until_ready()
     t0 = time.perf_counter()
     np.asarray(probe)
-    down_mbps = 4.0 / max(time.perf_counter() - t0, 1e-9)
+    down_mbps = 0.25 / max(time.perf_counter() - t0, 1e-9)
     if down_mbps < 20.0:
         n_iters = min(n_iters, 2)
         warmup = 1
