@@ -138,7 +138,8 @@ class S2SBeamSearcher(S2SBaseSearcher):
             log_probs, memory, attn = self.forward_step(
                 inp_tokens, memory, enc_states_b, enc_lens_b)
             vocab = log_probs.shape[-1]
-            log_probs = np.asarray(log_probs)
+            # writable host copy (np.asarray of a jax array is read-only)
+            log_probs = np.array(log_probs)
             if step < min_steps:
                 log_probs[:, self.eos_index] = self.minus_inf
             if self.using_eos_threshold:

@@ -1,0 +1,109 @@
+"""Beam-search SEMANTICS parity vs the reference ``decoders/seq2seq.py``.
+
+Both searchers are subclassed with the same deterministic ``forward_step``
+(log-probs depend only on (step, input token) via a shared table), which
+isolates exactly the search logic: beam expansion/pruning, the eos
+threshold, min/max decode ratios, length normalization/rewarding, and
+final ranking. Any semantic difference shows up as different hypotheses
+or scores.
+"""
+import importlib
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from tests.conftest import import_reference_speechbrain, reference_available
+
+pytestmark = pytest.mark.skipif(
+    not reference_available(), reason="reference checkout not present")
+
+VOCAB = 8
+EOS = 7
+BOS = 6
+
+
+def make_table(seed, max_steps):
+    rng = np.random.default_rng(seed)
+    logits = rng.normal(size=(max_steps, VOCAB, VOCAB)).astype(np.float32)
+    # log-prob table: row = current input token, output distribution
+    return np.log(np.exp(logits) /
+                  np.exp(logits).sum(-1, keepdims=True))
+
+
+def _ref_searcher(table, **kwargs):
+    import torch
+
+    import_reference_speechbrain()
+    ref_mod = importlib.import_module("speechbrain.decoders.seq2seq")
+
+    class Scripted(ref_mod.S2SBeamSearcher):
+        def reset_mem(self, batch_size, device):
+            return 0  # the step counter
+
+        def permute_mem(self, memory, index):
+            return memory
+
+        def forward_step(self, inp_tokens, memory, enc_states, enc_lens):
+            step = memory
+            lp = table[step][inp_tokens.numpy()]
+            attn = torch.zeros((inp_tokens.shape[0], enc_states.shape[1]))
+            return torch.tensor(lp), step + 1, attn
+
+        def lm_forward_step(self, inp_tokens, memory):
+            raise NotImplementedError
+
+    return Scripted(bos_index=BOS, eos_index=EOS, **kwargs)
+
+
+def _my_searcher(table, **kwargs):
+    from svt_speechbrain_tpu.decoders.seq2seq import S2SBeamSearcher
+
+    class Scripted(S2SBeamSearcher):
+        def reset_mem(self, batch_size):
+            return 0
+
+        def forward_step(self, inp_tokens, memory, enc_states, enc_lens):
+            step = memory
+            lp = table[step][np.asarray(inp_tokens)]
+            attn = np.zeros((inp_tokens.shape[0], enc_states.shape[1]))
+            return jnp.asarray(lp), step + 1, attn
+
+    return Scripted(bos_index=BOS, eos_index=EOS, **kwargs)
+
+
+@pytest.mark.parametrize("cfg", [
+    dict(beam_size=3, using_eos_threshold=True, eos_threshold=1.5,
+         length_normalization=True),
+    dict(beam_size=4, using_eos_threshold=False,
+         length_normalization=False, length_rewarding=0.5),
+    dict(beam_size=2, using_eos_threshold=True, eos_threshold=1.2,
+         length_normalization=True),
+])
+@pytest.mark.parametrize("seed", [0, 1])
+def test_beam_search_matches_reference(cfg, seed):
+    import torch
+
+    t_enc = 10
+    max_steps = int(t_enc * 0.8)
+    table = make_table(seed, max_steps + 2)
+    common = dict(min_decode_ratio=0.1, max_decode_ratio=0.8, **cfg)
+
+    ref = _ref_searcher(table, **common)
+    mine = _my_searcher(table, **common)
+
+    b = 3
+    enc_t = torch.zeros((b, t_enc, 4))
+    wav_len = torch.ones(b)
+    with torch.no_grad():
+        ref_hyps, ref_scores = ref(enc_t, wav_len)[:2]
+
+    my_hyps, my_scores = mine(jnp.zeros((b, t_enc, 4)), np.ones(b))
+
+    for i in range(b):
+        ref_seq = [int(t) for t in ref_hyps[i]]
+        assert my_hyps[i] == ref_seq, (
+            f"batch {i}: {my_hyps[i]} vs ref {ref_seq} (cfg={cfg})")
+        assert np.isclose(my_scores[i], float(ref_scores[i]), atol=1e-4), (
+            my_scores[i], float(ref_scores[i]))
