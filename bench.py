@@ -54,11 +54,21 @@ def main():
     # ~1 MB/s in one direction for long windows. Scale the workload down so
     # the bench still completes and reports an honest (low) RTFx instead of
     # running for hours.
+    import threading
+
     probe = jnp.asarray(np.zeros((1 << 16,), np.float32))  # 256 KB
     probe.block_until_ready()
-    t0 = time.perf_counter()
-    np.asarray(probe)
-    down_mbps = 0.25 / max(time.perf_counter() - t0, 1e-9)
+    result = {}
+
+    def _probe():
+        t0 = time.perf_counter()
+        np.asarray(probe)
+        result["dt"] = time.perf_counter() - t0
+
+    th = threading.Thread(target=_probe, daemon=True)
+    th.start()
+    th.join(timeout=60.0)  # a dead link can hang even a 256 KB transfer
+    down_mbps = 0.25 / max(result.get("dt", 60.0), 1e-9)
     if down_mbps < 20.0:
         n_iters = min(n_iters, 2)
         warmup = 1
