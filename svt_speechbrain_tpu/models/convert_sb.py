@@ -202,3 +202,26 @@ def convert_ligru(sd, num_layers):
                            "norm": norm_p}
         state[f"l{i}"] = norm_s
     return params, state
+
+
+def convert_rnnlm(sd, rnn_layers=2, dnn_blocks=1):
+    """Reference ``RNNLM`` lobe → our ``models.rnnlm.RNNLM`` params.
+    torch LSTM packs gates (i, f, g, o) rows — same order our LSTM uses."""
+    params = {"embedding": {"table": np.asarray(sd["embedding.Embedding.weight"])}}
+    rnn = {}
+    for layer in range(rnn_layers):
+        rnn[f"l{layer}"] = {
+            "w_ih": _t(sd[f"rnn.rnn.weight_ih_l{layer}"]),
+            "w_hh": _t(sd[f"rnn.rnn.weight_hh_l{layer}"]),
+            "b_ih": np.asarray(sd[f"rnn.rnn.bias_ih_l{layer}"]),
+            "b_hh": np.asarray(sd[f"rnn.rnn.bias_hh_l{layer}"]),
+        }
+    params["rnn"] = rnn
+    for i in range(dnn_blocks):
+        pre = "dnn." if dnn_blocks == 1 else f"dnn.block_{i}."
+        if pre + "linear.w.weight" not in sd:
+            pre = f"dnn.block_{i}."
+        params[f"dnn{i}"] = {"linear": _sb_lin(sd, pre + "linear."),
+                             "norm": _affine(sd, pre + "norm.norm.")}
+    params["out"] = _sb_lin(sd, "out.")
+    return params

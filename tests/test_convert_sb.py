@@ -149,3 +149,24 @@ def test_convert_ligru_state_dict():
     got, _, _ = mine(params, jnp.asarray(x), state=state, train=False)
     np.testing.assert_allclose(np.asarray(got), want.numpy(),
                                atol=1e-5, rtol=1e-4)
+
+
+def test_convert_rnnlm_state_dict():
+    import torch
+
+    import_reference_speechbrain()
+    ref_mod = importlib.import_module("speechbrain.lobes.models.RNNLM")
+    from svt_speechbrain_tpu.models.convert_sb import convert_rnnlm
+    from svt_speechbrain_tpu.models.rnnlm import RNNLM
+
+    torch.manual_seed(41)
+    ref = ref_mod.RNNLM(output_neurons=30, embedding_dim=16, rnn_neurons=24,
+                        dnn_neurons=12, dropout=0.0).eval()
+    params = convert_rnnlm(_sd(ref), rnn_layers=2, dnn_blocks=1)
+    mine = RNNLM(output_neurons=30, embedding_dim=16, rnn_neurons=24,
+                 dnn_neurons=12, dropout=0.0)
+    tokens = np.random.default_rng(42).integers(0, 30, size=(3, 9))
+    with torch.no_grad():
+        want = ref(torch.tensor(tokens)).numpy()
+    got = np.asarray(mine(params, jnp.asarray(tokens)))
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-4)
