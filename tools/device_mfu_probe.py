@@ -1,0 +1,53 @@
+"""True device-side MFU of the flagship forward: run the whole batch forward
+N times inside ONE jit call (lax.fori_loop), so host-link/dispatch overhead
+is excluded. The gap between this and bench.py's end-to-end MFU is the
+pipeline/link overhead."""
+import sys, os, time
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import numpy as np
+import jax, jax.numpy as jnp
+try:
+    jax.config.update("jax_compilation_cache_dir", "/tmp/svt_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
+from svt_speechbrain_tpu.models.wav2vec2 import HuggingFaceWav2Vec2
+from svt_speechbrain_tpu.nnet.linear import Linear
+from svt_speechbrain_tpu.utils.flops import amt_forward_flops, peak_flops_per_sec
+
+batch = int(os.environ.get("B", "192"))
+inner = int(os.environ.get("INNER", "8"))
+samples = 5 * 16000
+bridge = HuggingFaceWav2Vec2(source="facebook/wav2vec2-large-lv60",
+                             output_norm=True, freeze=True)
+head = Linear(input_size=1024, n_neurons=20)
+k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+params = {"wav2vec2": bridge.init(k1), "model": head.init(k2)}
+params = jax.tree_util.tree_map(
+    lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, params)
+
+wavs = jnp.asarray(np.random.default_rng(0).normal(size=(batch, samples)),
+                   jnp.bfloat16)
+
+@jax.jit
+def loop(params, wavs):
+    def body(i, acc):
+        feats = bridge(params["wav2vec2"], wavs + acc * 0)
+        logits = head(params["model"], feats)
+        return acc + jnp.sum(logits[:, 0, 0]) * 1e-9  # data dependence
+    return jax.lax.fori_loop(0, inner, body, jnp.bfloat16(0.0))
+
+out = loop(params, wavs)
+np.asarray(out)  # compile + run once
+best = float("inf")
+for _ in range(3):
+    t0 = time.perf_counter()
+    out = loop(params, wavs)
+    np.asarray(out)
+    best = min(best, time.perf_counter() - t0)
+per_fwd = best / inner
+flops = amt_forward_flops(bridge.config, samples) * batch
+mfu = flops / per_fwd / peak_flops_per_sec()
+rtfx = batch * 5.0 / per_fwd
+print(f"device-only: {per_fwd*1e3:.1f} ms/batch({batch})  "
+      f"{flops/per_fwd/1e12:.1f} TFLOP/s  MFU {mfu:.3f}  device-RTFx {rtfx:.0f}")
