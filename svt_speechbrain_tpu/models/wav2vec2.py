@@ -41,6 +41,7 @@ from svt_speechbrain_tpu.nnet.linear import Linear
 from svt_speechbrain_tpu.nnet.normalization import LayerNorm, GroupNorm, layer_norm, global_layer_norm, per_item_layer_norm
 from svt_speechbrain_tpu.nnet.attention import MultiheadAttention
 from svt_speechbrain_tpu.nnet.dropout import dropout as _dropout
+from svt_speechbrain_tpu.nnet.activations import fast_gelu
 
 
 @dataclasses.dataclass
@@ -227,7 +228,7 @@ class ConvFeatureExtractor(Module):
                 else:
                     x = _masked_group_norm(p["group_norm"], x, t_valid,
                                            c.conv_dim[0], c.layer_norm_eps)
-            x = jax.nn.gelu(x, approximate=False)
+            x = fast_gelu(x)
         return x
 
 
@@ -286,7 +287,7 @@ class ConvPositionalEmbedding(Module):
         y = conv({"w": w, "b": params["b"]}, xp)
         if k % 2 == 0:  # trim the extra rightmost frame (HF Wav2Vec2SamePadLayer)
             y = y[:, :-1]
-        return jax.nn.gelu(y, approximate=False)
+        return fast_gelu(y)
 
 
 class StackedPositionalConvEmbedding(Module):
@@ -324,7 +325,7 @@ class StackedPositionalConvEmbedding(Module):
             if k % 2 == 0:
                 y = y[:, :-1]
             y = layer_norm(y, axis=-1)  # elementwise_affine=False
-            x = jax.nn.gelu(y, approximate=False)
+            x = fast_gelu(y)
         return x
 
 
@@ -469,7 +470,7 @@ class TransformerLayer(Module):
 
         def ffn_block(h):
             h = self.ffn1(params["ffn1"], h)
-            h = jax.nn.gelu(h, approximate=False)
+            h = fast_gelu(h)
             h = _dropout(h, c.activation_dropout, rngs[2], train)
             h = self.ffn2(params["ffn2"], h)
             return _dropout(h, c.hidden_dropout, rngs[3], train)

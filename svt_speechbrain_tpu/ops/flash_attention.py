@@ -380,3 +380,121 @@ flash_attention.defvjp(_flash_fwd, _flash_bwd)
 
 def flash_attention_available():
     return jax.default_backend() == "tpu"
+
+
+# ---------------------------------------------------------------------------
+# Short-sequence fused attention
+# ---------------------------------------------------------------------------
+#
+# The streaming kernel above launches one program per (batch·head, q-block).
+# At the AMT recipe's 5 s windows (B=192, H=16, T=249) that is 3072 programs
+# of ~2 µs each — grid overhead alone costs more than the XLA einsum path
+# (measured 6.7 ms vs 6.0 ms on v5e). But the einsum path materializes the
+# (B, H, T, T) f32 score tensor in HBM (762 MB at these shapes), so ~3.3 ms
+# of its in-context time is pure bandwidth. For short rows the whole
+# (T, T) score tile fits in VMEM: this kernel processes GROUP heads per
+# program (grid B·H/GROUP), computing each head's scores → masked softmax →
+# context entirely on-chip. Measured 4.6× faster than the einsum chain at
+# the flagship shapes (0.72 ms vs 3.3 ms per layer's attention core).
+
+SHORT_T_MAX = 512  # rows longer than this stream K/V panels instead
+
+
+def _flash_short_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, *, scale, group,
+                        tk_pad):
+    """One program = GROUP consecutive (batch·head) rows, full attention in
+    VMEM. The per-head matmuls are (Tq, D)·(D, Tk) with D=64 — individually
+    small for the MXU, which is why several heads share one program."""
+    i = pl.program_id(0)
+    for g in range(group):
+        q = q_ref[g]                            # (Tq_pad, D)
+        k = k_ref[g]
+        v = v_ref[g]
+        length = len_ref[i * group + g]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        valid = col < length
+        s = jnp.where(valid, s, NEG_INF)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        # explicit where: for fully-padded rows (length == 0) every s == m ==
+        # NEG_INF (finite), so exp(s - m) would be 1 — mask to emit zeros
+        # like the streaming kernel
+        p = jnp.where(valid, jnp.exp(s - m), 0.0)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        p = p / jnp.maximum(l, 1e-30)
+        o_ref[g] = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
+def _short_forward(q, k, v, lengths, scale, group, interpret):
+    b, h, tq, d = q.shape
+    tk = k.shape[2]
+    if scale is None:
+        scale = 1.0 / np.sqrt(d)
+    # pad Tq to sublane multiple, Tk to lane multiple
+    q, tq0 = _pad_to(q, 2, 8)
+    k, _ = _pad_to(k, 2, 128)
+    v, _ = _pad_to(v, 2, 128)
+    tq_pad, tk_pad = q.shape[2], k.shape[2]
+    if lengths is None:
+        lengths = jnp.full((b,), tk, jnp.int32)
+    lens_bh = jnp.repeat(jnp.asarray(lengths, jnp.int32), h)
+    bh = b * h
+    g = group
+    while bh % g:
+        g //= 2
+    qf = q.reshape(bh, tq_pad, d)
+    kf = k.reshape(bh, tk_pad, d)
+    vf = v.reshape(bh, tk_pad, d)
+    out = pl.pallas_call(
+        functools.partial(_flash_short_kernel, scale=scale, group=g,
+                          tk_pad=tk_pad),
+        grid=(bh // g,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((g, tq_pad, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, tk_pad, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, tk_pad, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((g, tq_pad, d), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bh, tq_pad, d), q.dtype),
+        interpret=interpret,
+    )(lens_bh, qf, kf, vf)
+    return out.reshape(b, h, tq_pad, d)[:, :, :tq0]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def flash_attention_short(q, k, v, lengths=None, scale=None, group=8,
+                          interpret=False):
+    """Fused short-row attention: q, k, v (B, H, T, D) → (B, H, Tq, D), full
+    softmax over each row's first ``lengths[b]`` keys. Use when
+    Tk ≤ ``SHORT_T_MAX``; the backward differentiates the einsum formulation
+    (materializing (T, T) is fine at these sizes, and the backward only runs
+    in training where the einsum path is used anyway)."""
+    return _short_forward(q, k, v, lengths, scale, group, interpret)
+
+
+def _short_fwd(q, k, v, lengths, scale, group, interpret):
+    out = _short_forward(q, k, v, lengths, scale, group, interpret)
+    return out, (q, k, v, lengths)
+
+
+def _short_bwd(scale, group, interpret, residuals, grad):
+    q, k, v, lengths = residuals
+    if scale is None:
+        scale = 1.0 / np.sqrt(q.shape[-1])
+    _, vjp = jax.vjp(lambda q_, k_, v_: _xla_attention(q_, k_, v_, scale,
+                                                       lengths), q, k, v)
+    dq, dk, dv = vjp(grad)
+    dlen = (None if lengths is None
+            else np.zeros(np.shape(lengths), jax.dtypes.float0))
+    return dq, dk, dv, dlen
+
+
+flash_attention_short.defvjp(_short_fwd, _short_bwd)

@@ -155,3 +155,78 @@ def test_flash_backward_bf16_finite():
     gn = np.asarray(g.astype(jnp.float32))
     assert np.isfinite(gn).all()
     assert np.abs(gn).max() > 0
+
+
+# ---------------------------------------------------------------------------
+# short-sequence fused attention (flash_attention_short)
+# ---------------------------------------------------------------------------
+
+from svt_speechbrain_tpu.ops.flash_attention import flash_attention_short
+
+
+@pytest.mark.parametrize("tq,tk", [(249, 249), (17, 33), (128, 256)])
+def test_flash_short_matches_xla_interpret(tq, tk):
+    rng = np.random.default_rng(3)
+    b, h, d = 2, 4, 64
+    q = jnp.asarray(rng.normal(size=(b, h, tq, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, h, tk, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, h, tk, d)), jnp.float32)
+    scale = 1.0 / np.sqrt(d)
+    got = flash_attention_short(q, k, v, None, None, 8, True)
+    want = _xla_attention(q, k, v, scale)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("lens", [[249, 100], [33, 0]])
+def test_flash_short_lengths(lens):
+    rng = np.random.default_rng(4)
+    b, h, t, d = 2, 4, 249, 64
+    q = jnp.asarray(rng.normal(size=(b, h, t, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, h, t, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, h, t, d)), jnp.float32)
+    lengths = jnp.asarray(lens, jnp.int32)
+    got = flash_attention_short(q, k, v, lengths, None, 8, True)
+    want = _xla_attention(q, k, v, 1.0 / np.sqrt(d), lengths)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_flash_short_backward_matches_xla():
+    """The short kernel's VJP differentiates the einsum formulation."""
+    rng = np.random.default_rng(5)
+    b, h, t, d = 2, 2, 33, 16
+    q = jnp.asarray(rng.normal(size=(b, h, t, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, h, t, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, h, t, d)), jnp.float32)
+    lengths = jnp.asarray([33, 12], jnp.int32)
+    scale = 1.0 / np.sqrt(d)
+    gf = jax.grad(lambda q, k, v: jnp.sum(
+        flash_attention_short(q, k, v, lengths, None, 8, True) ** 2),
+        argnums=(0, 1, 2))(q, k, v)
+    gx = jax.grad(lambda q, k, v: jnp.sum(
+        _xla_attention(q, k, v, scale, lengths) ** 2),
+        argnums=(0, 1, 2))(q, k, v)
+    for name, got, want in zip(("dq", "dk", "dv"), gf, gx):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-5, rtol=1e-3, err_msg=name)
+
+
+def test_fast_gelu_dispatch():
+    """f32 keeps the exact erf GELU; bf16 uses the tanh form, which is
+    sub-ULP-equal to the erf form at bf16 output precision (max abs error
+    bounded by ~1 bf16 ulp of the output; deep-negative tail < 1e-6)."""
+    from svt_speechbrain_tpu.nnet.activations import fast_gelu
+
+    x32 = jnp.linspace(-10.0, 10.0, 20001, dtype=jnp.float32)
+    np.testing.assert_array_equal(
+        np.asarray(fast_gelu(x32)),
+        np.asarray(jax.nn.gelu(x32, approximate=False)))
+
+    x16 = x32.astype(jnp.bfloat16)
+    got = np.asarray(fast_gelu(x16).astype(np.float32))
+    want = np.asarray(jax.nn.gelu(x32, approximate=False))
+    err = np.abs(got - want)
+    # one bf16 output rounding + the analytic tanh-approximation error
+    ulp = np.maximum(np.abs(want) * 2.0 ** -7, 1e-6)
+    assert (err <= 2.5 * ulp + 5e-4).all()
