@@ -607,7 +607,9 @@ class Brain:
             # skip the step when the loss is nonfinite
             gnorm = optax.global_norm(grads)
             finite = jnp.isfinite(loss) & jnp.isfinite(gnorm)
-            clip = jnp.minimum(1.0, self.max_grad_norm / (gnorm + 1e-12))
+            # torch clip_grad_norm_ adds 1e-6 to the denominator — matched
+            # exactly so clipped-step trajectories agree with the reference
+            clip = jnp.minimum(1.0, self.max_grad_norm / (gnorm + 1e-6))
             grads = jax.tree_util.tree_map(lambda g: g * clip, grads)
 
             new_params = dict(params)

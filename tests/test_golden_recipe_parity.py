@@ -170,6 +170,10 @@ wav2vec2: !new:svt_speechbrain_tpu.models.wav2vec2.HuggingFaceWav2Vec2
       do_stable_layer_norm: True
       num_conv_pos_embeddings: 16
       num_conv_pos_embedding_groups: 4
+      hidden_dropout: 0.0
+      attention_dropout: 0.0
+      activation_dropout: 0.0
+      feat_proj_dropout: 0.0
 feat_dim: 32
 """
 
