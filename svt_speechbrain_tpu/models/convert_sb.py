@@ -64,16 +64,18 @@ def _bn(sd, prefix):
 
 
 def _mha(sd, prefix, d):
-    """torch nn.MultiheadAttention packed in_proj → our MHA params."""
+    """torch nn.MultiheadAttention packed in_proj → our MHA params.
+    Bias keys are absent when the module was built with ``bias=False`` —
+    guard them like ``_lin`` does."""
     w = np.asarray(sd[prefix + "in_proj_weight"])
-    b = np.asarray(sd[prefix + "in_proj_bias"])
-    return {
-        "wq": _t(w[:d]), "bq": b[:d].copy(),
-        "wk": _t(w[d:2 * d]), "bk": b[d:2 * d].copy(),
-        "wv": _t(w[2 * d:]), "bv": b[2 * d:].copy(),
-        "wo": _t(sd[prefix + "out_proj.weight"]),
-        "bo": np.asarray(sd[prefix + "out_proj.bias"]),
-    }
+    p = {"wq": _t(w[:d]), "wk": _t(w[d:2 * d]), "wv": _t(w[2 * d:]),
+         "wo": _t(sd[prefix + "out_proj.weight"])}
+    if prefix + "in_proj_bias" in sd:
+        b = np.asarray(sd[prefix + "in_proj_bias"])
+        p.update(bq=b[:d].copy(), bk=b[d:2 * d].copy(), bv=b[2 * d:].copy())
+    if prefix + "out_proj.bias" in sd:
+        p["bo"] = np.asarray(sd[prefix + "out_proj.bias"])
+    return p
 
 
 def convert_relpos_mha(sd, prefix, d, num_heads):
@@ -189,6 +191,32 @@ def convert_dual_path(sd, num_layers, num_tlayers, d_model):
             "inter_linear": _sb_lin(sd, pre + "inter_linear."),
         }
     return params
+
+
+def convert_rca_layer(sd, prefix, d_model):
+    """Reference ``RCALayer`` (``N20EMv2/audio_visual/fusion.py:82-183``) →
+    our ``models.fusion.RCALayer`` params (one shared MHA used for both the
+    self- and cross-attention passes)."""
+    return {
+        "self_att": _mha(sd, prefix + "self_att.att.", d_model),
+        "pos_ffn": {"ffn1": _lin(sd, prefix + "pos_ffn.ffn.0."),
+                    "ffn2": _lin(sd, prefix + "pos_ffn.ffn.3.")},
+        "norm1": _affine(sd, prefix + "norm1.norm."),
+        "norm2": _affine(sd, prefix + "norm2.norm."),
+    }
+
+
+def convert_rca_fusion(sd, d_model=1024, prefix=""):
+    """Reference ``FusionRCA`` (``N20EMv2/audio_visual/fusion.py:186-210``)
+    → our ``models.fusion.FusionRCA`` params. For a bare ``RCANet`` state
+    dict pass ``prefix=""`` and take ``result["fusion"]``. Reference
+    checkpoints save the recipe's ``model`` ModuleList as
+    ``0.fusion.layer1...`` (fusion) + the head separately — pass
+    ``prefix="0."`` for that layout."""
+    return {"fusion": {
+        "layer1": convert_rca_layer(sd, prefix + "fusion.layer1.", d_model),
+        "layer2": convert_rca_layer(sd, prefix + "fusion.layer2.", d_model),
+    }}
 
 
 def convert_ligru(sd, num_layers):

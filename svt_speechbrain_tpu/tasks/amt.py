@@ -425,15 +425,19 @@ class FusionAMT(AMTBrainBase):
                 logger.warning(f"pretrain=True but {path} not found")
 
     def on_song_end(self, batch, est_np):
-        """Per-song prediction dump (reference ``train_rca_av.py:113-123``)."""
+        """Per-song prediction dump. The tag distinguishes the AV recipe
+        ("av", reference ``train_rca_av.py:113-123``) from the audio-only
+        control ("audio", ``train_rca_a.py:118-125``) so the noise sweep can
+        compare both artifacts side by side."""
         audio_path = batch.audio[0] if hasattr(batch, "audio") else None
         if audio_path is None:
             return
+        tag = "audio" if self.zero_video else "av"
         folder = os.path.dirname(audio_path)
         if getattr(self.hparams, "add_noise", False):
             path = os.path.join(folder, self.hparams.noise_type,
-                                f"SNR_{self.hparams.snr_db}dB_av_pred.npy")
+                                f"SNR_{self.hparams.snr_db}dB_{tag}_pred.npy")
         else:
-            path = os.path.join(folder, "clean_av_pred.npy")
+            path = os.path.join(folder, f"clean_{tag}_pred.npy")
         os.makedirs(os.path.dirname(path), exist_ok=True)
         np.save(path, est_np)
