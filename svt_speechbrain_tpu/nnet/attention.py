@@ -44,7 +44,15 @@ def scaled_dot_product_attention(q, k, v, bias=None, mask=None, dropout_rate=0.0
             flash_attention, flash_attention_available)
 
         long_seq = k.shape[2] >= 1024
-        if impl == "flash" or (impl == "auto" and long_seq and flash_attention_available()):
+        if impl == "flash" and not flash_attention_available():
+            import warnings
+
+            warnings.warn(
+                "impl='flash' requested but the Pallas flash-attention "
+                "kernel is unavailable on this backend; falling back to "
+                "the XLA einsum path.", RuntimeWarning, stacklevel=2)
+        elif impl == "flash" or (impl == "auto" and long_seq
+                                 and flash_attention_available()):
             return flash_attention(q, k, v, key_lengths)
     scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
     scores = scores / np.sqrt(dh)

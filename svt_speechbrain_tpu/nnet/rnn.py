@@ -237,11 +237,13 @@ class LiGRU(Module):
                                   (self.hidden_size, 2 * self.hidden_size),
                                   self.hidden_size),
             }
-            if self.normalization in ("batchnorm", "layernorm"):
-                p["norm"] = {
-                    "scale": jnp.ones((2 * self.hidden_size,), jnp.float32),
-                    "bias": jnp.zeros((2 * self.hidden_size,), jnp.float32),
-                }
+            # The reference's else-branch still instantiates (and applies)
+            # LayerNorm for unknown normalization strings (RNN.py:1188-1191),
+            # so every layer carries norm params regardless of the mode.
+            p["norm"] = {
+                "scale": jnp.ones((2 * self.hidden_size,), jnp.float32),
+                "bias": jnp.zeros((2 * self.hidden_size,), jnp.float32),
+            }
             params[f"l{layer}"] = p
         return params
 
@@ -251,13 +253,18 @@ class LiGRU(Module):
         return {f"l{layer}": self._norm_module().init_state()
                 for layer in range(self.num_layers)}
 
-    def _layer(self, p, x, w_normed, h0):
-        """Recurrence over pre-normalized w projections: (B', T, 2H)."""
+    def _layer(self, p, w_normed, h0, drop_mask):
+        """Recurrence over pre-normalized w projections: (B', T, 2H).
+
+        ``drop_mask`` is the reference's recurrent dropout (RNN.py:1257,
+        1264): one (B', H) mask per forward, shared by every timestep,
+        applied to the candidate activation inside the cell.
+        """
         def step(h, w_t):
             gates = w_t + h @ p["u"]
             at, zt = jnp.split(gates, 2, axis=-1)
             z = jax.nn.sigmoid(zt)
-            hcand = self.act(at)
+            hcand = self.act(at) * drop_mask
             h_new = z * h + (1 - z) * hcand
             return h_new, h_new
 
@@ -278,6 +285,25 @@ class LiGRU(Module):
         new_state = {}
         finals = []
         b = x.shape[0]
+        bp = 2 * b if self.bidirectional else b
+        if hx is not None:
+            # Reference semantics (RNN.py:1102-1111): hx arrives
+            # (num_layers * n_dir, B, H) torch-style and is indexed per
+            # layer; the bidirectional reshape folds direction into batch,
+            # matching the [x, flip(x)] batch concat below. A single (B, H)
+            # state is broadcast to every layer for convenience.
+            hx = jnp.asarray(hx)
+            if hx.ndim == 2:
+                hx = jnp.broadcast_to(
+                    hx, (self.num_layers,) + hx.shape)
+                if self.bidirectional:
+                    hx = jnp.concatenate([hx, hx], axis=1)
+            elif self.bidirectional:
+                hx = hx.reshape(self.num_layers, bp, self.hidden_size)
+            if hx.shape != (self.num_layers, bp, self.hidden_size):
+                raise ValueError(
+                    f"hx shape {hx.shape} incompatible with "
+                    f"({self.num_layers}[*n_dir], {b}, {self.hidden_size})")
         for layer in range(self.num_layers):
             p = params[f"l{layer}"]
             inp = x
@@ -290,20 +316,24 @@ class LiGRU(Module):
                     p["norm"], state[f"l{layer}"], flat, train=train)
                 w = y.reshape(w.shape)
                 new_state[f"l{layer}"] = st
-            elif self.normalization == "layernorm":
+            else:
+                # layernorm AND any unknown string: the reference's else
+                # branch still applies LayerNorm (RNN.py:1188-1191).
                 w = layer_norm(w, p["norm"]["scale"], p["norm"]["bias"])
             h0 = (jnp.zeros((inp.shape[0], self.hidden_size))
-                  if hx is None else hx)
-            outs, final = self._layer(p, x, w, h0)
+                  if hx is None else hx[layer])
+            drop_mask = jnp.ones((1, self.hidden_size), x.dtype)
+            if train and rng is not None and self.dropout > 0:
+                rng, sub = jax.random.split(rng)
+                drop_mask = _drop(
+                    jnp.ones((inp.shape[0], self.hidden_size), x.dtype),
+                    self.dropout, sub, True)
+            outs, final = self._layer(p, w, h0, drop_mask)
             if self.bidirectional:
                 outs = jnp.concatenate(
                     [outs[:b], jnp.flip(outs[b:], axis=1)], axis=-1)
             x = outs
             finals.append(final)
-            if (train and rng is not None and self.dropout > 0
-                    and layer < self.num_layers - 1):
-                rng, sub = jax.random.split(rng)
-                x = _drop(x, self.dropout, sub, True)
         if return_state:
             return x, finals, new_state
         return x, finals

@@ -246,3 +246,111 @@ def conv_p_raw(conv):
     if conv.conv.bias is not None:
         p["b"] = conv.conv.bias.detach().numpy().copy()
     return p
+
+
+def _ligru_params_nostate(ref):
+    """Extract our param tree from a reference LiGRU (any normalization)."""
+    params = {}
+    for i, layer in enumerate(ref.rnn):
+        params[f"l{i}"] = {
+            "w": layer.w.weight.detach().numpy().T.copy(),
+            "u": layer.u.weight.detach().numpy().T.copy(),
+            "norm": {"scale": layer.norm.weight.detach().numpy().copy(),
+                     "bias": layer.norm.bias.detach().numpy().copy()},
+        }
+    return params
+
+
+@pytest.mark.parametrize("bidirectional", [False, True])
+def test_ligru_per_layer_hx_matches_reference(bidirectional):
+    """Reference LiGRU indexes hx per layer (RNN.py:1102-1111), reshaping
+    (num_layers*n_dir, B, H) to fold direction into batch when
+    bidirectional. Feed a nontrivial per-layer initial state to both."""
+    import torch
+
+    sb = import_reference_speechbrain()
+    from svt_speechbrain_tpu.nnet.rnn import LiGRU
+
+    b, t, f, h, layers = 3, 7, 6, 8, 2
+    n_dir = 2 if bidirectional else 1
+    torch.manual_seed(3)
+    ref = sb.nnet.RNN.LiGRU(hidden_size=h, input_shape=(b, t, f),
+                            num_layers=layers, nonlinearity="relu",
+                            normalization="layernorm", dropout=0.0,
+                            bidirectional=bidirectional)
+    params = _ligru_params_nostate(ref)
+    mine = LiGRU(hidden_size=h, input_size=f, num_layers=layers,
+                 nonlinearity="relu", normalization="layernorm",
+                 bidirectional=bidirectional, dropout=0.0)
+
+    rng = np.random.default_rng(4)
+    x = rng.normal(size=(b, t, f)).astype(np.float32)
+    hx = rng.normal(size=(layers * n_dir, b, h)).astype(np.float32)
+
+    ref.eval()
+    with torch.no_grad():
+        want, _ = ref(torch.tensor(x), hx=torch.tensor(hx))
+    got, _ = mine(params, jnp.asarray(x), hx=jnp.asarray(hx))
+    np.testing.assert_allclose(np.asarray(got), want.numpy(),
+                               atol=1e-5, rtol=1e-4)
+
+
+def test_ligru_unknown_normalization_applies_layernorm():
+    """The reference's else branch still applies LayerNorm for unknown
+    normalization strings (RNN.py:1188-1191); ours must too."""
+    import torch
+
+    sb = import_reference_speechbrain()
+    from svt_speechbrain_tpu.nnet.rnn import LiGRU
+
+    b, t, f, h = 2, 5, 4, 8
+    torch.manual_seed(5)
+    ref = sb.nnet.RNN.LiGRU(hidden_size=h, input_shape=(b, t, f),
+                            num_layers=1, nonlinearity="relu",
+                            normalization="nonorm", dropout=0.0)
+    params = _ligru_params_nostate(ref)
+    mine = LiGRU(hidden_size=h, input_size=f, num_layers=1,
+                 nonlinearity="relu", normalization="nonorm", dropout=0.0)
+    rng = np.random.default_rng(6)
+    x = rng.normal(size=(b, t, f)).astype(np.float32)
+    ref.eval()
+    with torch.no_grad():
+        want, _ = ref(torch.tensor(x))
+    got, _ = mine(params, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(got), want.numpy(),
+                               atol=1e-5, rtol=1e-4)
+
+
+def test_ligru_recurrent_dropout_semantics():
+    """Train-mode dropout is the reference's recurrent mask on the
+    candidate activation (one (B', H) mask shared across timesteps,
+    applied inside every layer — RNN.py:1257,1264), not between-layer
+    dropout. Statistical check: with p=0.5 and relu candidates, each
+    (row, unit) is either fully active or fully scaled across time."""
+    import jax
+
+    from svt_speechbrain_tpu.nnet.rnn import LiGRU
+
+    b, t, f, h = 4, 10, 6, 16
+    mine = LiGRU(hidden_size=h, input_size=f, num_layers=1,
+                 nonlinearity="relu", normalization="layernorm",
+                 dropout=0.5)
+    params = mine.init(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(b, t, f)).astype(np.float32))
+
+    # eval: no dropout regardless of rng
+    ye1, _ = mine(params, x, train=False, rng=jax.random.PRNGKey(1))
+    ye2, _ = mine(params, x, train=False)
+    np.testing.assert_allclose(np.asarray(ye1), np.asarray(ye2))
+
+    yt, _ = mine(params, x, train=True, rng=jax.random.PRNGKey(2))
+    yt = np.asarray(yt)
+    # h_t = z h_{t-1} + (1-z) (act * mask): with h0 = 0, a dropped unit's
+    # hidden state stays exactly 0 for the whole sequence
+    dropped = np.all(yt == 0.0, axis=1)  # (B, H)
+    frac = dropped.mean()
+    assert 0.2 < frac < 0.8, f"dropped fraction {frac} not ~0.5"
+    # different rng -> different mask
+    yt2, _ = mine(params, x, train=True, rng=jax.random.PRNGKey(3))
+    assert not np.allclose(yt, np.asarray(yt2))
