@@ -40,9 +40,6 @@ def main():
                                  output_norm=True)
     bridge.config.remat = os.environ.get("BENCH_TRAIN_REMAT", "0") == "1"
     bridge.config.attention_impl = os.environ.get("BENCH_TRAIN_ATTN", "auto")
-    if bridge.config.attention_impl == "flash":
-        # the Pallas path has no in-kernel attention dropout (PARITY.md)
-        bridge.config.attention_dropout = 0.0
     head = Linear(input_size=1024, n_neurons=20)
     k1, k2 = jax.random.split(jax.random.PRNGKey(0))
     params = {"wav2vec2": bridge.init(k1), "model": head.init(k2)}

@@ -37,8 +37,8 @@ def scaled_dot_product_attention(q, k, v, bias=None, mask=None, dropout_rate=0.0
     mask/bias/dropout are needed).
     """
     dh = q.shape[-1]
-    flashable = (bias is None and mask is None and not return_weights
-                 and not (train and rng is not None and dropout_rate > 0.0))
+    dropout_active = train and rng is not None and dropout_rate > 0.0
+    flashable = bias is None and mask is None and not return_weights
     if flashable and impl != "xla":
         from svt_speechbrain_tpu.ops.flash_attention import (
             flash_attention, flash_attention_available)
@@ -53,7 +53,17 @@ def scaled_dot_product_attention(q, k, v, bias=None, mask=None, dropout_rate=0.0
                 "the XLA einsum path.", RuntimeWarning, stacklevel=2)
         elif impl == "flash" or (impl == "auto" and long_seq
                                  and flash_attention_available()):
-            return flash_attention(q, k, v, key_lengths)
+            # attention dropout runs INSIDE the kernels: fwd and bwd
+            # regenerate the identical mask from a per-call seed, so
+            # training configs with attention_dropout keep the fused path
+            seed = None
+            rate = 0.0
+            if dropout_active:
+                seed = jax.random.randint(rng, (), 0, 2 ** 31 - 1,
+                                          jnp.int32)
+                rate = float(dropout_rate)
+            return flash_attention(q, k, v, key_lengths,
+                                   dropout_seed=seed, dropout_rate=rate)
     scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
     scores = scores / np.sqrt(dh)
     if bias is not None:

@@ -45,16 +45,88 @@ def _round_up(x, m):
     return -(-x // m) * m
 
 
-def _fwd_recurrence(len_ref, q_ref, k_ref, v_ref, *, scale, block_k,
-                    seq_k_pad):
+# ---------------------------------------------------------------------------
+# In-kernel attention dropout
+# ---------------------------------------------------------------------------
+#
+# The dropout mask is a pure function of (seed, row, q_idx, k_idx) built from
+# chained murmur3 finalizers (fmix32) over GLOBAL score coordinates, in plain
+# uint32 jnp ops. Three consequences the TPU-builtin PRNG can't give:
+#   * the forward, dQ and dK/dV kernels regenerate identical bits no matter
+#     how their grids/loops tile the score matrix (coordinates, not call
+#     order, define the stream);
+#   * the same function runs under the Pallas interpreter and in XLA, so CPU
+#     tests can compare the flash path against an einsum path using the
+#     exact same mask (pltpu.prng_random_bits is stubbed to zeros in
+#     interpret mode);
+#   * masks are reproducible from Python for debugging.
+# Cost: ~12 VPU ops per score element, noise next to the panel matmuls.
+
+_FMIX_C1 = np.uint32(0x85EBCA6B)
+_FMIX_C2 = np.uint32(0xC2B2AE35)
+_GOLDEN = np.uint32(0x9E3779B9)
+
+
+def _fmix32(h):
+    """murmur3 avalanche finalizer on uint32."""
+    h = h ^ (h >> 16)
+    h = h * _FMIX_C1
+    h = h ^ (h >> 13)
+    h = h * _FMIX_C2
+    h = h ^ (h >> 16)
+    return h
+
+
+def _dropout_bits(seed, row, q_idx, k_idx):
+    """uint32 bits for score positions (q_idx, k_idx) of flattened row
+    ``row``. ``seed``/``row`` are scalars; q_idx/k_idx broadcastable int32
+    arrays. All inputs are hashed, not concatenated, so no counter overflow
+    at whole-song sizes."""
+    h0 = _fmix32(jnp.asarray(seed).astype(jnp.uint32)
+                 ^ (jnp.asarray(row).astype(jnp.uint32) * _GOLDEN))
+    hq = _fmix32(q_idx.astype(jnp.uint32) * _FMIX_C2 ^ h0)
+    return _fmix32(k_idx.astype(jnp.uint32) * _FMIX_C1 ^ hq)
+
+
+def _keep_scale(bits, rate):
+    """0 where dropped, 1/(1-rate) where kept (drop prob = ``rate``)."""
+    thresh = np.uint32(min(int(rate * 2 ** 32), 2 ** 32 - 1))
+    return jnp.where(bits >= thresh, np.float32(1.0 / (1.0 - rate)),
+                     np.float32(0.0))
+
+
+def attention_dropout_mask(seed, b, h, tq, tk, rate):
+    """XLA twin of the in-kernel mask for row-major (B, H) flattening:
+    (B, H, Tq, Tk) multiplier array (0 or 1/(1-rate)). Used by equivalence
+    tests and by einsum fallbacks that must match the flash path bit for
+    bit."""
+    seed = jnp.asarray(seed, jnp.uint32)
+    rows = jnp.arange(b * h, dtype=jnp.uint32).reshape(b * h, 1, 1)
+    q_idx = jnp.arange(tq, dtype=jnp.int32).reshape(1, tq, 1)
+    k_idx = jnp.arange(tk, dtype=jnp.int32).reshape(1, 1, tk)
+    h0 = _fmix32(seed ^ (rows * _GOLDEN))
+    hq = _fmix32(q_idx.astype(jnp.uint32) * _FMIX_C2 ^ h0)
+    bits = _fmix32(k_idx.astype(jnp.uint32) * _FMIX_C1 ^ hq)
+    return _keep_scale(bits, rate).reshape(b, h, tq, tk)
+
+
+def _fwd_recurrence(len_ref, seed_ref, q_ref, k_ref, v_ref, *, scale,
+                    block_k, seq_k_pad, dropout_rate):
     """Shared forward body: stream K/V panels with running max/sum (the
     flash-attention recurrence). Matmul inputs stay in the input dtype
     (bf16 on the MXU fast path) with f32 accumulation. Panels beyond this
     row's valid length are skipped; the boundary panel's columns are
-    masked. Returns (out_block, m_final, l_final)."""
+    masked. Returns (out_block, m_final, l_final).
+
+    With ``dropout_rate`` > 0 the accumulator uses mask-scaled
+    probabilities while ``l`` keeps the un-dropped sum: dropout applies
+    AFTER softmax normalization, and normalization is the per-row scalar
+    ``l`` — so out = (softmax(S) ∘ M/(1-p)) · V exactly, panel by panel."""
     q = q_ref[0]  # (BQ, D), input dtype
     bq, d = q.shape
-    length = len_ref[pl.program_id(0)]  # this row's valid key count
+    row = pl.program_id(0)
+    length = len_ref[row]  # this row's valid key count
+    qb = pl.program_id(1)
 
     def body(ki, carry):
         m_prev, l_prev, acc = carry
@@ -70,8 +142,14 @@ def _fwd_recurrence(len_ref, q_ref, k_ref, v_ref, *, scale, block_k,
         p = jnp.exp(s - m_new[:, None])
         alpha = jnp.exp(m_prev - m_new)
         l_new = l_prev * alpha + jnp.sum(p, axis=-1)
+        p_acc = p
+        if dropout_rate > 0.0:
+            q_idx = qb * bq + jax.lax.broadcasted_iota(
+                jnp.int32, (bq, block_k), 0)
+            bits = _dropout_bits(seed_ref[0], row, q_idx, col)
+            p_acc = p * _keep_scale(bits, dropout_rate)
         acc = acc * alpha[:, None] + jax.lax.dot_general(
-            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            p_acc.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         return m_new, l_new, acc
 
@@ -85,15 +163,17 @@ def _fwd_recurrence(len_ref, q_ref, k_ref, v_ref, *, scale, block_k,
     return out, m_final, l_final
 
 
-def _flash_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, *, scale, block_k,
-                  seq_k_pad):
-    out, _, _ = _fwd_recurrence(len_ref, q_ref, k_ref, v_ref, scale=scale,
-                                block_k=block_k, seq_k_pad=seq_k_pad)
+def _flash_kernel(len_ref, seed_ref, q_ref, k_ref, v_ref, o_ref, *, scale,
+                  block_k, seq_k_pad, dropout_rate):
+    out, _, _ = _fwd_recurrence(len_ref, seed_ref, q_ref, k_ref, v_ref,
+                                scale=scale, block_k=block_k,
+                                seq_k_pad=seq_k_pad,
+                                dropout_rate=dropout_rate)
     o_ref[0] = out.astype(o_ref.dtype)
 
 
-def _flash_kernel_lse(len_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *,
-                      scale, block_k, seq_k_pad):
+def _flash_kernel_lse(len_ref, seed_ref, q_ref, k_ref, v_ref, o_ref,
+                      lse_ref, *, scale, block_k, seq_k_pad, dropout_rate):
     """Training-path forward: also emit the per-row logsumexp
     L = m + log(l) the backward needs to rebuild probability panels.
 
@@ -102,8 +182,8 @@ def _flash_kernel_lse(len_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *,
     (8k, 128k) or the exact array dims — a (1, block_q) vector block is
     rejected); each program writes its slice."""
     out, m_final, l_final = _fwd_recurrence(
-        len_ref, q_ref, k_ref, v_ref, scale=scale, block_k=block_k,
-        seq_k_pad=seq_k_pad)
+        len_ref, seed_ref, q_ref, k_ref, v_ref, scale=scale,
+        block_k=block_k, seq_k_pad=seq_k_pad, dropout_rate=dropout_rate)
     o_ref[0] = out.astype(o_ref.dtype)
     bq = out.shape[0]
     j = pl.program_id(1)
@@ -112,18 +192,23 @@ def _flash_kernel_lse(len_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *,
         NEG_INF)
 
 
-def _flash_bwd_dq_kernel(len_ref, q_ref, do_ref, lse_ref, delta_ref, k_ref,
-                         v_ref, dq_ref, *, scale, block_k, seq_k_pad):
+def _flash_bwd_dq_kernel(len_ref, seed_ref, q_ref, do_ref, lse_ref,
+                         delta_ref, k_ref, v_ref, dq_ref, *, scale, block_k,
+                         seq_k_pad, dropout_rate):
     """dQ program for one (row, q-block): stream K/V panels, rebuild
     P = exp(S − L), dS = P ∘ (dO·Vᵀ − Δ), accumulate dQ += scale · dS·K.
-    Same skip/mask schedule as the forward."""
+    Same skip/mask schedule as the forward. With dropout, dO·Vᵀ is
+    mask-scaled before the softmax vjp (Δ = rowsum(dO ∘ O) already sums
+    the DROPPED weights since O was computed with them, so the identity
+    Σ_j W_j dW_j = Δ still holds)."""
     q = q_ref[0]
     do = do_ref[0].astype(jnp.float32)
     bq, d = q.shape
+    row = pl.program_id(0)
     j = pl.program_id(1)
     lse = lse_ref[0, 0, pl.ds(j * bq, bq)]
     delta = delta_ref[0, 0, pl.ds(j * bq, bq)]
-    length = len_ref[pl.program_id(0)]
+    length = len_ref[row]
 
     def body(ki, acc):
         k = k_ref[0, pl.ds(ki * block_k, block_k), :]
@@ -139,6 +224,11 @@ def _flash_bwd_dq_kernel(len_ref, q_ref, do_ref, lse_ref, delta_ref, k_ref,
         dp = jax.lax.dot_general(do, v.astype(jnp.float32),
                                  (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
+        if dropout_rate > 0.0:
+            q_idx = j * bq + jax.lax.broadcasted_iota(
+                jnp.int32, (bq, block_k), 0)
+            bits = _dropout_bits(seed_ref[0], row, q_idx, col)
+            dp = dp * _keep_scale(bits, dropout_rate)
         ds = p * (dp - delta[:, None]) * scale
         return acc + jax.lax.dot_general(
             ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
@@ -150,12 +240,15 @@ def _flash_bwd_dq_kernel(len_ref, q_ref, do_ref, lse_ref, delta_ref, k_ref,
     dq_ref[0] = acc.astype(dq_ref.dtype)
 
 
-def _flash_bwd_dkv_kernel(len_ref, q_ref, do_ref, lse_ref, delta_ref, k_ref,
-                          v_ref, dk_ref, dv_ref, *, scale, block_q,
-                          seq_q_pad):
+def _flash_bwd_dkv_kernel(len_ref, seed_ref, q_ref, do_ref, lse_ref,
+                          delta_ref, k_ref, v_ref, dk_ref, dv_ref, *, scale,
+                          block_q, seq_q_pad, dropout_rate):
     """dK/dV program for one (row, k-block): stream Q/dO panels,
     dV += Pᵀ·dO and dK += scale · dSᵀ·Q. A k-block entirely beyond this
-    row's valid length writes zeros without compute."""
+    row's valid length writes zeros without compute. With dropout,
+    dV accumulates the mask-scaled probabilities (the weights the forward
+    actually used) and dK's dS gets the mask-scaled dO·Vᵀ — masks
+    regenerate bit-identically from global coordinates."""
     k = k_ref[0]
     v = v_ref[0]
     bk, d = k.shape
@@ -181,12 +274,21 @@ def _flash_bwd_dkv_kernel(len_ref, q_ref, do_ref, lse_ref, delta_ref, k_ref,
                                     preferred_element_type=jnp.float32) * scale
             valid = col[None, :] < length
             p = jnp.where(valid, jnp.exp(s - lse[:, None]), 0.0)
-            dv_acc = dv_acc + jax.lax.dot_general(
-                p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
             dp = jax.lax.dot_general(do, v.astype(jnp.float32),
                                      (((1,), (1,)), ((), ())),
                                      preferred_element_type=jnp.float32)
+            p_v = p
+            if dropout_rate > 0.0:
+                q_idx = qi * block_q + jax.lax.broadcasted_iota(
+                    jnp.int32, (block_q, bk), 0)
+                k_idx = col[None, :] + jnp.zeros((block_q, bk), jnp.int32)
+                bits = _dropout_bits(seed_ref[0], i, q_idx, k_idx)
+                m = _keep_scale(bits, dropout_rate)
+                p_v = p * m
+                dp = dp * m
+            dv_acc = dv_acc + jax.lax.dot_general(
+                p_v.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
             ds = p * (dp - delta[:, None]) * scale
             dk_acc = dk_acc + jax.lax.dot_general(
                 ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
@@ -226,16 +328,26 @@ def _pad_to(x, axis, multiple):
     return jnp.pad(x, pads), size
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 9))
 def flash_attention(q, k, v, lengths=None, scale=None, block_q=256,
-                    block_k=512, interpret=False):
+                    block_k=512, interpret=False, dropout_seed=None,
+                    dropout_rate=0.0):
     """q, k, v: (B, H, T, D) → (B, H, Tq, D). Full attention over each row's
     first ``lengths[b]`` keys (``lengths`` (B,) int; None = all Tk valid).
 
     Defaults (block_q=256, block_k=512) measured fastest on v5e (≈1.6× XLA
     at T=2048; larger blocks thrash VMEM). ``interpret=True`` runs the Pallas
-    interpreter (CPU tests)."""
-    return _flash_forward(q, k, v, lengths, scale, block_q, block_k, interpret)
+    interpreter (CPU tests).
+
+    ``dropout_rate`` > 0 applies attention dropout INSIDE the kernels
+    (forward and both backward programs regenerate the identical mask from
+    ``dropout_seed`` + global score coordinates), so training configs with
+    ``attention_dropout`` keep the fused path. ``dropout_seed``: int32
+    scalar (fold a fresh one per step from the step rng);
+    ``attention_dropout_mask`` reproduces the mask in XLA for tests."""
+    return _flash_forward(q, k, v, lengths, scale, block_q, block_k,
+                          interpret, dropout_seed=dropout_seed,
+                          dropout_rate=dropout_rate)
 
 
 def _prepare(q, k, v, lengths, scale, block_q, block_k):
@@ -264,8 +376,15 @@ def _prepare(q, k, v, lengths, scale, block_q, block_k):
             b, h, tq0, tq_pad, tk_pad, d)
 
 
+def _seed_arr(dropout_seed):
+    if dropout_seed is None:
+        return jnp.zeros((1,), jnp.int32)
+    return jnp.asarray(dropout_seed, jnp.int32).reshape(1)
+
+
 def _flash_forward(q, k, v, lengths, scale, block_q, block_k,
-                   interpret=False, return_lse=False):
+                   interpret=False, return_lse=False, dropout_seed=None,
+                   dropout_rate=0.0):
     (qf, kf, vf, lens_bh, scale, block_q, block_k,
      b, h, tq0, tq_pad, tk_pad, d) = _prepare(
         q, k, v, lengths, scale, block_q, block_k)
@@ -278,47 +397,56 @@ def _flash_forward(q, k, v, lengths, scale, block_q, block_k,
     common = dict(
         grid=(bh, tq_pad // block_q),
         in_specs=[
-            # whole lengths vector in SMEM; each program indexes its row
+            # whole lengths vector + dropout seed in SMEM
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             qspec, kspec, kspec,
         ],
         interpret=interpret,
     )
+    seed = _seed_arr(dropout_seed)
     if return_lse:
         out, lse = pl.pallas_call(
             functools.partial(_flash_kernel_lse, scale=scale,
-                              block_k=block_k, seq_k_pad=tk_pad),
+                              block_k=block_k, seq_k_pad=tk_pad,
+                              dropout_rate=dropout_rate),
             out_specs=(qspec,
                        pl.BlockSpec((1, 1, tq_pad), lambda i, j: (i, 0, 0),
                                     memory_space=pltpu.VMEM)),
             out_shape=(jax.ShapeDtypeStruct((bh, tq_pad, d), q.dtype),
                        jax.ShapeDtypeStruct((bh, 1, tq_pad), jnp.float32)),
             **common,
-        )(lens_bh, qf, kf, vf)
+        )(lens_bh, seed, qf, kf, vf)
         return out.reshape(b, h, tq_pad, d)[:, :, :tq0], lse
     out = pl.pallas_call(
         functools.partial(_flash_kernel, scale=scale, block_k=block_k,
-                          seq_k_pad=tk_pad),
+                          seq_k_pad=tk_pad, dropout_rate=dropout_rate),
         out_specs=qspec,
         out_shape=jax.ShapeDtypeStruct((bh, tq_pad, d), q.dtype),
         **common,
-    )(lens_bh, qf, kf, vf)
+    )(lens_bh, seed, qf, kf, vf)
     return out.reshape(b, h, tq_pad, d)[:, :, :tq0]
 
 
-def _flash_fwd(q, k, v, lengths, scale, block_q, block_k, interpret=False):
+def _flash_fwd(q, k, v, lengths, scale, block_q, block_k, interpret,
+               dropout_seed, dropout_rate):
     out, lse = _flash_forward(q, k, v, lengths, scale, block_q, block_k,
-                              interpret, return_lse=True)
-    return out, (q, k, v, lengths, out, lse)
+                              interpret, return_lse=True,
+                              dropout_seed=dropout_seed,
+                              dropout_rate=dropout_rate)
+    return out, (q, k, v, lengths, dropout_seed, out, lse)
 
 
-def _flash_bwd(scale, block_q, block_k, interpret, residuals, g):
+def _flash_bwd(scale, block_q, block_k, interpret, dropout_rate,
+               residuals, g):
     """FlashAttention-2 backward: Δ = rowsum(dO ∘ O) in XLA (one fused
     elementwise-reduce), then two Pallas programs — dQ over (row, q-block)
     and dK/dV over (row, k-block) — rebuilding probability panels from the
     saved logsumexp. No (Tq, Tk) tensor is ever materialized."""
-    q, k, v, lengths, out, lse = residuals
+    q, k, v, lengths, dropout_seed, out, lse = residuals
     had_lengths = lengths is not None
+    had_seed = dropout_seed is not None
+    seed = _seed_arr(dropout_seed)
     (qf, kf, vf, lens_bh, scale, block_q, block_k,
      b, h, tq0, tq_pad, tk_pad, d) = _prepare(
         q, k, v, lengths, scale, block_q, block_k)
@@ -345,26 +473,28 @@ def _flash_bwd(scale, block_q, block_k, interpret, residuals, g):
 
     dq = pl.pallas_call(
         functools.partial(_flash_bwd_dq_kernel, scale=scale,
-                          block_k=block_k, seq_k_pad=tk_pad),
+                          block_k=block_k, seq_k_pad=tk_pad,
+                          dropout_rate=dropout_rate),
         grid=(bh, tq_pad // block_q),
-        in_specs=[len_spec, q_block, q_block, row_all, row_all,
+        in_specs=[len_spec, len_spec, q_block, q_block, row_all, row_all,
                   k_all, k_all],
         out_specs=q_block,
         out_shape=jax.ShapeDtypeStruct((bh, tq_pad, d), q.dtype),
         interpret=interpret,
-    )(lens_bh, qf, dof, lse, delta, kf, vf)
+    )(lens_bh, seed, qf, dof, lse, delta, kf, vf)
 
     dk, dv = pl.pallas_call(
         functools.partial(_flash_bwd_dkv_kernel, scale=scale,
-                          block_q=block_q, seq_q_pad=tq_pad),
+                          block_q=block_q, seq_q_pad=tq_pad,
+                          dropout_rate=dropout_rate),
         grid=(bh, tk_pad // block_k),
-        in_specs=[len_spec, q_all, q_all, row_all, row_all,
+        in_specs=[len_spec, len_spec, q_all, q_all, row_all, row_all,
                   k_block, k_block],
         out_specs=(k_block, k_block),
         out_shape=(jax.ShapeDtypeStruct((bh, tk_pad, d), k.dtype),
                    jax.ShapeDtypeStruct((bh, tk_pad, d), v.dtype)),
         interpret=interpret,
-    )(lens_bh, qf, dof, lse, delta, kf, vf)
+    )(lens_bh, seed, qf, dof, lse, delta, kf, vf)
 
     tk0 = k.shape[2]
     dq = dq.reshape(b, h, tq_pad, d)[:, :, :tq0]
@@ -372,7 +502,9 @@ def _flash_bwd(scale, block_q, block_k, interpret, residuals, g):
     dv = dv.reshape(b, h, tk_pad, d)[:, :, :tk0]
     dlen = (None if not had_lengths
             else np.zeros(np.shape(lengths), jax.dtypes.float0))
-    return dq, dk, dv, dlen
+    dseed = (None if not had_seed
+             else np.zeros(np.shape(dropout_seed), jax.dtypes.float0))
+    return dq, dk, dv, dlen, dseed
 
 
 flash_attention.defvjp(_flash_fwd, _flash_bwd)

@@ -230,3 +230,123 @@ def test_fast_gelu_dispatch():
     # one bf16 output rounding + the analytic tanh-approximation error
     ulp = np.maximum(np.abs(want) * 2.0 ** -7, 1e-6)
     assert (err <= 2.5 * ulp + 5e-4).all()
+
+
+# ---------------------------------------------------------------------------
+# In-kernel attention dropout
+# ---------------------------------------------------------------------------
+
+def _dropout_reference(q, k, v, lengths, seed, rate):
+    """Einsum attention with the flash kernels' EXACT mask (XLA twin)."""
+    from svt_speechbrain_tpu.ops.flash_attention import attention_dropout_mask
+
+    b, h, tq, d = q.shape
+    tk = k.shape[2]
+    s = jnp.einsum("bhqd,bhkd->bhqk", q.astype(jnp.float32),
+                   k.astype(jnp.float32)) / np.sqrt(d)
+    if lengths is not None:
+        col = jnp.arange(tk)
+        s = jnp.where(col[None, None, None, :] < lengths[:, None, None, None],
+                      s, -1e30)
+    w = jax.nn.softmax(s, axis=-1)
+    if lengths is not None:
+        w = jnp.where((lengths > 0)[:, None, None, None], w, 0.0)
+    w = w * attention_dropout_mask(seed, b, h, tq, tk, rate)
+    return jnp.einsum("bhqk,bhkd->bhqd", w, v.astype(jnp.float32))
+
+
+@pytest.mark.parametrize("tq,tk,lens", [
+    (256, 256, None),
+    (249, 249, (249, 200, 64)),
+])
+def test_flash_dropout_matches_masked_einsum(tq, tk, lens):
+    """Forward with in-kernel dropout == einsum with the identical mask
+    regenerated in XLA (the mask is a pure function of seed + global
+    coordinates, so the two paths must agree to fp tolerance)."""
+    rng = np.random.default_rng(10)
+    b, h, d = (len(lens) if lens else 2), 4, 64
+    q = jnp.asarray(rng.normal(size=(b, h, tq, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, h, tk, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, h, tk, d)), jnp.float32)
+    lengths = None if lens is None else jnp.asarray(lens, jnp.int32)
+    got = np.asarray(flash_attention(
+        q, k, v, lengths, None, 128, 128, True,
+        dropout_seed=jnp.int32(1234), dropout_rate=0.3))
+    want = np.asarray(_dropout_reference(q, k, v, lengths, 1234, 0.3))
+    np.testing.assert_allclose(got, want, atol=3e-5, rtol=1e-4)
+
+
+def test_flash_dropout_grads_match_masked_einsum():
+    """dQ/dK/dV through the Pallas backward (masks regenerated in-kernel
+    from coordinates) == autodiff through the masked einsum formulation."""
+    rng = np.random.default_rng(11)
+    b, h, t, d = 2, 2, 256, 64
+    q = jnp.asarray(rng.normal(size=(b, h, t, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, h, t, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, h, t, d)), jnp.float32)
+    lengths = jnp.asarray([256, 180], jnp.int32)
+    seed, rate = 77, 0.25
+    co = jnp.asarray(rng.normal(size=(b, h, t, d)), jnp.float32)
+
+    def flash_loss(q, k, v):
+        o = flash_attention(q, k, v, lengths, None, 128, 128, True,
+                            dropout_seed=jnp.int32(seed), dropout_rate=rate)
+        return jnp.sum(o * co)
+
+    def ref_loss(q, k, v):
+        return jnp.sum(_dropout_reference(q, k, v, lengths, seed, rate) * co)
+
+    got = jax.grad(flash_loss, argnums=(0, 1, 2))(q, k, v)
+    want = jax.grad(ref_loss, argnums=(0, 1, 2))(q, k, v)
+    for g, w, name in zip(got, want, "qkv"):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   atol=5e-4, rtol=1e-3,
+                                   err_msg=f"d{name} mismatch")
+
+
+def test_flash_dropout_block_geometry_independent():
+    """The mask is a function of global coordinates, not block tiling:
+    different (block_q, block_k) choices give identical outputs."""
+    rng = np.random.default_rng(12)
+    b, h, t, d = 1, 2, 384, 64
+    q = jnp.asarray(rng.normal(size=(b, h, t, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, h, t, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, h, t, d)), jnp.float32)
+    a = np.asarray(flash_attention(q, k, v, None, None, 128, 128, True,
+                                   dropout_seed=jnp.int32(5), dropout_rate=0.2))
+    bb = np.asarray(flash_attention(q, k, v, None, None, 64, 384, True,
+                                    dropout_seed=jnp.int32(5), dropout_rate=0.2))
+    np.testing.assert_allclose(a, bb, atol=3e-5, rtol=1e-4)
+
+
+def test_attention_dropout_mask_statistics():
+    """Keep rate ~= 1-p, kept entries scaled by 1/(1-p), seeds decorrelate."""
+    from svt_speechbrain_tpu.ops.flash_attention import attention_dropout_mask
+
+    m1 = np.asarray(attention_dropout_mask(1, 2, 4, 128, 128, 0.3))
+    kept = m1 > 0
+    assert abs(kept.mean() - 0.7) < 0.01
+    np.testing.assert_allclose(m1[kept], 1.0 / 0.7, rtol=1e-6)
+    m2 = np.asarray(attention_dropout_mask(2, 2, 4, 128, 128, 0.3))
+    # different seeds give (nearly) independent masks
+    agree = ((m1 > 0) == (m2 > 0)).mean()
+    assert 0.5 < agree < 0.65  # p(agree) = 0.7^2 + 0.3^2 = 0.58
+
+    # rows decorrelated too (guards the hash chaining against collisions)
+    flat = (m1 > 0).reshape(8, -1)
+    for i in range(7):
+        assert 0.45 < (flat[i] == flat[i + 1]).mean() < 0.7
+
+
+def test_sdpa_dropout_dispatches_to_flash_on_tpu_semantics():
+    """scaled_dot_product_attention with train dropout no longer forces the
+    einsum path when flash would dispatch — on CPU (no flash) it must still
+    run and apply dropout (output differs from eval)."""
+    from svt_speechbrain_tpu.nnet.attention import scaled_dot_product_attention
+
+    rng = np.random.default_rng(13)
+    q = jnp.asarray(rng.normal(size=(1, 2, 64, 64)), jnp.float32)
+    out_eval = scaled_dot_product_attention(q, q, q, train=False)
+    out_train = scaled_dot_product_attention(
+        q, q, q, dropout_rate=0.5, rng=jax.random.PRNGKey(0), train=True)
+    assert not np.allclose(np.asarray(out_eval), np.asarray(out_train))

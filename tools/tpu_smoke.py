@@ -82,6 +82,60 @@ def smoke_flash_attention_backward():
         assert err < 3e-2, f"flash bwd {name} vs xla vjp: rel {err}"
 
 
+def smoke_flash_attention_dropout():
+    """In-kernel attention dropout on the real chip: fwd + grads vs an
+    einsum twin using the IDENTICAL mask (regenerated in XLA from the same
+    seed + coordinates). Catches Mosaic lowering of the uint32 hash chain
+    and fwd/bwd mask divergence."""
+    from svt_speechbrain_tpu.ops.flash_attention import (
+        flash_attention, attention_dropout_mask)
+
+    rng = np.random.default_rng(2)
+    b, h, t, d = 4, 8, 1536, 64  # whole-song-ish window
+    q, k, v = (jnp.asarray(rng.normal(size=(b, h, t, d)), jnp.bfloat16)
+               for _ in range(3))
+    lens = jnp.asarray([t, 1200, 700, 0], jnp.int32)
+    seed, rate = 31337, 0.1
+
+    def ref(q, k, v):
+        s = jnp.einsum("bhqd,bhkd->bhqk", q.astype(jnp.float32),
+                       k.astype(jnp.float32)) / np.sqrt(d)
+        col = jnp.arange(t)
+        s = jnp.where(col[None, None, None, :] < lens[:, None, None, None],
+                      s, -1e30)
+        w = jax.nn.softmax(s, axis=-1)
+        w = jnp.where((lens > 0)[:, None, None, None], w, 0.0)
+        w = w * attention_dropout_mask(seed, b, h, t, t, rate)
+        return jnp.einsum("bhqk,bhkd->bhqd", w, v.astype(jnp.float32))
+
+    flash = jax.jit(lambda q, k, v: flash_attention(
+        q, k, v, lens, dropout_seed=jnp.int32(seed), dropout_rate=rate))
+    got = np.asarray(flash(q, k, v), np.float32)
+    want = np.asarray(jax.jit(ref)(q, k, v), np.float32)
+    err = np.abs(got - want).max()
+    assert err < 3e-2, f"flash dropout fwd vs masked einsum: {err}"
+    # dropout actually drops: zero-rate output differs
+    got0 = np.asarray(jax.jit(lambda q, k, v: flash_attention(
+        q, k, v, lens))(q, k, v), np.float32)
+    assert np.abs(got - got0).max() > 1e-3
+
+    co = jnp.asarray(rng.normal(size=(b, h, t, d)), jnp.float32)
+    gf = jax.jit(jax.grad(lambda q, k, v: jnp.sum(
+        flash_attention(q, k, v, lens, dropout_seed=jnp.int32(seed),
+                        dropout_rate=rate).astype(jnp.float32) * co),
+        argnums=(0, 1, 2)))(q, k, v)
+    gx = jax.jit(jax.grad(
+        lambda q, k, v: jnp.sum(ref(q, k, v) * co),
+        argnums=(0, 1, 2)))(q, k, v)
+    for name, a, b_ in zip(("dq", "dk", "dv"), gf, gx):
+        a = np.asarray(a, np.float32)
+        b_ = np.asarray(b_, np.float32)
+        assert np.isfinite(a).all(), name
+        denom = max(np.abs(b_).max(), 1e-3)
+        err = np.abs(a - b_).max() / denom
+        assert err < 3e-2, f"flash dropout bwd {name}: rel {err}"
+
+
 def smoke_conv_frontend():
     from svt_speechbrain_tpu.ops.conv_frontend import (
         fused_conv_frontend, pack_weights, _xla_reference, can_fuse)
@@ -189,6 +243,8 @@ def main():
     check("flash attention (lengths-masked, T=249)", smoke_flash_attention)
     check("flash attention BACKWARD (dQ + dK/dV kernels)",
           smoke_flash_attention_backward)
+    check("flash attention DROPOUT (in-kernel mask, fwd+bwd)",
+          smoke_flash_attention_dropout)
     check("fused conv frontend (512ch + 32ch fallback)", smoke_conv_frontend)
     check("transducer lattice (scan + pallas vs autodiff)",
           smoke_transducer_lattice)
