@@ -1,39 +1,61 @@
 #!/usr/bin/env python3
-"""Standing QUALITY benchmark: deterministic synthetic-song COnPOff.
+"""Standing QUALITY benchmark: synthetic-song COnPOff, OURS vs the
+REFERENCE torch recipe — a parity artifact, not just a self-regression
+canary.
 
 The real quality bar (COnPOff F1 52.39 on MIR-ST500, BASELINE.md) is
 unverifiable in this image — no datasets or pretrained weights ship. This
-script is the round-over-round quality signal instead: a fixed-seed
-synthetic dataset (sinusoid note tracks) run through the ACTUAL MIR-ST500
-recipe — data prep, 4-term loss, two-optimizer training, NewBob annealing,
-song-stitched eval, frame2note decode, bipartite COnPOff scoring — for a
-fixed number of epochs, then scored on the training songs.
+script instead trains BOTH stacks end to end on a fixed-seed synthetic
+dataset (sinusoid note tracks with amplitude-coded pitch):
 
-Deterministic: fixed seeds, CPU backend (bit-stable across rounds; the
-tiny model would not benefit from the TPU anyway). Runtime ~5 min (QBENCH_EPOCHS=16 default; COnPOff ~0.47, COn ~1.0 healthy).
+  * ours: the ACTUAL MIR-ST500 recipe Brain (JAX) — 4-term loss,
+    two-optimizer training, NewBob annealing, song-stitched eval,
+    frame2note decode, bipartite COnPOff scoring;
+  * reference: the ACTUAL torch ``AMT`` Brain from
+    ``/root/reference/MIR_ST500/train_audio_ssl.py`` (deps stubbed as in
+    ``tests/test_golden_recipe_parity.py``), driven through the same
+    batch sequence from the SAME initial weights (``convert_hf``).
 
-Prints ONE JSON line: {"metric": "synthetic_overfit_COnPOff_f1", "value",
-"COnP_f1", "COn_f1", "final_valid_loss", "epochs"}. A value collapsing
-toward 0 between rounds = a real pipeline regression (label/decode/loss/
-threshold plumbing), independent of host-link noise.
+Both sides train fp32 on CPU with zero dropout, so the printed ``delta``
+directly measures framework drift in trained quality: near 0 when our
+optimizer/loss/decode semantics track the reference, diverging otherwise.
+The dataset is tuned so COnPOff lands in a sensitive mid band (not a
+saturated 1.0 and not majority-class floor), where regressions move the
+number.
+
+Prints ONE JSON line: {"metric": "synthetic_COnPOff_f1_vs_reference",
+"value", "reference_value", "delta", per-metric pairs, epochs}.
+
+Runtime ~8-12 min (QBENCH_EPOCHS=12 default). Set QBENCH_SKIP_REFERENCE=1
+for the ours-only legacy behavior (e.g. without /root/reference).
 """
+import importlib.machinery
 import importlib.util
 import json
 import os
 import shutil
 import sys
 import tempfile
+import types
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_default_matmul_precision", "highest")
 
 import numpy as np  # noqa: E402
 
 REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
 RECIPE_DIR = os.path.join(REPO_ROOT, "recipes", "MIR_ST500")
+REFERENCE_ROOT = "/root/reference"
+
+# tiny arch: both stacks share it; all dropouts zero so the two trainings
+# are deterministic given identical weights + batches
+ARCH = dict(hidden_size=64, num_layers=2, num_heads=4, ffn_size=128,
+            conv_dim=(32,) * 7, num_conv_pos_embeddings=16,
+            num_conv_pos_embedding_groups=4)
 
 TINY_ARCH = """
 wav2vec2: !new:svt_speechbrain_tpu.models.wav2vec2.HuggingFaceWav2Vec2
@@ -48,8 +70,16 @@ wav2vec2: !new:svt_speechbrain_tpu.models.wav2vec2.HuggingFaceWav2Vec2
       conv_dim: [32, 32, 32, 32, 32, 32, 32]
       num_conv_pos_embeddings: 16
       num_conv_pos_embedding_groups: 4
+      hidden_dropout: 0.0
+      attention_dropout: 0.0
+      activation_dropout: 0.0
+      feat_proj_dropout: 0.0
 feat_dim: 64
 """
+
+# big lrs so the tiny model reaches its plateau within the epoch budget
+LR_MODEL = 1.0      # Adadelta head (yaml key "lr")
+LR_WAV2VEC = 0.004  # Adam encoder
 
 
 def _load(path, name):
@@ -61,6 +91,11 @@ def _load(path, name):
 
 
 def make_dataset(root):
+    """3 songs of sinusoid notes. Pitch is amplitude-coded (a tiny model
+    cannot become frequency-selective in minutes, but it can read
+    amplitude), 3 classes with well-separated amplitudes so the pitch
+    pipeline is learnable to a HIGH-but-not-saturated COnP — the sensitive
+    band where a quality regression moves the score."""
     from svt_speechbrain_tpu.dataio.dataio import write_audio
 
     sys.path.insert(0, RECIPE_DIR)
@@ -69,25 +104,18 @@ def make_dataset(root):
     rng = np.random.default_rng(0)
     gt = {}
     folder = os.path.join(root, "wav16kHz")
-    # 5 distinct pitches (distinct octave+class combos), each with a
-    # distinct amplitude: a minutes-budget tiny model cannot become
-    # frequency-selective from raw sinusoids (COnP plateaus at the 1/5
-    # majority-class level), but it CAN read amplitude — which still
-    # exercises the whole pitch pipeline (octave/class labels → NLL losses
-    # → argmax → frame2note pitch → COnP/COnPOff bipartite scoring). This
-    # artifact tracks pipeline health, not acoustic modeling.
     pitch_pool = np.asarray([45, 52, 57, 64, 69])
-    pitch_amp = {p: 0.12 + 0.12 * i for i, p in enumerate(pitch_pool)}
+    pitch_amp = {p: 0.10 + 0.16 * i for i, p in enumerate(pitch_pool)}
     for song_i in range(3):
         name = f"song{song_i}"
         duration = 8.0 + 2.0 * song_i
         notes = []
         t0 = 0.2
         while t0 < duration - 0.6:
-            dur = float(rng.uniform(0.2, 0.6))
+            dur = float(rng.uniform(0.25, 0.6))
             notes.append([round(t0, 3), round(t0 + dur, 3),
                           int(rng.choice(pitch_pool))])
-            t0 += dur + float(rng.uniform(0.05, 0.4))
+            t0 += dur + float(rng.uniform(0.1, 0.4))
         gt[name] = notes
         t = np.arange(int(duration * 16000)) / 16000
         sig = np.zeros_like(t, dtype=np.float32)
@@ -110,10 +138,255 @@ def make_dataset(root):
     return os.path.join(csv_dir, "train.csv")
 
 
+def _examples(data):
+    """Materialize a DynamicItemDataset in csv order."""
+    return [data[i] for i in range(len(data))]
+
+
+def _train_batches(examples):
+    """Deterministic batch plan replayed every epoch: group utterances of
+    IDENTICAL length (so no padding exists and the reference's
+    wav-length anno mask equals our exact frame mask), batch size <= 3."""
+    by_len = {}
+    for ex in examples:
+        by_len.setdefault(len(ex["sig"]), []).append(ex)
+    batches = []
+    for n in sorted(by_len):
+        group = by_len[n]
+        for i in range(0, len(group), 3):
+            batches.append(group[i:i + 3])
+    return batches
+
+
+def _stub(name, **attrs):
+    m = types.ModuleType(name)
+    m.__spec__ = importlib.machinery.ModuleSpec(name, None)
+    for k, v in attrs.items():
+        setattr(m, k, v)
+    sys.modules[name] = m
+    return m
+
+
+def _import_reference():
+    """Stub-import the reference speechbrain + MIR_ST500 recipe (same
+    harness as tests/test_golden_recipe_parity.py)."""
+    from svt_speechbrain_tpu.utils import transcription_eval
+
+    _stub("hyperpyyaml", load_hyperpyyaml=lambda *a, **k: {},
+          resolve_references=lambda *a, **k: None)
+    _stub("torchaudio", load=None, info=None,
+          set_audio_backend=lambda *a, **k: None,
+          get_audio_backend=lambda: "soundfile")
+    ry = _stub("ruamel")
+    ry.yaml = _stub("ruamel.yaml", YAML=object)
+    me = _stub("mir_eval")
+    me.transcription = _stub("mir_eval.transcription",
+                             evaluate=transcription_eval.evaluate)
+    me.util = _stub("mir_eval.util",
+                    midi_to_hz=transcription_eval.midi_to_hz)
+    sys.path.insert(0, REFERENCE_ROOT)
+    sys.path.insert(0, os.path.join(REFERENCE_ROOT, "MIR_ST500"))
+    import speechbrain as sb
+
+    ref_recipe = _load(os.path.join(REFERENCE_ROOT, "MIR_ST500",
+                                    "train_audio_ssl.py"), "_qb_ref_recipe")
+    ref_hi = _load(os.path.join(REFERENCE_ROOT, "MIR_ST500",
+                                "huggingface_interface.py"), "_qb_ref_hi")
+    return sb, ref_recipe, ref_hi
+
+
+def _tiny_torch_model():
+    import torch
+    from transformers import Wav2Vec2Config as HFConfig, Wav2Vec2Model
+
+    hf_cfg = HFConfig(
+        hidden_size=ARCH["hidden_size"],
+        num_hidden_layers=ARCH["num_layers"],
+        num_attention_heads=ARCH["num_heads"],
+        intermediate_size=ARCH["ffn_size"],
+        conv_dim=ARCH["conv_dim"],
+        conv_kernel=(10, 3, 3, 3, 3, 2, 2),
+        conv_stride=(5, 2, 2, 2, 2, 2, 2),
+        feat_extract_norm="layer", conv_bias=True,
+        num_conv_pos_embeddings=ARCH["num_conv_pos_embeddings"],
+        num_conv_pos_embedding_groups=ARCH["num_conv_pos_embedding_groups"],
+        do_stable_layer_norm=True, hidden_dropout=0.0,
+        attention_dropout=0.0, activation_dropout=0.0,
+        feat_proj_dropout=0.0, layerdrop=0.0)
+    torch.manual_seed(0)
+    model = Wav2Vec2Model(hf_cfg)
+    model.config.apply_spec_augment = False
+    return model
+
+
+def _ref_hparams(sb):
+    import functools
+
+    def masked(fn, **kw):
+        return functools.partial(fn, reduction="mean", allowed_len_diff=3,
+                                 label_smoothing=0.0, **kw)
+
+    def stats(fn):
+        return functools.partial(
+            sb.utils.metric_stats.MetricStats,
+            metric=functools.partial(fn, reduction="batch",
+                                     allowed_len_diff=3,
+                                     label_smoothing=0.0))
+
+    L = sb.nnet.losses
+    return dict(
+        pitch_octave_num=4, pitch_class_num=12,
+        onset_positive_weight=15.0, offset_positive_weight=1.0,
+        onset_criterion=masked(L.bce_loss),
+        offset_criterion=masked(L.bce_loss),
+        octave_criterion=masked(L.nll_loss),
+        pitch_criterion=masked(L.nll_loss),
+        log_softmax=sb.nnet.activations.Softmax(apply_log=True),
+        onset_threshold=0.4, offset_threshold=0.5, frame_rate=49.8,
+        onset_tolerance=0.05, pitch_tolerance=50,
+        onset_stats=stats(L.bce_loss), offset_stats=stats(L.bce_loss),
+        octave_stats=stats(L.nll_loss), pitch_stats=stats(L.nll_loss),
+    )
+
+
+class _RefBatch:
+    def __init__(self, **kw):
+        self.__dict__.update(kw)
+
+    def to(self, device):
+        return self
+
+
+def _run_reference(train_batches, eval_examples, hf_model, head_w, head_b,
+                   epochs):
+    """Train + song-eval the reference torch AMT Brain."""
+    import torch
+
+    sb, ref_recipe, ref_hi = _import_reference()
+    ref_w2v = ref_hi.HuggingFaceWav2Vec2.__new__(ref_hi.HuggingFaceWav2Vec2)
+    torch.nn.Module.__init__(ref_w2v)
+    ref_w2v.model = hf_model
+    ref_w2v.normalize_wav = True
+    ref_w2v.output_norm = True
+    ref_w2v.freeze = False
+    ref_w2v.freeze_feature_extractor = False
+    ref_head = sb.nnet.linear.Linear(input_size=ARCH["hidden_size"],
+                                     n_neurons=20)
+    with torch.no_grad():
+        ref_head.w.weight.copy_(torch.tensor(head_w.T))
+        ref_head.w.bias.copy_(torch.tensor(head_b))
+    brain = ref_recipe.AMT(modules={"wav2vec2": ref_w2v, "model": ref_head},
+                           hparams=_ref_hparams(sb),
+                           run_opts={"device": "cpu"})
+    # init_optimizers semantics (train_audio_ssl.py:307-318) with the
+    # quality bench's lrs (overridden identically on both sides)
+    brain.wav2vec_optimizer = torch.optim.Adam(ref_w2v.parameters(),
+                                               lr=LR_WAV2VEC)
+    brain.model_optimizer = torch.optim.Adadelta(
+        ref_head.parameters(), lr=LR_MODEL, rho=0.95, eps=1e-8)
+    sched_w2v = sb.nnet.schedulers.NewBobScheduler(
+        initial_value=LR_WAV2VEC, improvement_threshold=0.0025,
+        annealing_factor=0.9, patient=0)
+    sched_model = sb.nnet.schedulers.NewBobScheduler(
+        initial_value=LR_MODEL, improvement_threshold=0.0025,
+        annealing_factor=0.8, patient=0)
+
+    for _ in range(epochs):
+        losses = []
+        for group in train_batches:
+            wavs = torch.tensor(np.stack([ex["sig"] for ex in group]))
+            anno = torch.tensor(
+                np.stack([ex["anno"] for ex in group]).astype(np.float32))
+            lens = torch.ones(len(group))
+            rb = _RefBatch(id=[ex["id"] for ex in group],
+                           sig=(wavs, lens), anno=(anno, lens))
+            losses.append(float(brain.fit_batch(rb)))
+        valid = float(np.mean(losses))
+        _, new_w2v = sched_w2v(valid)
+        _, new_model = sched_model(valid)
+        sb.nnet.schedulers.update_learning_rate(
+            brain.wav2vec_optimizer, new_w2v)
+        sb.nnet.schedulers.update_learning_rate(
+            brain.model_optimizer, new_model)
+
+    brain.on_stage_start(sb.Stage.VALID, 1)
+    eval_losses = []
+    for ex in eval_examples:
+        rb = _RefBatch(
+            id=[ex["id"]],
+            sig=(torch.tensor(np.asarray(ex["sig"])[None]),
+                 torch.ones(1)),
+            anno=(torch.tensor(
+                np.asarray(ex["anno"], np.float32)[None]), torch.ones(1)),
+            cur_utter=torch.tensor([int(ex["cur_utter"])]),
+            all_utter=torch.tensor([int(ex["all_utter"])]),
+            ref_intervals=(torch.tensor(
+                np.asarray(ex["ref_intervals"])[None]), torch.ones(1)),
+            ref_pitchs=(torch.tensor(
+                np.asarray(ex["ref_pitchs"])[None]), torch.ones(1)))
+        with torch.no_grad():
+            pred = brain.compute_forward(rb, sb.Stage.VALID)
+            eval_losses.append(float(
+                brain.compute_objectives(pred, rb, sb.Stage.VALID)))
+    return {
+        "COnPOff_f1": brain.COnPOff_f1.avg,
+        "COnP_f1": brain.COnP_f1.avg,
+        "COn_f1": brain.COn_f1.avg,
+        "loss": float(np.mean(eval_losses)),
+    }
+
+
+def _run_ours(train_batches, eval_examples, hparams, recipe, my_params,
+              epochs):
+    """Train + song-eval our recipe Brain on the identical plan."""
+    from svt_speechbrain_tpu.core import Stage
+    from svt_speechbrain_tpu.dataio.batch import PaddedBatch
+
+    brain = recipe.AMT(modules=hparams["modules"], hparams=hparams,
+                       run_opts={"noprogressbar": True}, checkpointer=None)
+    brain.load_module_params("wav2vec2", my_params["wav2vec2"])
+    brain.load_module_params("model", my_params["model"])
+    brain.init_optimizers()
+    for _ in range(epochs):
+        losses = []
+        for group in train_batches:
+            losses.append(brain.fit_batch(PaddedBatch(
+                [{"id": ex["id"], "sig": ex["sig"], "anno": ex["anno"]}
+                 for ex in group])))
+        valid = float(np.mean(losses))
+        _, w2v_lr = hparams["lr_annealing_wav2vec"](valid)
+        brain.set_learning_rate("wav2vec", w2v_lr)
+        _, model_lr = hparams["lr_annealing_model"](valid)
+        brain.set_learning_rate("model", model_lr)
+
+    brain.on_stage_start(Stage.VALID, 1)
+    eval_losses = []
+    for ex in eval_examples:
+        b = PaddedBatch([dict(ex)])
+        arrays = {k: v for k, v in b.numpy_arrays().items()
+                  if k not in brain.host_only_keys}
+        pred = brain.compute_forward(brain.params, arrays, Stage.VALID)
+        loss = float(brain.compute_objectives(pred, arrays, Stage.VALID))
+        pred_np = jax.tree_util.tree_map(np.asarray, pred)
+        brain.on_evaluate_batch_end(b, pred_np, loss, Stage.VALID)
+        eval_losses.append(loss)
+    return {
+        "COnPOff_f1": brain.COnPOff_f1.avg,
+        "COnP_f1": brain.COnP_f1.avg,
+        "COn_f1": brain.COn_f1.avg,
+        "loss": float(np.mean(eval_losses)),
+    }
+
+
 def main():
     from svt_speechbrain_tpu.config import load_hyperyaml
+    from svt_speechbrain_tpu.models.convert_hf import (
+        convert_wav2vec2_state_dict)
+    from svt_speechbrain_tpu.models.wav2vec2 import Wav2Vec2Config
 
-    epochs = int(os.environ.get("QBENCH_EPOCHS", "16"))
+    epochs = int(os.environ.get("QBENCH_EPOCHS", "12"))
+    skip_ref = (os.environ.get("QBENCH_SKIP_REFERENCE") == "1"
+                or not os.path.isdir(REFERENCE_ROOT))
     root = tempfile.mkdtemp(prefix="quality_bench_")
     try:
         csv = make_dataset(root)
@@ -130,32 +403,58 @@ number_of_epochs: {epochs}
 linear_prob_epochs: 0
 batch_size: 3
 num_workers: 0
-lr_model: 1.0
+lr: 1.0
 lr_wav2vec: 0.004
 {TINY_ARCH}
 """
         with open(os.path.join(RECIPE_DIR, "hparams",
                                "train_audio_ssl.yaml")) as f:
             hparams = load_hyperyaml(f, overrides)
-        train_data, valid_data, test_datasets = recipe.dataio_prepare(hparams)
-        brain = recipe.AMT(modules=hparams["modules"], hparams=hparams,
-                           run_opts={"noprogressbar": True},
-                           checkpointer=None)
-        brain.fit(hparams["epoch_counter"], train_data, valid_data,
-                  train_loader_kwargs=hparams["train_dataloader_opts"],
-                  valid_loader_kwargs=hparams["valid_dataloader_opts"])
-        loss = brain.evaluate(
-            list(test_datasets.values())[0],
-            test_loader_kwargs=hparams["test_dataloader_opts"])
-        print(json.dumps({
-            "metric": "synthetic_overfit_COnPOff_f1",
-            "value": round(brain.COnPOff_f1.avg, 4),
-            "COnP_f1": round(brain.COnP_f1.avg, 4),
-            "COn_f1": round(brain.COn_f1.avg, 4),
-            "final_test_loss": round(float(loss), 4),
-            "songs": brain.COn_f1.count,
+        train_data, valid_data, _ = recipe.dataio_prepare(hparams)
+        train_batches = _train_batches(_examples(train_data))
+        eval_examples = _examples(valid_data)
+
+        # shared init: torch tiny model -> convert_hf -> our param tree
+        import torch
+
+        hf_model = _tiny_torch_model()
+        torch.manual_seed(1)
+        head_w = (np.random.default_rng(1)
+                  .normal(size=(ARCH["hidden_size"], 20))
+                  .astype(np.float32) * 0.05)
+        head_b = np.zeros(20, np.float32)
+        sd = {k: v.numpy().copy() for k, v in hf_model.state_dict().items()}
+        my_cfg = Wav2Vec2Config(
+            **{**ARCH, "conv_kernel": (10, 3, 3, 3, 3, 2, 2),
+               "conv_stride": (5, 2, 2, 2, 2, 2, 2)})
+        my_params = {
+            "wav2vec2": {"encoder": convert_wav2vec2_state_dict(sd, my_cfg)},
+            "model": {"w": head_w.copy(), "b": head_b.copy()},
+        }
+
+        mine = _run_ours(train_batches, eval_examples, hparams, recipe,
+                         my_params, epochs)
+        result = {
+            "metric": "synthetic_COnPOff_f1_vs_reference",
+            "value": round(mine["COnPOff_f1"], 4),
+            "COnP_f1": round(mine["COnP_f1"], 4),
+            "COn_f1": round(mine["COn_f1"], 4),
+            "final_eval_loss": round(mine["loss"], 4),
             "epochs": epochs,
-        }))
+        }
+        if not skip_ref:
+            ref = _run_reference(train_batches, eval_examples, hf_model,
+                                 head_w, head_b, epochs)
+            result.update({
+                "reference_value": round(ref["COnPOff_f1"], 4),
+                "delta": round(mine["COnPOff_f1"] - ref["COnPOff_f1"], 4),
+                "ref_COnP_f1": round(ref["COnP_f1"], 4),
+                "ref_COn_f1": round(ref["COn_f1"], 4),
+                "ref_final_eval_loss": round(ref["loss"], 4),
+            })
+        else:
+            result["reference_value"] = None
+        print(json.dumps(result))
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
