@@ -26,7 +26,7 @@ number.
 Prints ONE JSON line: {"metric": "synthetic_COnPOff_f1_vs_reference",
 "value", "reference_value", "delta", per-metric pairs, epochs}.
 
-Runtime ~8-12 min (QBENCH_EPOCHS=12 default). Set QBENCH_SKIP_REFERENCE=1
+Runtime ~8-12 min (QBENCH_EPOCHS=6 default; COnPOff ~0.79 = the sensitive band). Set QBENCH_SKIP_REFERENCE=1
 for the ours-only legacy behavior (e.g. without /root/reference).
 """
 import importlib.machinery
@@ -93,7 +93,7 @@ def _load(path, name):
 def make_dataset(root):
     """3 songs of sinusoid notes. Pitch is amplitude-coded (a tiny model
     cannot become frequency-selective in minutes, but it can read
-    amplitude), 3 classes with well-separated amplitudes so the pitch
+    amplitude), 5 classes with stepped amplitudes so the pitch
     pipeline is learnable to a HIGH-but-not-saturated COnP — the sensitive
     band where a quality regression moves the score."""
     from svt_speechbrain_tpu.dataio.dataio import write_audio
@@ -384,7 +384,7 @@ def main():
         convert_wav2vec2_state_dict)
     from svt_speechbrain_tpu.models.wav2vec2 import Wav2Vec2Config
 
-    epochs = int(os.environ.get("QBENCH_EPOCHS", "12"))
+    epochs = int(os.environ.get("QBENCH_EPOCHS", "6"))
     skip_ref = (os.environ.get("QBENCH_SKIP_REFERENCE") == "1"
                 or not os.path.isdir(REFERENCE_ROOT))
     root = tempfile.mkdtemp(prefix="quality_bench_")
