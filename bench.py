@@ -145,7 +145,10 @@ def main():
         def body(i, acc):
             feats = bridge(p["wav2vec2"], wavs + acc * 0)
             logits = head(p["model"], feats)
-            return acc + jnp.sum(logits[:, 0, 0]) * 1e-9
+            # full reduction: a sliced read would let XLA elide the head +
+            # the last layer's off-frame FFN work (slice pushing through
+            # dots), overstating device_mfu in the driver artifact
+            return acc + jnp.sum(logits) * 1e-9
         return jax.lax.fori_loop(0, inner, body, jnp.bfloat16(0.0))
 
     np.asarray(_device_loop(dev_params, dev_wavs))  # compile + run once

@@ -41,9 +41,16 @@ def scaled_dot_product_attention(q, k, v, bias=None, mask=None, dropout_rate=0.0
     flashable = bias is None and mask is None and not return_weights
     if flashable and impl != "xla":
         from svt_speechbrain_tpu.ops.flash_attention import (
-            flash_attention, flash_attention_available)
+            SHORT_T_MAX, flash_attention, flash_attention_available,
+            flash_attention_short)
 
         long_seq = k.shape[2] >= 1024
+        # short rows: the whole (Tq, Tk) score tile fits in VMEM, so the
+        # grouped-heads kernel beats both the streaming kernel (grid
+        # overhead) and the einsum chain (HBM round-trip of the score
+        # tensor). No in-kernel dropout — with dropout active the einsum
+        # path below applies it on materialized weights.
+        short_seq = k.shape[2] <= SHORT_T_MAX and not dropout_active
         if impl == "flash" and not flash_attention_available():
             import warnings
 
@@ -64,6 +71,8 @@ def scaled_dot_product_attention(q, k, v, bias=None, mask=None, dropout_rate=0.0
                 rate = float(dropout_rate)
             return flash_attention(q, k, v, key_lengths,
                                    dropout_seed=seed, dropout_rate=rate)
+        elif impl == "auto" and short_seq and flash_attention_available():
+            return flash_attention_short(q, k, v, key_lengths)
     scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
     scores = scores / np.sqrt(dh)
     if bias is not None:

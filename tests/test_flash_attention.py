@@ -338,6 +338,44 @@ def test_attention_dropout_mask_statistics():
         assert 0.45 < (flat[i] == flat[i + 1]).mean() < 0.7
 
 
+def test_sdpa_short_row_dispatch(monkeypatch):
+    """At Tk <= SHORT_T_MAX with no dropout/bias/mask, impl='auto' routes to
+    flash_attention_short (verified by interception) and the result equals
+    the einsum path."""
+    import svt_speechbrain_tpu.ops.flash_attention as fa
+    from svt_speechbrain_tpu.nnet.attention import scaled_dot_product_attention
+
+    calls = []
+    real_short = fa.flash_attention_short
+
+    def spy_short(q, k, v, lengths=None, scale=None, group=8,
+                  interpret=False):
+        calls.append(k.shape[2])
+        return real_short(q, k, v, lengths, scale, group, True)
+
+    monkeypatch.setattr(fa, "flash_attention_available", lambda: True)
+    monkeypatch.setattr(fa, "flash_attention_short", spy_short)
+
+    rng = np.random.default_rng(14)
+    b, h, t, d = 2, 4, 249, 64
+    q = jnp.asarray(rng.normal(size=(b, h, t, d)), jnp.float32)
+    lengths = jnp.asarray([249, 180], jnp.int32)
+    got = scaled_dot_product_attention(q, q, q, key_lengths=lengths,
+                                       return_weights=False)
+    assert calls == [t], "short kernel was not dispatched"
+    want = scaled_dot_product_attention(q, q, q, key_lengths=lengths,
+                                        return_weights=False, impl="xla")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=1e-4)
+
+    # dropout active -> einsum path (the short kernel has no in-kernel mask)
+    calls.clear()
+    scaled_dot_product_attention(q, q, q, dropout_rate=0.1,
+                                 rng=jax.random.PRNGKey(0), train=True,
+                                 return_weights=False)
+    assert calls == []
+
+
 def test_sdpa_dropout_dispatches_to_flash_on_tpu_semantics():
     """scaled_dot_product_attention with train dropout no longer forces the
     einsum path when flash would dispatch — on CPU (no flash) it must still

@@ -34,7 +34,10 @@ def loop(params, wavs):
     def body(i, acc):
         feats = bridge(params["wav2vec2"], wavs + acc * 0)
         logits = head(params["model"], feats)
-        return acc + jnp.sum(logits[:, 0, 0]) * 1e-9  # data dependence
+        # FULL reduction: a scalar-slice read here would let XLA dead-code
+        # away the head and the last layer's off-frame FFN columns (slice
+        # pushing through dots), inflating the measurement
+        return acc + jnp.sum(logits) * 1e-9
     return jax.lax.fori_loop(0, inner, body, jnp.bfloat16(0.0))
 
 out = loop(params, wavs)

@@ -67,7 +67,11 @@ def timed(name, fn, *args, flops=None):
     def loop(*a):
         def body(i, acc):
             out = fn(*a, jitter=(acc * 0).astype(jnp.bfloat16))
-            return acc + out.reshape(-1)[0].astype(jnp.float32) * 1e-9
+            # FULL reduction — a scalar-slice read lets XLA slice-push
+            # through the segment's dots and elide most of a pure-matmul
+            # segment's work (measured: a DCE'd matmul "ran" at 2.7x the
+            # chip's peak). The sum itself is bandwidth noise.
+            return acc + jnp.sum(out).astype(jnp.float32) * 1e-9
         return jax.lax.fori_loop(0, INNER, body, jnp.float32(0.0))
 
     np.asarray(loop(*args))

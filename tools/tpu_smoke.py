@@ -136,6 +136,29 @@ def smoke_flash_attention_dropout():
         assert err < 3e-2, f"flash dropout bwd {name}: rel {err}"
 
 
+def smoke_flash_attention_short():
+    """Short-row grouped-heads kernel at the flagship inference shape —
+    the auto-dispatch path for Tk <= SHORT_T_MAX (nnet.attention)."""
+    from svt_speechbrain_tpu.ops.flash_attention import (
+        flash_attention_short, _xla_attention)
+
+    rng = np.random.default_rng(6)
+    b, h, t, d = 8, 16, 249, 64
+    q, k, v = (jnp.asarray(rng.normal(size=(b, h, t, d)), jnp.bfloat16)
+               for _ in range(3))
+    lens = jnp.asarray([t, t, t, t, 200, 100, 50, 0], jnp.int32)
+    got = np.asarray(jax.jit(flash_attention_short)(q, k, v, lens),
+                     np.float32)
+    want = np.asarray(jax.jit(
+        lambda q, k, v, l: _xla_attention(q, k, v, 1.0 / np.sqrt(d), l))(
+            q, k, v, lens), np.float32)
+    valid = np.asarray(lens) > 0
+    err = np.abs(got[valid] - want[valid]).max()
+    assert err < 2e-2, f"short kernel vs xla mismatch: {err}"
+    assert np.isfinite(got).all()
+    assert np.abs(got[~valid]).max() == 0.0, "padded rows must emit zeros"
+
+
 def smoke_conv_frontend():
     from svt_speechbrain_tpu.ops.conv_frontend import (
         fused_conv_frontend, pack_weights, _xla_reference, can_fuse)
@@ -245,6 +268,8 @@ def main():
           smoke_flash_attention_backward)
     check("flash attention DROPOUT (in-kernel mask, fwd+bwd)",
           smoke_flash_attention_dropout)
+    check("flash attention SHORT (grouped heads, T=249)",
+          smoke_flash_attention_short)
     check("fused conv frontend (512ch + 32ch fallback)", smoke_conv_frontend)
     check("transducer lattice (scan + pallas vs autodiff)",
           smoke_transducer_lattice)
