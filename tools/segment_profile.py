@@ -36,7 +36,10 @@ from svt_speechbrain_tpu.utils.flops import (
     conv_frontend_flops, peak_flops_per_sec)
 
 B = int(os.environ.get("B", "192"))
-INNER = int(os.environ.get("INNER", "8"))
+# 32 inner reps: the scalar d2h fetch that ends each timed call can cost
+# 10-25 ms through a degraded tunnel window; at INNER=8 that adds ~3 ms of
+# phantom time to every segment (measured: the 0.9 ms head "took" 3.9 ms)
+INNER = int(os.environ.get("INNER", "32"))
 FUSED = os.environ.get("FUSED", "1") == "1"
 SAMPLES = int(float(os.environ.get("SECONDS", "5")) * 16000)
 
