@@ -35,6 +35,21 @@ class PaddedBatch:
 
     Attribute access per key mirrors the reference: ``batch.sig.data``,
     ``batch.sig.lengths`` (also unpackable as a 2-tuple).
+
+    Example
+    -------
+    >>> import numpy as np
+    >>> batch = PaddedBatch([
+    ...     {"id": "ex1", "sig": np.asarray([1.0, 2.0, 3.0, 4.0])},
+    ...     {"id": "ex2", "sig": np.asarray([5.0, 6.0])},
+    ... ])
+    >>> batch.id
+    ['ex1', 'ex2']
+    >>> data, lengths = batch.sig        # unpackable PaddedData
+    >>> data.shape, [float(l) for l in lengths]
+    ((2, 4), [1.0, 0.5])
+    >>> float(data[1, 3])                # right-padded with zeros
+    0.0
     """
 
     def __init__(self, examples, padded_keys=None, non_padded_keys=(),

@@ -14,7 +14,21 @@ from svt_speechbrain_tpu.utils.data_pipeline import DataPipeline
 
 class DynamicItemDataset:
     """Reference ``dataset.py:19``: ``from_csv``/``from_json`` constructors,
-    ``add_dynamic_item``, ``set_output_keys``, ``filtered_sorted`` views."""
+    ``add_dynamic_item``, ``set_output_keys``, ``filtered_sorted`` views.
+
+    Example
+    -------
+    >>> data = {"u1": {"text": "hello world"}, "u2": {"text": "foo"}}
+    >>> ds = DynamicItemDataset(data)
+    >>> ds.add_dynamic_item(lambda text: text.split(), takes="text",
+    ...                     provides="words")
+    >>> ds.set_output_keys(["id", "words"])
+    >>> ds[0]
+    {'id': 'u1', 'words': ['hello', 'world']}
+    >>> short = ds.filtered_sorted(key_test={"text": lambda t: len(t) < 5})
+    >>> len(short)
+    1
+    """
 
     def __init__(self, data, dynamic_items=(), output_keys=()):
         self.data = data

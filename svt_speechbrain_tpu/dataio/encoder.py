@@ -15,7 +15,19 @@ DEFAULT_BLANK = "<blank>"
 
 
 class CategoricalEncoder:
-    """Label ⇄ index encoder (reference ``encoder.py:19``)."""
+    """Label ⇄ index encoder (reference ``encoder.py:19``).
+
+    Example
+    -------
+    >>> enc = CategoricalEncoder()
+    >>> enc.update_from_iterable(["spk1", "spk2", "spk1"])
+    >>> len(enc)
+    2
+    >>> enc.encode_sequence(["spk2", "spk1"])
+    [1, 0]
+    >>> enc.decode_ndim([1, 0])
+    ['spk2', 'spk1']
+    """
 
     VALUE_SEPARATOR = " => "
     EXTRAS_SEPARATOR = "================\n"

@@ -13,6 +13,16 @@ class Softmax(Module):
     The AMT recipes use ``Softmax(apply_log=True)`` to turn head logits into
     log-probabilities for the NLL octave/pitch losses
     (``MIR_ST500/hparams/train_audio_ssl.yaml:121-122``).
+
+    Example
+    -------
+    >>> import jax.numpy as jnp
+    >>> sm = Softmax()
+    >>> [round(float(v), 4) for v in sm({}, jnp.asarray([0.0, 0.0]))]
+    [0.5, 0.5]
+    >>> lsm = Softmax(apply_log=True)
+    >>> round(float(lsm({}, jnp.asarray([0.0, 0.0]))[0]), 4)
+    -0.6931
     """
 
     def __init__(self, apply_log=False, dim=-1):
@@ -69,7 +79,14 @@ class GELU(Module):
 
 
 class Swish(Module):
-    """swish(x) = x * sigmoid(beta x) (used by Conformer blocks)."""
+    """swish(x) = x * sigmoid(beta x) (used by Conformer blocks).
+
+    Example
+    -------
+    >>> import jax.numpy as jnp
+    >>> round(float(Swish()({}, jnp.asarray([1.0]))[0]), 4)
+    0.7311
+    """
 
     def __init__(self, beta=1.0):
         self.beta = beta

@@ -105,6 +105,16 @@ class MultiheadAttention(Module):
     - ``key_padding_mask``: bool (B, Tk), True = pad.
     - ``pos_embs``: float bias broadcastable to (B, H, Tq, Tk), added to the
       scores (the reference folds positional embeddings into the mask arg).
+
+    Example
+    -------
+    >>> import jax, jax.numpy as jnp
+    >>> mha = MultiheadAttention(nhead=4, d_model=16)
+    >>> params = mha.init(jax.random.PRNGKey(0))
+    >>> x = jnp.ones((2, 6, 16))
+    >>> out, weights = mha(params, x, x, x)
+    >>> out.shape, weights.shape     # weights averaged over heads
+    ((2, 6, 16), (2, 6, 6))
     """
 
     def __init__(self, nhead, d_model, dropout=0.0, kdim=None, vdim=None):

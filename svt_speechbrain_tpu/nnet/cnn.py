@@ -132,13 +132,35 @@ class _ConvNd(Module):
 
 
 class Conv1d(_ConvNd):
-    """1-D conv over (batch, time, channels) (reference ``CNN.py:299``)."""
+    """1-D conv over (batch, time, channels) (reference ``CNN.py:299``).
+
+    Example
+    -------
+    >>> import jax, jax.numpy as jnp
+    >>> conv = Conv1d(out_channels=8, kernel_size=3, in_channels=4)
+    >>> params = conv.init(jax.random.PRNGKey(0))
+    >>> conv(params, jnp.ones((2, 16, 4))).shape     # "same" padding
+    (2, 16, 8)
+    >>> strided = Conv1d(8, 3, 4, stride=2, padding="valid")
+    >>> strided(strided.init(jax.random.PRNGKey(0)),
+    ...         jnp.ones((2, 16, 4))).shape
+    (2, 7, 8)
+    """
 
     NDIM = 1
 
 
 class Conv2d(_ConvNd):
-    """2-D conv over (batch, H, W, C) (reference ``CNN.py:478``)."""
+    """2-D conv over (batch, H, W, C) (reference ``CNN.py:478``).
+
+    Example
+    -------
+    >>> import jax, jax.numpy as jnp
+    >>> conv = Conv2d(out_channels=6, kernel_size=(3, 3), in_channels=2)
+    >>> params = conv.init(jax.random.PRNGKey(1))
+    >>> conv(params, jnp.ones((1, 10, 12, 2))).shape
+    (1, 10, 12, 6)
+    """
 
     NDIM = 2
 

@@ -9,6 +9,17 @@ class Sequential(Module):
 
     Parameters are stored per-layer under string indices so checkpoints are
     order-stable.
+
+    Example
+    -------
+    >>> import jax, jax.numpy as jnp
+    >>> from svt_speechbrain_tpu.nnet.linear import Linear
+    >>> seq = Sequential(Linear(8, 4), Linear(2, 8))
+    >>> params = seq.init(jax.random.PRNGKey(0))
+    >>> sorted(params.keys())
+    ['0', '1']
+    >>> seq(params, jnp.ones((5, 4))).shape
+    (5, 2)
     """
 
     def __init__(self, *layers):

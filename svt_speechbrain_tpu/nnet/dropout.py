@@ -10,7 +10,18 @@ from svt_speechbrain_tpu.nnet.core import Module
 def dropout(x, rate, rng=None, train=False):
     """Standard inverted dropout. No-op when ``train`` is False, ``rng`` is None
     or ``rate == 0`` — so the eval path stays fully deterministic and
-    jit-cacheable without rng plumbing."""
+    jit-cacheable without rng plumbing.
+
+    Example
+    -------
+    >>> import jax, jax.numpy as jnp
+    >>> x = jnp.ones((2, 8))
+    >>> bool(jnp.all(dropout(x, 0.5) == x))           # eval: identity
+    True
+    >>> y = dropout(x, 0.5, rng=jax.random.PRNGKey(0), train=True)
+    >>> sorted(set(float(v) for v in y.ravel()))      # dropped or scaled
+    [0.0, 2.0]
+    """
     if not train or rng is None or rate <= 0.0:
         return x
     keep = 1.0 - rate

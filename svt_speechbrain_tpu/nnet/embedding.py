@@ -8,7 +8,19 @@ from svt_speechbrain_tpu.nnet.core import Module, normal_init
 
 class Embedding(Module):
     """Token embedding lookup with optional blank-id zeroing
-    (reference ``embedding.py:16``)."""
+    (reference ``embedding.py:16``).
+
+    Example
+    -------
+    >>> import jax, jax.numpy as jnp
+    >>> emb = Embedding(num_embeddings=10, embedding_dim=16)
+    >>> params = emb.init(jax.random.PRNGKey(0))
+    >>> emb(params, jnp.asarray([[1, 2, 3]])).shape
+    (1, 3, 16)
+    >>> onehot = Embedding(4, consider_as_one_hot=True, blank_id=0)
+    >>> [int(v) for v in onehot(onehot.init(None), jnp.asarray([2]))[0]]
+    [0, 1, 0]
+    """
 
     def __init__(self, num_embeddings, embedding_dim=128, consider_as_one_hot=False, blank_id=0):
         self.num_embeddings = num_embeddings

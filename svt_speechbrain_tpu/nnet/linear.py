@@ -26,6 +26,14 @@ class Linear(Module):
     combine_dims : bool
         If True and input is 4D, combine the last two axes before the matmul
         (reference ``linear.py:60-66``).
+
+    Example
+    -------
+    >>> import jax, jax.numpy as jnp
+    >>> lin = Linear(n_neurons=4, input_size=8)
+    >>> params = lin.init(jax.random.PRNGKey(0))
+    >>> lin(params, jnp.ones((2, 3, 8))).shape
+    (2, 3, 4)
     """
 
     def __init__(self, n_neurons, input_size, bias=True, combine_dims=False):
@@ -55,7 +63,17 @@ class Linear(Module):
 
 class LinearWithConstraint(Linear):
     """Linear with a max-norm weight constraint applied at call time
-    (reference ``linear.py:80``)."""
+    (reference ``linear.py:80``).
+
+    Example
+    -------
+    >>> import jax, jax.numpy as jnp
+    >>> lin = LinearWithConstraint(2, 4, max_norm=0.5)
+    >>> params = {"w": jnp.ones((4, 2)), "b": jnp.zeros((2,))}
+    >>> out = lin(params, jnp.ones((1, 4)))       # column norm 2 -> 0.5
+    >>> [round(float(v), 4) for v in out[0]]
+    [1.0, 1.0]
+    """
 
     def __init__(self, *args, max_norm=1.0, **kwargs):
         super().__init__(*args, **kwargs)

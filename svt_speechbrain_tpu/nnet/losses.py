@@ -30,6 +30,13 @@ def length_to_mask(length, max_len=None, dtype=jnp.float32):
 
     ``mask[i, t] = t < length[i]`` — float lengths compare without rounding,
     matching the reference exactly.
+
+    Example
+    -------
+    >>> import jax.numpy as jnp
+    >>> length_to_mask(jnp.asarray([2, 3]), max_len=4)
+    Array([[1., 1., 0., 0.],
+           [1., 1., 1., 0.]], dtype=float32)
     """
     length = jnp.asarray(length)
     if max_len is None:
@@ -102,6 +109,17 @@ def bce_loss(inputs, targets, length=None, weight=None, pos_weight=None,
 
     Numerically-stable formulation:
     ``pos_weight * y * softplus(-x) + (1 - y) * softplus(x)``.
+
+    Example
+    -------
+    >>> import jax.numpy as jnp
+    >>> logits = jnp.asarray([[0.0, 10.0]])
+    >>> targets = jnp.asarray([[0.0, 1.0]])
+    >>> round(float(bce_loss(logits, targets)), 4)   # softplus(0)/2 ~ 0.3466
+    0.3466
+    >>> # padding masked out by relative length:
+    >>> round(float(bce_loss(logits, targets, length=jnp.asarray([0.5]))), 4)
+    0.6931
     """
     if inputs.ndim == targets.ndim + 1:
         inputs = inputs.squeeze(-1)
@@ -127,7 +145,15 @@ def nll_loss(log_probabilities, targets, length=None, label_smoothing=0.0,
              allowed_len_diff=3, reduction="mean"):
     """Negative log-likelihood over log-probabilities
     (reference ``losses.py:402``). Inputs (B, C) + targets (B,) or
-    (B, T, C) + targets (B, T)."""
+    (B, T, C) + targets (B, T).
+
+    Example
+    -------
+    >>> import jax, jax.numpy as jnp
+    >>> logp = jax.nn.log_softmax(jnp.asarray([[0.0, 0.0]]))
+    >>> round(float(nll_loss(logp, jnp.asarray([1]))), 4)
+    0.6931
+    """
     if log_probabilities.ndim == 3:
         log_probabilities, targets = truncate(log_probabilities, targets, allowed_len_diff)
 

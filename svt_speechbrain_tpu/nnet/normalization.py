@@ -21,7 +21,17 @@ from svt_speechbrain_tpu.nnet.core import Module
 
 class LayerNorm(Module):
     """Layer normalization over the trailing ``normalized_shape`` axes
-    (reference ``normalization.py:171``)."""
+    (reference ``normalization.py:171``).
+
+    Example
+    -------
+    >>> import jax, jax.numpy as jnp
+    >>> ln = LayerNorm(input_size=4)
+    >>> params = ln.init(jax.random.PRNGKey(0))
+    >>> y = ln(params, jnp.asarray([[1.0, 2.0, 3.0, 4.0]]))
+    >>> round(float(y.mean()), 6), round(float(y.std()), 4)
+    (0.0, 1.0)
+    """
 
     def __init__(self, input_size=None, eps=1e-05, elementwise_affine=True):
         self.input_size = input_size
@@ -201,7 +211,21 @@ class _BatchNorm(Module):
 
 
 class BatchNorm1d(_BatchNorm):
-    """BatchNorm over (batch, time, channels) inputs (reference ``normalization.py:11``)."""
+    """BatchNorm over (batch, time, channels) inputs (reference ``normalization.py:11``).
+
+    Stateful: ``init_state()`` holds the running mean/var, and the call
+    returns ``(y, new_state)``.
+
+    Example
+    -------
+    >>> import jax, jax.numpy as jnp
+    >>> bn = BatchNorm1d(input_size=3)
+    >>> params, state = bn.init(jax.random.PRNGKey(0)), bn.init_state()
+    >>> x = jnp.arange(24, dtype=jnp.float32).reshape(2, 4, 3)
+    >>> y, state = bn(params, state, x, train=True)
+    >>> y.shape, [round(float(m), 2) for m in state["mean"]]
+    ((2, 4, 3), [1.05, 1.15, 1.25])
+    """
 
 
 class BatchNorm2d(_BatchNorm):

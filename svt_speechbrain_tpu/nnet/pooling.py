@@ -22,7 +22,16 @@ def _reduce_window(x, window, stride, padding, mode, ndim):
 
 class Pooling1d(Module):
     """1-D max/avg pooling over (batch, time, channels)
-    (reference ``pooling.py:15``)."""
+    (reference ``pooling.py:15``).
+
+    Example
+    -------
+    >>> import jax.numpy as jnp
+    >>> pool = Pooling1d("max", kernel_size=2)
+    >>> x = jnp.asarray([[[1.0], [4.0], [2.0], [3.0]]])   # (1, 4, 1)
+    >>> [float(v) for v in pool({}, x)[0, :, 0]]
+    [4.0, 3.0]
+    """
 
     def __init__(self, pool_type, kernel_size, stride=None, padding=0, ceil_mode=False):
         self.pool_type = pool_type
@@ -62,7 +71,17 @@ class Pooling2d(Module):
 
 class StatisticsPooling(Module):
     """Mean(+std) pooling over time (reference ``pooling.py:198``), used by
-    speaker-embedding models (x-vector/ECAPA)."""
+    speaker-embedding models (x-vector/ECAPA).
+
+    Example
+    -------
+    >>> import jax.numpy as jnp
+    >>> sp = StatisticsPooling()
+    >>> x = jnp.asarray([[[1.0], [3.0]]])                 # (1, 2, 1)
+    >>> out = sp({}, x)                                   # [mean, std]
+    >>> [round(float(v), 3) for v in out[0]]
+    [2.0, 1.414]
+    """
 
     def __init__(self, return_mean=True, return_std=True, eps=1e-5):
         self.return_mean = return_mean

@@ -119,7 +119,17 @@ class RNN(_RNNBase):
 
 
 class LSTM(_RNNBase):
-    """LSTM (reference ``RNN.py:156``); torch gate order i, f, g, o."""
+    """LSTM (reference ``RNN.py:156``); torch gate order i, f, g, o.
+
+    Example
+    -------
+    >>> import jax, jax.numpy as jnp
+    >>> lstm = LSTM(hidden_size=5, input_size=3, bidirectional=True)
+    >>> params = lstm.init(jax.random.PRNGKey(0))
+    >>> out, finals = lstm(params, jnp.ones((2, 7, 3)))
+    >>> out.shape                    # fwd+bwd concat
+    (2, 7, 10)
+    """
 
     GATES = 4
 

@@ -21,7 +21,18 @@ class NewBobScheduler:
     previous epoch's metric falls below ``improvement_threshold``, burn one
     unit of patience; with patience exhausted, multiply the value by
     ``annealing_factor`` and refill patience. The first epoch never anneals
-    (there is no previous metric to compare against)."""
+    (there is no previous metric to compare against).
+
+    Example
+    -------
+    >>> sched = NewBobScheduler(initial_value=1.0)
+    >>> sched(10.0)            # first epoch: never anneals
+    (1.0, 1.0)
+    >>> sched(5.0)             # improved: no anneal
+    (1.0, 1.0)
+    >>> sched(5.1)             # stalled: halve the value
+    (1.0, 0.5)
+    """
 
     def __init__(self, initial_value, annealing_factor=0.5,
                  improvement_threshold=0.0025, patient=0):
@@ -66,7 +77,16 @@ class NewBobScheduler:
 
 class LinearScheduler:
     """Linear interpolation between ``initial_value`` and ``final_value`` over
-    ``epoch_count`` epochs (reference ``schedulers.py:148``)."""
+    ``epoch_count`` epochs (reference ``schedulers.py:148``).
+
+    Example
+    -------
+    >>> sched = LinearScheduler(1.0, 0.0, epoch_count=3)
+    >>> sched(1)
+    (1.0, 0.5)
+    >>> sched(2)
+    (0.5, 0.0)
+    """
 
     def __init__(self, initial_value, final_value, epoch_count):
         self.value_at_epoch = [

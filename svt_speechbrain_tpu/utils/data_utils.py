@@ -10,7 +10,13 @@ import numpy as np
 
 def undo_padding(batch, lengths):
     """Strip padding from a padded batch → list of lists
-    (reference ``data_utils.py:20``)."""
+    (reference ``data_utils.py:20``).
+
+    Example
+    -------
+    >>> undo_padding([[1, 2, 0, 0], [3, 4, 5, 6]], [0.5, 1.0])
+    [[1, 2], [3, 4, 5, 6]]
+    """
     batch = np.asarray(batch)
     batch_max_len = batch.shape[1]
     as_list = []
@@ -39,7 +45,18 @@ def pad_right_to(array, target_shape, mode="constant", value=0):
 def batch_pad_right(arrays, mode="constant", value=0, target_len=None):
     """Pad a list of arrays to a common shape and stack
     (reference ``data_utils.py:361``). Optionally pad the first axis to
-    ``target_len`` (shape bucketing for XLA-friendly fixed shapes)."""
+    ``target_len`` (shape bucketing for XLA-friendly fixed shapes).
+
+    Example
+    -------
+    >>> import numpy as np
+    >>> stacked, valid = batch_pad_right(
+    ...     [np.asarray([1.0, 2.0, 3.0]), np.asarray([4.0])], target_len=4)
+    >>> stacked.shape
+    (2, 4)
+    >>> [round(float(v), 2) for v in valid]
+    [0.75, 0.25]
+    """
     assert len(arrays), "input should be a non-empty list"
     if not any(arrays[0].ndim == x.ndim for x in arrays[1:]) and len(arrays) > 1:
         raise IndexError("All arrays must have same number of dimensions")

@@ -15,7 +15,20 @@ DGNode = collections.namedtuple("DGNode", ["key", "edges", "data"])
 
 class DependencyGraph:
     """Essentially a DAG: ``add_node``/``add_edge`` then iterate
-    ``get_evaluation_order()`` — dependencies come out before dependents."""
+    ``get_evaluation_order()`` — dependencies come out before dependents.
+
+    Example
+    -------
+    >>> dg = DependencyGraph()
+    >>> _ = dg.add_node("features")
+    >>> _ = dg.add_node("wav")
+    >>> dg.add_edge("features", "wav")     # features depends on wav
+    >>> [n.key for n in dg.get_evaluation_order()]
+    ['wav', 'features']
+    >>> dg.add_edge("wav", "features")     # cycle
+    >>> dg.is_valid()
+    False
+    """
 
     def __init__(self):
         self.digraph = []

@@ -12,7 +12,17 @@ def accumulatable_wer_stats(refs, hyps, stats=None):
     """Accumulate WER counts over batches (reference ``edit_distance.py:20``).
 
     Returns dict with insertions/deletions/substitutions/num_ref_tokens/
-    num_scored_sents (+ WER/SER when queried)."""
+    num_scored_sents (+ WER/SER when queried).
+
+    Example
+    -------
+    >>> stats = accumulatable_wer_stats([["a", "b", "c"]], [["a", "x", "c"]])
+    >>> stats["substitutions"], round(stats["WER"], 2)
+    (1, 33.33)
+    >>> stats = accumulatable_wer_stats([["d"]], [["d"]], stats)  # accumulate
+    >>> round(stats["WER"], 2)
+    25.0
+    """
     if stats is None:
         stats = collections.Counter()
     updates = _batch_stats(refs, hyps)

@@ -7,7 +7,18 @@ import numpy as np
 class MetricStats:
     """Accumulate a per-batch metric and summarize (reference
     ``metric_stats.py:16-153``). ``metric`` must return one score per batch
-    item (the reference calls loss functions with ``reduction='batch'``)."""
+    item (the reference calls loss functions with ``reduction='batch'``).
+
+    Example
+    -------
+    >>> import numpy as np
+    >>> stats = MetricStats(metric=lambda p, t: np.abs(p - t).mean(axis=1))
+    >>> stats.append(["u1", "u2"], np.asarray([[0.0, 1.0], [2.0, 2.0]]),
+    ...              np.asarray([[0.0, 0.0], [0.0, 0.0]]))
+    >>> s = stats.summarize()
+    >>> s["average"], s["max_id"]
+    (1.25, 'u2')
+    """
 
     def __init__(self, metric, n_jobs=1, batch_eval=True):
         self.metric = metric

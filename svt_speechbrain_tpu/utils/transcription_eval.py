@@ -159,7 +159,21 @@ def average_overlap_ratio(ref_intervals, est_intervals, matching):
 def evaluate(ref_intervals, ref_pitches, est_intervals, est_pitches,
              onset_tolerance=0.05, pitch_tolerance=50.0, offset_ratio=0.2,
              offset_min_tolerance=0.05, strict=False, beta=1.0):
-    """Full scoring dict mirroring ``mir_eval.transcription.evaluate``."""
+    """Full scoring dict mirroring ``mir_eval.transcription.evaluate``.
+
+    Example
+    -------
+    >>> import numpy as np
+    >>> ref = np.asarray([[0.0, 1.0], [1.5, 2.0]])
+    >>> pitches = np.asarray([440.0, 880.0])
+    >>> est = np.asarray([[0.01, 0.98], [1.51, 2.05]])
+    >>> scores = evaluate(ref, pitches, est, pitches)
+    >>> scores["F-measure"], scores["Onset_F-measure"]
+    (1.0, 1.0)
+    >>> bad = evaluate(ref, pitches, est, np.asarray([440.0, 440.0]))
+    >>> round(bad["F-measure"], 2)      # one wrong pitch
+    0.5
+    """
     ref_intervals, ref_pitches = validate_intervals(ref_intervals, ref_pitches)
     est_intervals, est_pitches = validate_intervals(est_intervals, est_pitches)
     scores = {}
