@@ -8,7 +8,13 @@ import jax.numpy as jnp
 
 
 def filter_ctc_output(string_pred, blank_id=-1):
-    """Merge repeats then drop blanks (reference ``ctc.py:341``)."""
+    """Merge repeats then drop blanks (reference ``ctc.py:341``).
+
+    Example
+    -------
+    >>> filter_ctc_output([0, 0, 3, 3, 0, 1, 1], blank_id=0)
+    [3, 1]
+    """
     if isinstance(string_pred, list):
         out = [v for i, v in enumerate(string_pred)
                if i == 0 or v != string_pred[i - 1]]
@@ -18,7 +24,16 @@ def filter_ctc_output(string_pred, blank_id=-1):
 
 def ctc_greedy_decode(probabilities, seq_lens, blank_id=-1):
     """Batch greedy CTC decode (reference ``ctc.py:372``): argmax per frame,
-    trim padding by relative lengths, collapse repeats, drop blanks."""
+    trim padding by relative lengths, collapse repeats, drop blanks.
+
+    Example
+    -------
+    >>> import numpy as np
+    >>> probs = np.zeros((1, 4, 3))
+    >>> probs[0, [0, 1, 2, 3], [1, 1, 0, 2]] = 1.0   # 1 1 blank(0) 2
+    >>> ctc_greedy_decode(probs, [1.0], blank_id=0)
+    [[1, 2]]
+    """
     probabilities = np.asarray(probabilities)
     if blank_id < 0:
         blank_id = probabilities.shape[-1] + blank_id

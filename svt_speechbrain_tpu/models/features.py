@@ -11,7 +11,16 @@ from svt_speechbrain_tpu.processing.features import (
 
 
 class Fbank(Module):
-    """Waveform → log-mel filterbanks (reference ``features.py:18``)."""
+    """Waveform → log-mel filterbanks (reference ``features.py:18``).
+
+    Example
+    -------
+    >>> import jax.numpy as jnp
+    >>> fbank = Fbank(n_mels=40)
+    >>> feats = fbank(None, jnp.zeros((2, 16000)))   # 1 s of audio
+    >>> feats.shape                                  # 10 ms hop -> 101 frames
+    (2, 101, 40)
+    """
 
     def __init__(self, deltas=False, context=False, requires_grad=False,
                  sample_rate=16000, f_min=0, f_max=None, n_fft=400, n_mels=40,

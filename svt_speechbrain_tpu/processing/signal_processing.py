@@ -18,6 +18,17 @@ def compute_amplitude(waveforms, lengths=None, amp_type="avg", scale="linear"):
 
     waveforms: [time], [batch, time] or [batch, time, channels]; returns
     [batch, 1(, channels)].
+
+    Example
+    -------
+    >>> import jax.numpy as jnp
+    >>> wav = jnp.asarray([[0.5, -0.5, 0.5, -0.5]])
+    >>> float(compute_amplitude(wav)[0, 0])
+    0.5
+    >>> float(compute_amplitude(wav, amp_type="peak")[0, 0])
+    0.5
+    >>> round(float(compute_amplitude(wav, scale="dB")[0, 0]), 2)
+    -6.02
     """
     waveforms = jnp.asarray(waveforms)
     if waveforms.ndim == 1:
@@ -33,7 +44,7 @@ def compute_amplitude(waveforms, lengths=None, amp_type="avg", scale="linear"):
     else:
         out = jnp.max(jnp.abs(waveforms), axis=1, keepdims=True)
     if scale == "dB":
-        out = jnp.clip(20 * jnp.log10(jnp.maximum(out, 1e-14)), a_min=-80)
+        out = jnp.clip(20 * jnp.log10(jnp.maximum(out, 1e-14)), min=-80)
     return out
 
 

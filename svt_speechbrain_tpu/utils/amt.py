@@ -43,6 +43,16 @@ def note2frame(gt_data, length, frame_size=1 / 49.8, pitch_shift=0):
       and advances to the next note — unless the next note's onset also falls
       in this frame, in which case the frame becomes that note's onset;
     - other frames inside a note are voiced ``[0, 0, oct, cls]``.
+
+    Example
+    -------
+    >>> labels = note2frame([[0.0, 0.06, 60]], length=6, frame_size=0.02)
+    >>> labels.shape                       # [onset, silence, octave, class]
+    (6, 4)
+    >>> labels[0].tolist()                 # MIDI 60 = C4: octave 2, class 0
+    [1, 0, 2, 0]
+    >>> labels[:, 1].tolist()              # offset at t=0.06, then silence
+    [0, 0, 0, 1, 1, 1]
     """
     labels = []
     cur_note = 0
@@ -123,6 +133,20 @@ def frame2note(frame_info, onset_thres, offset_thres, frame_size=1 / 49.8):
       octave is the none-bin (4) or the class is the none-bin (12);
     - notes with no votes are dropped; an open note at the end is closed at
       the final frame time.
+
+    Example
+    -------
+    >>> import numpy as np
+    >>> frames = np.asarray([
+    ...     [0.9, 0.0, 2, 0],      # onset peak, votes C4 (2*12+0+36=60)
+    ...     [0.1, 0.0, 2, 0],
+    ...     [0.1, 0.9, 2, 0],      # offset fires
+    ...     [0.1, 0.0, 4, 12],     # silence (none-bins)
+    ... ], dtype=np.float64)
+    >>> notes = frame2note(frames, onset_thres=0.5, offset_thres=0.5,
+    ...                    frame_size=0.02)
+    >>> [[round(v, 2) for v in n] for n in notes]
+    [[0.0, 0.04, 60]]
     """
     n = len(frame_info)
     if isinstance(frame_info, np.ndarray):

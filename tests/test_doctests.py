@@ -34,6 +34,10 @@ MODULES = [
     "svt_speechbrain_tpu.utils.depgraph",
     "svt_speechbrain_tpu.utils.metric_stats",
     "svt_speechbrain_tpu.utils.transcription_eval",
+    "svt_speechbrain_tpu.utils.amt",
+    "svt_speechbrain_tpu.decoders.ctc",
+    "svt_speechbrain_tpu.models.features",
+    "svt_speechbrain_tpu.processing.signal_processing",
 ]
 
 
