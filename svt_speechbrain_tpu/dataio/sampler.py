@@ -12,7 +12,19 @@ import numpy as np
 
 class ReproducibleRandomSampler:
     """Seeded random permutation, re-randomized per epoch via ``set_epoch``
-    (reference ``sampler.py:28``)."""
+    (reference ``sampler.py:28``).
+
+    Example
+    -------
+    >>> sampler = ReproducibleRandomSampler(range(5), seed=42)
+    >>> order_a = list(sampler)
+    >>> order_b = list(sampler)            # same epoch -> same order
+    >>> order_a == order_b, sorted(order_a)
+    (True, [0, 1, 2, 3, 4])
+    >>> sampler.set_epoch(1)
+    >>> list(sampler) == order_a           # new epoch -> reshuffled
+    False
+    """
 
     def __init__(self, data_source, seed=563375142, epoch=0):
         if isinstance(seed, bool):

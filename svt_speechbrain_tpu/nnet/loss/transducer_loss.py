@@ -76,6 +76,20 @@ def transducer_loss(logits, targets, input_lens, target_lens, blank_index,
 
     logits: (B, T, U+1, V); targets: (B, U); lengths are *relative*
     (len/max) like every framework loss.
+
+    Example
+    -------
+    >>> import jax.numpy as jnp
+    >>> # B=1, T=2, U=1, V=3, blank=0: force the only valid path
+    >>> # (emit label 1, then blank, blank) to probability ~1 -> loss ~0
+    >>> logits = jnp.zeros((1, 2, 2, 3))
+    >>> logits = logits.at[0, 0, 0, 1].set(50.0)   # emit "1" at (t0, u0)
+    >>> logits = logits.at[0, 0, 1, 0].set(50.0)   # blank at (t0, u1)
+    >>> logits = logits.at[0, 1, 1, 0].set(50.0)   # final blank at (t1, u1)
+    >>> loss = transducer_loss(logits, jnp.asarray([[1]]),
+    ...                        jnp.asarray([1.0]), jnp.asarray([1.0]), 0)
+    >>> round(abs(float(loss)), 4)
+    0.0
     """
     logits = jnp.asarray(logits)
     b, t_max, u1, v = logits.shape

@@ -7,7 +7,18 @@ from svt_speechbrain_tpu.nnet.losses import length_to_mask
 
 
 class AccuracyStats:
-    """Accumulate masked token accuracy (reference ``Accuracy.py:42``)."""
+    """Accumulate masked token accuracy (reference ``Accuracy.py:42``).
+
+    Example
+    -------
+    >>> import numpy as np
+    >>> stats = AccuracyStats()
+    >>> logp = np.log([[[0.9, 0.1], [0.2, 0.8], [0.6, 0.4]]])
+    >>> stats.append(logp, np.asarray([[0, 1, 1]]),
+    ...              length=np.asarray([2 / 3]))     # last frame is padding
+    >>> stats.summarize()
+    1.0
+    """
 
     def __init__(self):
         self.correct = 0.0

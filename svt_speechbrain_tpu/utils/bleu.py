@@ -16,7 +16,17 @@ def _ngrams(tokens, n):
 
 def corpus_bleu(hypotheses, references, max_n=4):
     """hypotheses: list of token lists; references: list of lists of token
-    lists (multiple references per hypothesis). Returns BLEU in [0, 100]."""
+    lists (multiple references per hypothesis). Returns BLEU in [0, 100].
+
+    Example
+    -------
+    >>> hyp = [["the", "cat", "sat", "on", "the", "mat"]]
+    >>> refs = [[["the", "cat", "sat", "on", "the", "mat"]]]
+    >>> round(corpus_bleu(hyp, refs), 1)   # perfect match
+    100.0
+    >>> corpus_bleu([["dog"]], refs)
+    0.0
+    """
     clipped = [0] * max_n
     totals = [0] * max_n
     hyp_len = 0

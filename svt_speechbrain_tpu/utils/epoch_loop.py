@@ -7,7 +7,17 @@ logger = logging.getLogger(__name__)
 
 
 class EpochCounter:
-    """Checkpointable epoch iterator 1..limit (reference ``epoch_loop.py:16``)."""
+    """Checkpointable epoch iterator 1..limit (reference ``epoch_loop.py:16``).
+
+    Example
+    -------
+    >>> counter = EpochCounter(limit=3)
+    >>> [epoch for epoch in counter]
+    [1, 2, 3]
+    >>> counter.load_state_dict({"current": 1}, end_of_epoch=False)
+    >>> next(counter)              # interrupted epoch 1 repeats
+    1
+    """
 
     def __init__(self, limit):
         self.current = 0

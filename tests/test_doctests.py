@@ -38,6 +38,11 @@ MODULES = [
     "svt_speechbrain_tpu.decoders.ctc",
     "svt_speechbrain_tpu.models.features",
     "svt_speechbrain_tpu.processing.signal_processing",
+    "svt_speechbrain_tpu.utils.accuracy",
+    "svt_speechbrain_tpu.utils.epoch_loop",
+    "svt_speechbrain_tpu.dataio.sampler",
+    "svt_speechbrain_tpu.utils.bleu",
+    "svt_speechbrain_tpu.nnet.loss.transducer_loss",
 ]
 
 
