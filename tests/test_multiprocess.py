@@ -17,6 +17,7 @@ WORKER = r"""
 import sys
 proc_id = int(sys.argv[1])
 port = sys.argv[2]
+nprocs = int(sys.argv[3])
 import jax
 jax.config.update("jax_platforms", "cpu")
 sys.path.insert(0, {repo_root!r})
@@ -25,16 +26,17 @@ from svt_speechbrain_tpu.parallel import mesh as mesh_lib
 
 dist.ddp_init_group({{"distributed_launch": True,
                      "coordinator_address": "127.0.0.1:" + port,
-                     "num_processes": 2, "process_id": proc_id}})
-assert jax.process_count() == 2, jax.process_count()
+                     "num_processes": nprocs, "process_id": proc_id}})
+assert jax.process_count() == nprocs, jax.process_count()
 assert jax.process_index() == proc_id
 
 import numpy as np
 mesh = mesh_lib.make_mesh()
 local = np.full((4, 2), float(proc_id + 1), np.float32)
-arr = mesh_lib.shard_batch(mesh, local)          # global (8, 2) from shards
+arr = mesh_lib.shard_batch(mesh, local)   # global (4*nprocs, 2) from shards
 total = float(np.asarray(jax.jit(lambda x: x.sum())(arr)))
-assert total == 24.0, total                       # 8*1 + 8*2
+expect = 8.0 * sum(range(1, nprocs + 1))
+assert total == expect, (total, expect)
 assert dist.if_main_process() == (proc_id == 0)
 dist.ddp_barrier()
 print("MP_OK", proc_id)
@@ -47,16 +49,19 @@ def _free_port():
         return s.getsockname()[1]
 
 
-def test_two_process_distributed_init(tmp_path):
+@pytest.mark.parametrize("nprocs", [2, 4])
+def test_multi_process_distributed_init(tmp_path, nprocs):
+    """2- and 4-process topologies: the 4-process case exercises non-trivial
+    ring collectives (the 2-process ring degenerates to a pairwise swap)."""
     port = str(_free_port())
     script = tmp_path / "worker.py"
     script.write_text(WORKER.format(repo_root=REPO_ROOT))
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)  # workers use their own 1-device CPU runtime
     procs = [subprocess.Popen(
-        [sys.executable, str(script), str(i), port],
+        [sys.executable, str(script), str(i), port, str(nprocs)],
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env, text=True)
-        for i in range(2)]
+        for i in range(nprocs)]
     outs = []
     for p in procs:
         try:
