@@ -157,7 +157,14 @@ def length_to_mask(length, max_len=None, dtype=np.float32):
 
 
 def prepend_bos_token(label, bos_index):
-    """Prepend bos to each label sequence (reference ``dataio.py:876``)."""
+    """Prepend bos to each label sequence (reference ``dataio.py:876``).
+
+    Example
+    -------
+    >>> import jax.numpy as jnp
+    >>> prepend_bos_token(jnp.asarray([[5, 6], [7, 8]]), bos_index=1).tolist()
+    [[1, 5, 6], [1, 7, 8]]
+    """
     import jax.numpy as jnp
 
     bos = jnp.full((label.shape[0], 1), bos_index, dtype=label.dtype)
@@ -208,7 +215,13 @@ def convert_index_to_lab(batch, ind2lab):
 
 
 def merge_char(sequences, space="_"):
-    """Char sequences → word sequences (reference ``dataio.py:851``)."""
+    """Char sequences → word sequences (reference ``dataio.py:851``).
+
+    Example
+    -------
+    >>> merge_char([["a", "b", "_", "c", "d"]])
+    [['ab', 'cd']]
+    """
     return [[word for word in "".join(seq).split(space) if word]
             for seq in sequences]
 

@@ -7,7 +7,13 @@ import itertools
 def pad_ends(sequence, pad_left=True, left_pad_symbol="<s>",
              right_pad_symbol="</s>"):
     """Pad sentence-boundary symbols around a token sequence
-    (reference ``counting.py:24``)."""
+    (reference ``counting.py:24``).
+
+    Example
+    -------
+    >>> pad_ends(["hello", "world"])
+    ['<s>', 'hello', 'world', '</s>']
+    """
     sequence = list(sequence)
     if pad_left:
         return [left_pad_symbol] + sequence + [right_pad_symbol]
@@ -16,7 +22,13 @@ def pad_ends(sequence, pad_left=True, left_pad_symbol="<s>",
 
 def ngrams(sequence, n):
     """Yield each n-gram (as a tuple) of the sequence
-    (reference ``counting.py:58``, itertools window)."""
+    (reference ``counting.py:58``, itertools window).
+
+    Example
+    -------
+    >>> list(ngrams(["a", "b", "c", "d"], 2))
+    [('a', 'b'), ('b', 'c'), ('c', 'd')]
+    """
     iters = itertools.tee(sequence, n)
     for i, it in enumerate(iters):
         for _ in range(i):

@@ -94,7 +94,14 @@ class HorizontalFlip:
 
 
 def find_runs(x):
-    """Run-length encode: (values, starts, lengths) (reference ``utils.py:261``)."""
+    """Run-length encode: (values, starts, lengths) (reference ``utils.py:261``).
+
+    Example
+    -------
+    >>> values, starts, lengths = find_runs([1, 1, 0, 0, 0, 1])
+    >>> values.tolist(), starts.tolist(), lengths.tolist()
+    ([1, 0, 1], [0, 2, 5], [2, 3, 1])
+    """
     x = np.asarray(x)
     if x.ndim != 1:
         raise ValueError("only 1D arrays supported")

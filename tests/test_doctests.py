@@ -43,6 +43,9 @@ MODULES = [
     "svt_speechbrain_tpu.dataio.sampler",
     "svt_speechbrain_tpu.utils.bleu",
     "svt_speechbrain_tpu.nnet.loss.transducer_loss",
+    "svt_speechbrain_tpu.lm.counting",
+    "svt_speechbrain_tpu.processing.video",
+    "svt_speechbrain_tpu.dataio.dataio",
 ]
 
 
