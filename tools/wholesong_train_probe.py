@@ -14,6 +14,16 @@ Flash attention now applies attention dropout IN-KERNEL, so the probe keeps
 the finetune config's dropout (reference regularization semantics) on the
 fused path.
 
+Round-3 measurements (240 s audio, one v5e, dropout ON): step 2.35 s →
+102.2 audio-sec/s, model MFU 0.148, hardware util 0.197. Why it can't go
+much higher: at T≈12k the attention core (4·T²·d) is ~2/3 of the model's
+FLOPs and runs on the structurally small-K (D=64) MXU path (docs/PERF.md);
+and the per-layer remat is LOAD-BEARING FOR COMPILE TIME, not just memory —
+the un-remat'd whole-song backward did not finish XLA compilation in 20
+minutes (vs ~10 min with remat), so "drop remat, save the 22.8 TFLOP
+recompute" is not available. Expect first-run compiles of ~10 min; the
+persistent cache makes reruns fast.
+
 Usage: python tools/wholesong_train_probe.py [seconds] [--no-dropout]
 """
 import os
