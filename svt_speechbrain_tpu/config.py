@@ -206,6 +206,20 @@ def load_hyperyaml(stream, overrides=None, resolve=True):
     Returns a plain dict; tagged nodes become live objects exactly like
     HyperPyYAML's ``load_hyperpyyaml`` (which the reference calls at every
     recipe entry, e.g. ``MIR_ST500/train_audio_ssl.py:446``).
+
+    Example
+    -------
+    >>> hp = load_hyperyaml('''
+    ... n_mels: 40
+    ... base_lr: 0.1
+    ... lr: !ref <base_lr> * 2
+    ... feats: !new:svt_speechbrain_tpu.models.features.Fbank
+    ...     n_mels: !ref <n_mels>
+    ... ''', overrides={"n_mels": 20})
+    >>> hp["lr"]
+    0.2
+    >>> type(hp["feats"]).__name__, hp["feats"].compute_fbanks.n_mels
+    ('Fbank', 20)
     """
     if hasattr(stream, "read"):
         stream = stream.read()

@@ -105,7 +105,24 @@ def _load_obj(obj, path, end_of_epoch):
 
 
 class Checkpointer:
-    """Reference ``checkpoints.py:381`` analogue."""
+    """Reference ``checkpoints.py:381`` analogue.
+
+    Example
+    -------
+    >>> import tempfile
+    >>> from svt_speechbrain_tpu.utils.epoch_loop import EpochCounter
+    >>> counter = EpochCounter(limit=10)
+    >>> counter.current = 3
+    >>> tmpdir = tempfile.mkdtemp()
+    >>> ckptr = Checkpointer(tmpdir, recoverables={"epoch": counter})
+    >>> _ = ckptr.save_checkpoint(meta={"loss": 1.5}, verbosity=0)
+    >>> counter.current = 7                      # diverge, then recover
+    >>> _ = ckptr.recover_if_possible()
+    >>> counter.current
+    3
+    >>> ckptr.find_checkpoint().meta["loss"]
+    1.5
+    """
 
     def __init__(self, checkpoints_dir, recoverables=None, allow_partial_load=False):
         self.checkpoints_dir = str(checkpoints_dir)

@@ -46,6 +46,8 @@ MODULES = [
     "svt_speechbrain_tpu.lm.counting",
     "svt_speechbrain_tpu.processing.video",
     "svt_speechbrain_tpu.dataio.dataio",
+    "svt_speechbrain_tpu.config",
+    "svt_speechbrain_tpu.utils.checkpoints",
 ]
 
 
