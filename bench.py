@@ -33,6 +33,32 @@ def main():
     from svt_speechbrain_tpu.nnet.linear import Linear
     from svt_speechbrain_tpu.inference import BatchedAMTTranscriber
 
+    # init watchdog: when the tunnel is fully down, the FIRST backend call
+    # hangs indefinitely (even jax.devices()); without this guard the
+    # driver's round artifact would be empty instead of an explicit
+    # "the link was dead" record.
+    import threading
+
+    ready = threading.Event()
+
+    def _init_probe():
+        jax.devices()
+        ready.set()
+
+    threading.Thread(target=_init_probe, daemon=True).start()
+    if not ready.wait(timeout=float(os.environ.get("BENCH_INIT_TIMEOUT",
+                                                   "180"))):
+        print("# device backend unreachable: emitting dead-link artifact",
+              file=sys.stderr)
+        print(json.dumps({
+            "metric": "amt_inference_rtfx_w2v2_large",
+            "value": 0.0,
+            "unit": "audio_sec_per_sec_per_chip",
+            "vs_baseline": 0.0,
+            "link_dead": True,
+        }))
+        os._exit(0)
+
     batch_size = int(os.environ.get("BENCH_BATCH", "192"))
     chunk_seconds = 5.0
     n_iters = int(os.environ.get("BENCH_ITERS", "20"))
@@ -69,7 +95,16 @@ def main():
     th.start()
     th.join(timeout=60.0)  # a dead link can hang even a 256 KB transfer
     down_mbps = 0.25 / max(result.get("dt", 60.0), 1e-9)
-    if down_mbps < 20.0:
+    link_dead = down_mbps < 1.0
+    if link_dead:
+        # a (near-)dead downlink can never drain even one batch's compact
+        # outputs — the e2e path would hang in warmup until the driver's
+        # timeout and the round would record NO artifact at all. Skip e2e,
+        # still emit the JSON with the link-proof device-only numbers
+        # (their d2h is a single scalar).
+        print(f"# dead downlink ({down_mbps:.2f} MB/s): skipping the e2e "
+              "pipeline, emitting device-only numbers", file=sys.stderr)
+    elif down_mbps < 20.0:
         n_iters = min(n_iters, 2)
         warmup = 1
         print(f"# degraded downlink ({down_mbps:.1f} MB/s): "
@@ -90,9 +125,10 @@ def main():
     audio_seconds = sum(len(w) for w in songs.values()) / 16000.0
 
     # warmup / compile
-    warm = {"w": songs["song0"][: transcriber.chunk_samples * batch_size]}
-    for _ in range(warmup):
-        transcriber.predict_frames(warm)
+    if not link_dead:
+        warm = {"w": songs["song0"][: transcriber.chunk_samples * batch_size]}
+        for _ in range(warmup):
+            transcriber.predict_frames(warm)
 
     # the host<->device link (tunneled in this environment) has high
     # run-to-run variance; report the best of a few passes, and tolerate
@@ -104,6 +140,8 @@ def main():
     timed = 0
     attempts = 0
     last_exc = None
+    if link_dead:
+        attempts = 2 * passes  # skip the loop; device-only fallback below
     while timed < passes and attempts < 2 * passes:
         attempts += 1
         try:
@@ -117,7 +155,7 @@ def main():
             continue
         timed += 1
         rtfx = max(rtfx, audio_seconds / elapsed)
-    if timed == 0:
+    if timed == 0 and not link_dead:
         raise RuntimeError("all bench passes failed") from last_exc
 
     # MFU from analytic model FLOPs — link-variance-independent (bench.py
@@ -162,7 +200,7 @@ def main():
     device_mfu = dev_flops / per_fwd / peak_flops_per_sec()
     device_rtfx = dev_batch * chunk_seconds / per_fwd
 
-    print(json.dumps({
+    out = {
         "metric": "amt_inference_rtfx_w2v2_large",
         "value": round(rtfx, 2),
         "unit": "audio_sec_per_sec_per_chip",
@@ -171,7 +209,12 @@ def main():
         "mfu": round(achieved / peak_flops_per_sec(), 4),
         "device_mfu": round(device_mfu, 4),
         "device_rtfx": round(device_rtfx, 2),
-    }))
+    }
+    if link_dead:
+        out["link_dead"] = True  # e2e fields are 0 because the tunnel was
+        #                          down, not because the chip got slower;
+        #                          device_mfu/device_rtfx are the real signal
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
