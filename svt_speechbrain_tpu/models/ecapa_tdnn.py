@@ -181,7 +181,20 @@ class SERes2NetBlock(Module):
 
 
 class ECAPA_TDNN(Module):
-    """Full ECAPA-TDNN embedding model (reference ``ECAPA_TDNN.py:324``)."""
+    """Full ECAPA-TDNN embedding model (reference ``ECAPA_TDNN.py:324``).
+
+    Example
+    -------
+    >>> import jax, jax.numpy as jnp
+    >>> model = ECAPA_TDNN(input_size=24, lin_neurons=32,
+    ...                    channels=(32, 32, 32, 32, 96),
+    ...                    attention_channels=16, res2net_scale=4,
+    ...                    se_channels=16)
+    >>> params = model.init(jax.random.PRNGKey(0))
+    >>> out = model(params, jnp.ones((2, 40, 24)))
+    >>> out.shape
+    (2, 1, 32)
+    """
 
     def __init__(self, input_size, lin_neurons=192, channels=(512, 512, 512, 512, 1536),
                  kernel_sizes=(5, 3, 3, 3, 1), dilations=(1, 2, 3, 4, 1),

@@ -21,7 +21,17 @@ class Xvector(Module):
     ``__call__(params, x, lengths=None, state=state, train=...)`` returns
     ``(emb, new_state)``. Without ``state`` the call returns just ``emb``
     (train mode uses batch statistics like torch; eval then normalizes
-    with the untrained (0, 1) stats)."""
+    with the untrained (0, 1) stats).
+
+    Example
+    -------
+    >>> import jax, jax.numpy as jnp
+    >>> model = Xvector(in_channels=24, lin_neurons=64,
+    ...                 tdnn_channels=(32, 32, 32, 32, 96))
+    >>> params = model.init(jax.random.PRNGKey(0))
+    >>> model(params, jnp.ones((2, 50, 24))).shape
+    (2, 1, 64)
+    """
 
     def __init__(self, in_channels=40, activation="leaky_relu",
                  tdnn_blocks=5, tdnn_channels=(512, 512, 512, 512, 1500),

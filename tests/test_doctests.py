@@ -48,6 +48,8 @@ MODULES = [
     "svt_speechbrain_tpu.dataio.dataio",
     "svt_speechbrain_tpu.config",
     "svt_speechbrain_tpu.utils.checkpoints",
+    "svt_speechbrain_tpu.models.xvector",
+    "svt_speechbrain_tpu.models.ecapa_tdnn",
 ]
 
 
