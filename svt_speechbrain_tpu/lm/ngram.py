@@ -9,7 +9,19 @@ NEGINFINITY = float("-inf")
 class BackoffNgramLM:
     """Query interface over ARPA-style ngrams/backoffs
     (reference ``ngram.py:12``): ``logprob(token, context)`` applies the
-    standard Katz back-off recursion."""
+    standard Katz back-off recursion.
+
+    Example
+    -------
+    >>> ngrams = {1: {(): {"a": -0.5, "b": -1.0}},
+    ...           2: {("a",): {"b": -0.2}}}
+    >>> backoffs = {1: {("a",): -0.3}}
+    >>> lm = BackoffNgramLM(ngrams, backoffs)
+    >>> lm.logprob("b", context=("a",))      # bigram hit
+    -0.2
+    >>> round(lm.logprob("a", context=("a",)), 1)   # backoff + unigram
+    -0.8
+    """
 
     def __init__(self, ngrams, backoffs):
         if not isinstance(ngrams, dict) or not isinstance(backoffs, dict):

@@ -13,7 +13,17 @@ class Transducer_joint(Module):
     """Join encoder frames (B, T, 1, H) with prediction-network states
     (B, 1, U, H) by sum or concat, then a nonlinearity (reference
     ``transducer_joint.py:14``). Broadcasting produces the (B, T, U, H)
-    lattice in one fused XLA op."""
+    lattice in one fused XLA op.
+
+    Example
+    -------
+    >>> import jax.numpy as jnp
+    >>> joint = Transducer_joint(joint="sum", nonlinearity="relu")
+    >>> tn = jnp.ones((2, 5, 1, 8))          # encoder frames
+    >>> pn = jnp.ones((2, 1, 3, 8))          # prediction-net states
+    >>> joint({}, tn, pn).shape
+    (2, 5, 3, 8)
+    """
 
     def __init__(self, joint_network=None, joint="sum", nonlinearity="tanh"):
         self.joint_network = joint_network  # e.g. a Linear over concat width

@@ -233,7 +233,20 @@ class DropFreq(Module):
 
 
 class DropChunk(Module):
-    """Zero (or noise-fill) random time chunks (reference ``:980``)."""
+    """Zero (or noise-fill) random time chunks (reference ``:980``).
+
+    Example
+    -------
+    >>> import jax, jax.numpy as jnp
+    >>> drop = DropChunk(drop_length_low=20, drop_length_high=40,
+    ...                  drop_count_low=1, drop_count_high=2)
+    >>> wav = jnp.ones((1, 400))
+    >>> out = drop({}, wav, rng=jax.random.PRNGKey(0))
+    >>> bool((out == 0).any()), bool((out == 1).any())   # chunks zeroed
+    (True, True)
+    >>> bool((drop({}, wav) == wav).all())               # no rng: identity
+    True
+    """
 
     def __init__(self, drop_length_low=100, drop_length_high=1000,
                  drop_count_low=1, drop_count_high=10, drop_start=0,
