@@ -211,6 +211,40 @@ class Brain:
         CLI > hparams > defaults (reference ``core.py:453-472``).
     checkpointer : Checkpointer | None
         Module params / optimizer states / brain counters are auto-registered.
+
+    Example
+    -------
+    >>> import functools
+    >>> import numpy as np
+    >>> import jax.numpy as jnp
+    >>> import optax
+    >>> from svt_speechbrain_tpu.nnet.linear import Linear
+    >>> from svt_speechbrain_tpu.nnet import losses
+    >>> from svt_speechbrain_tpu.dataio.batch import PaddedData
+    >>> class SimpleBrain(Brain):
+    ...     def compute_forward(self, params, batch, stage, rng=None):
+    ...         x, lens = batch["sig"]
+    ...         return self.modules.model(params["model"], x), lens
+    ...     def compute_objectives(self, predictions, batch, stage):
+    ...         y, lens = predictions
+    ...         target, tlens = batch["anno"]
+    ...         return losses.mse_loss(y, target.astype(jnp.float32),
+    ...                                length=tlens)
+    ...     def init_optimizers(self):
+    ...         self.add_optimizer("opt", functools.partial(optax.sgd),
+    ...                            ["model"], lr=0.3)
+    >>> brain = SimpleBrain(modules={"model": Linear(2, 4)},
+    ...                     hparams={"seed": 0},
+    ...                     run_opts={"noprogressbar": True})
+    >>> brain.init_optimizers()
+    >>> rng = np.random.default_rng(0)
+    >>> x = rng.normal(size=(8, 5, 4)).astype(np.float32)
+    >>> target = x[..., :2] + x[..., 2:]          # learnable linear map
+    >>> lens = np.ones(8, np.float32)
+    >>> batch = {"sig": PaddedData(x, lens), "anno": PaddedData(target, lens)}
+    >>> curve = [float(brain.fit_batch(batch)) for _ in range(20)]
+    >>> curve[-1] < 0.2 * curve[0]                # loss falls on the jit path
+    True
     """
 
     run_opt_defaults = {

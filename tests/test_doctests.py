@@ -50,6 +50,7 @@ MODULES = [
     "svt_speechbrain_tpu.utils.checkpoints",
     "svt_speechbrain_tpu.models.xvector",
     "svt_speechbrain_tpu.models.ecapa_tdnn",
+    "svt_speechbrain_tpu.core",
     "svt_speechbrain_tpu.lm.ngram",
     "svt_speechbrain_tpu.nnet.transducer_joint",
     "svt_speechbrain_tpu.nnet.loss.si_snr_loss",
