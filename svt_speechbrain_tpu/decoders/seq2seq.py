@@ -235,7 +235,15 @@ class S2SRNNBeamSearcher(S2SBeamSearcher):
 
 
 def filter_seq2seq_output(string_pred, eos_id=-1):
-    """Trim everything from the first eos (reference ``seq2seq.py:1278``)."""
+    """Trim everything from the first eos (reference ``seq2seq.py:1278``).
+
+    Example
+    -------
+    >>> filter_seq2seq_output([3, 5, 2, 7], eos_id=2)
+    [3, 5]
+    >>> filter_seq2seq_output([3, 5], eos_id=2)     # no eos: unchanged
+    [3, 5]
+    """
     if not isinstance(string_pred, list):
         raise ValueError("The input must be a list.")
     try:

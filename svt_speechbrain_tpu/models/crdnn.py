@@ -72,7 +72,17 @@ class DNNBlock(Module):
 
 
 class CRDNN(Module):
-    """CNN blocks → (Li)GRU/LSTM → DNN blocks (reference ``CRDNN.py:27``)."""
+    """CNN blocks → (Li)GRU/LSTM → DNN blocks (reference ``CRDNN.py:27``).
+
+    Example
+    -------
+    >>> import jax, jax.numpy as jnp
+    >>> model = CRDNN(input_size=40, cnn_channels=(16, 32), rnn_layers=1,
+    ...               rnn_neurons=32, dnn_neurons=24)
+    >>> params = model.init(jax.random.PRNGKey(0))
+    >>> model(params, jnp.ones((2, 20, 40))).shape
+    (2, 20, 24)
+    """
 
     def __init__(self, input_size, cnn_blocks=2, cnn_channels=(128, 256),
                  cnn_kernelsize=(3, 3), time_pooling=False, time_pooling_size=2,

@@ -13,7 +13,17 @@ from svt_speechbrain_tpu.nnet.rnn import LSTM, GRU
 
 
 class RNNLM(Module):
-    """Embedding → RNN → DNN → logits (reference ``RNNLM.py:19``)."""
+    """Embedding → RNN → DNN → logits (reference ``RNNLM.py:19``).
+
+    Example
+    -------
+    >>> import jax, jax.numpy as jnp
+    >>> lm = RNNLM(output_neurons=50, embedding_dim=16, rnn_layers=1,
+    ...            rnn_neurons=32, dnn_neurons=24)
+    >>> params = lm.init(jax.random.PRNGKey(0))
+    >>> lm(params, jnp.asarray([[1, 2, 3]])).shape
+    (1, 3, 50)
+    """
 
     def __init__(self, output_neurons, embedding_dim=128, activation="leaky_relu",
                  dropout=0.15, rnn_class="lstm", rnn_layers=2, rnn_neurons=1024,

@@ -50,6 +50,9 @@ MODULES = [
     "svt_speechbrain_tpu.utils.checkpoints",
     "svt_speechbrain_tpu.models.xvector",
     "svt_speechbrain_tpu.models.ecapa_tdnn",
+    "svt_speechbrain_tpu.models.rnnlm",
+    "svt_speechbrain_tpu.models.crdnn",
+    "svt_speechbrain_tpu.decoders.seq2seq",
     "svt_speechbrain_tpu.core",
     "svt_speechbrain_tpu.lm.ngram",
     "svt_speechbrain_tpu.nnet.transducer_joint",
