@@ -27,6 +27,16 @@ def make_mesh(n_devices=None, axis_names=("data",), shape=None, devices=None):
 
     ``shape`` gives a multi-axis mesh, e.g. ``shape=(4, 2)`` with
     ``axis_names=("data", "model")``.
+
+    Example
+    -------
+    >>> import jax, numpy as np
+    >>> mesh = make_mesh()                      # all devices, 1-D data mesh
+    >>> mesh.axis_names, mesh.devices.size == jax.device_count()
+    (('data',), True)
+    >>> batch = shard_batch(mesh, np.ones((jax.device_count() * 2, 3)))
+    >>> batch.sharding.spec
+    PartitionSpec('data', None)
     """
     if devices is None:
         devices = jax.devices()

@@ -38,6 +38,14 @@ class STFT(Module):
     Input (batch, time) or (batch, time, channels); output
     (batch, frames, n_fft//2+1, 2[, channels]) with real/imag last-but-one —
     the reference's torch.stft layout.
+
+    Example
+    -------
+    >>> import jax.numpy as jnp
+    >>> stft = STFT(sample_rate=16000, win_length=25, hop_length=10,
+    ...             n_fft=400)
+    >>> stft(None, jnp.zeros((2, 16000))).shape     # 1 s -> 101 frames
+    (2, 101, 201, 2)
     """
 
     def __init__(self, sample_rate, win_length=25, hop_length=10, n_fft=400,

@@ -25,6 +25,15 @@ def DER(ref_segments, sys_segments, collar=0.25, frame=0.01):
 
     The collar excises ±collar seconds around every reference boundary, like
     md-eval's -c option.
+
+    Example
+    -------
+    >>> ref = [(0.0, 4.0, "A"), (4.0, 8.0, "B")]
+    >>> DER(ref, ref)                  # perfect system
+    0.0
+    >>> sys = [(0.0, 8.0, "A")]        # misses speaker B entirely
+    >>> round(DER(ref, sys, collar=0.0), 1)
+    50.0
     """
     total = max(max((e for _, e, _ in ref_segments), default=0.0),
                 max((e for _, e, _ in sys_segments), default=0.0))

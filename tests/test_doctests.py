@@ -58,6 +58,9 @@ MODULES = [
     "svt_speechbrain_tpu.nnet.transducer_joint",
     "svt_speechbrain_tpu.nnet.loss.si_snr_loss",
     "svt_speechbrain_tpu.processing.speech_augmentation",
+    "svt_speechbrain_tpu.processing.features",
+    "svt_speechbrain_tpu.utils.der",
+    "svt_speechbrain_tpu.parallel.mesh",
 ]
 
 
