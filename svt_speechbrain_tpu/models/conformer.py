@@ -128,7 +128,17 @@ class ConformerEncoderLayer(Module):
 
 
 class ConformerEncoder(Module):
-    """Conformer encoder stack (reference ``Conformer.py:300``)."""
+    """Conformer encoder stack (reference ``Conformer.py:300``).
+
+    Example
+    -------
+    >>> import jax, jax.numpy as jnp
+    >>> enc = ConformerEncoder(num_layers=2, d_model=32, d_ffn=64, nhead=4,
+    ...                        kernel_size=7)
+    >>> params = enc.init(jax.random.PRNGKey(0))
+    >>> enc(params, jnp.ones((2, 12, 32))).shape
+    (2, 12, 32)
+    """
 
     def __init__(self, num_layers, d_model, d_ffn, nhead, kernel_size=31,
                  dropout=0.0, causal=False, attention_type="RelPosMHAXL"):

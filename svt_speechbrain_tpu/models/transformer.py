@@ -100,7 +100,17 @@ class TransformerEncoderLayer(Module):
 
 
 class TransformerEncoder(Module):
-    """Encoder stack (reference ``Transformer.py:318``)."""
+    """Encoder stack (reference ``Transformer.py:318``).
+
+    Example
+    -------
+    >>> import jax, jax.numpy as jnp
+    >>> enc = TransformerEncoder(num_layers=2, nhead=4, d_ffn=64, d_model=32)
+    >>> params = enc.init(jax.random.PRNGKey(0))
+    >>> out, attns = enc(params, jnp.ones((2, 10, 32)))
+    >>> out.shape, len(attns), attns[0].shape
+    ((2, 10, 32), 2, (2, 10, 10))
+    """
 
     def __init__(self, num_layers, nhead, d_ffn, input_shape=None, d_model=None,
                  kdim=None, vdim=None, dropout=0.0, activation="relu",

@@ -50,6 +50,8 @@ MODULES = [
     "svt_speechbrain_tpu.utils.checkpoints",
     "svt_speechbrain_tpu.models.xvector",
     "svt_speechbrain_tpu.models.ecapa_tdnn",
+    "svt_speechbrain_tpu.models.transformer",
+    "svt_speechbrain_tpu.models.conformer",
     "svt_speechbrain_tpu.models.rnnlm",
     "svt_speechbrain_tpu.models.crdnn",
     "svt_speechbrain_tpu.decoders.seq2seq",
