@@ -80,8 +80,6 @@ def main():
     # ~1 MB/s in one direction for long windows. Scale the workload down so
     # the bench still completes and reports an honest (low) RTFx instead of
     # running for hours.
-    import threading
-
     probe = jnp.asarray(np.zeros((1 << 16,), np.float32))  # 256 KB
     probe.block_until_ready()
     result = {}

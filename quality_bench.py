@@ -29,14 +29,12 @@ Prints ONE JSON line: {"metric": "synthetic_COnPOff_f1_vs_reference",
 Runtime ~8-12 min (QBENCH_EPOCHS=6 default; COnPOff ~0.79 = the sensitive band). Set QBENCH_SKIP_REFERENCE=1
 for the ours-only legacy behavior (e.g. without /root/reference).
 """
-import importlib.machinery
 import importlib.util
 import json
 import os
 import shutil
 import sys
 import tempfile
-import types
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -158,41 +156,13 @@ def _train_batches(examples):
     return batches
 
 
-def _stub(name, **attrs):
-    m = types.ModuleType(name)
-    m.__spec__ = importlib.machinery.ModuleSpec(name, None)
-    for k, v in attrs.items():
-        setattr(m, k, v)
-    sys.modules[name] = m
-    return m
-
-
 def _import_reference():
-    """Stub-import the reference speechbrain + MIR_ST500 recipe (same
-    harness as tests/test_golden_recipe_parity.py)."""
-    from svt_speechbrain_tpu.utils import transcription_eval
+    """Stub-import the reference speechbrain + MIR_ST500 recipe — the ONE
+    shared harness (tests/reference_harness.py), so the tests and this
+    standing artifact can't drift apart in what they stub."""
+    from tests.reference_harness import import_reference_mir_recipe
 
-    _stub("hyperpyyaml", load_hyperpyyaml=lambda *a, **k: {},
-          resolve_references=lambda *a, **k: None)
-    _stub("torchaudio", load=None, info=None,
-          set_audio_backend=lambda *a, **k: None,
-          get_audio_backend=lambda: "soundfile")
-    ry = _stub("ruamel")
-    ry.yaml = _stub("ruamel.yaml", YAML=object)
-    me = _stub("mir_eval")
-    me.transcription = _stub("mir_eval.transcription",
-                             evaluate=transcription_eval.evaluate)
-    me.util = _stub("mir_eval.util",
-                    midi_to_hz=transcription_eval.midi_to_hz)
-    sys.path.insert(0, REFERENCE_ROOT)
-    sys.path.insert(0, os.path.join(REFERENCE_ROOT, "MIR_ST500"))
-    import speechbrain as sb
-
-    ref_recipe = _load(os.path.join(REFERENCE_ROOT, "MIR_ST500",
-                                    "train_audio_ssl.py"), "_qb_ref_recipe")
-    ref_hi = _load(os.path.join(REFERENCE_ROOT, "MIR_ST500",
-                                "huggingface_interface.py"), "_qb_ref_hi")
-    return sb, ref_recipe, ref_hi
+    return import_reference_mir_recipe()
 
 
 def _tiny_torch_model():
@@ -220,47 +190,17 @@ def _tiny_torch_model():
 
 
 def _ref_hparams(sb):
-    import functools
+    from tests.reference_harness import ref_amt_hparams
 
-    def masked(fn, **kw):
-        return functools.partial(fn, reduction="mean", allowed_len_diff=3,
-                                 label_smoothing=0.0, **kw)
-
-    def stats(fn):
-        return functools.partial(
-            sb.utils.metric_stats.MetricStats,
-            metric=functools.partial(fn, reduction="batch",
-                                     allowed_len_diff=3,
-                                     label_smoothing=0.0))
-
-    L = sb.nnet.losses
-    return dict(
-        pitch_octave_num=4, pitch_class_num=12,
-        onset_positive_weight=15.0, offset_positive_weight=1.0,
-        onset_criterion=masked(L.bce_loss),
-        offset_criterion=masked(L.bce_loss),
-        octave_criterion=masked(L.nll_loss),
-        pitch_criterion=masked(L.nll_loss),
-        log_softmax=sb.nnet.activations.Softmax(apply_log=True),
-        onset_threshold=0.4, offset_threshold=0.5, frame_rate=49.8,
-        onset_tolerance=0.05, pitch_tolerance=50,
-        onset_stats=stats(L.bce_loss), offset_stats=stats(L.bce_loss),
-        octave_stats=stats(L.nll_loss), pitch_stats=stats(L.nll_loss),
-    )
-
-
-class _RefBatch:
-    def __init__(self, **kw):
-        self.__dict__.update(kw)
-
-    def to(self, device):
-        return self
+    return ref_amt_hparams(sb)
 
 
 def _run_reference(train_batches, eval_examples, hf_model, head_w, head_b,
                    epochs):
     """Train + song-eval the reference torch AMT Brain."""
     import torch
+
+    from tests.reference_harness import RefBatch as _RefBatch
 
     sb, ref_recipe, ref_hi = _import_reference()
     ref_w2v = ref_hi.HuggingFaceWav2Vec2.__new__(ref_hi.HuggingFaceWav2Vec2)

@@ -66,15 +66,21 @@ def _bn(sd, prefix):
 def _mha(sd, prefix, d):
     """torch nn.MultiheadAttention packed in_proj → our MHA params.
     Bias keys are absent when the module was built with ``bias=False`` —
-    guard them like ``_lin`` does."""
+    our ``MultiheadAttention`` always reads bq/bk/bv/bo, so missing torch
+    biases become zeros (numerically identical to torch's bias=False)."""
     w = np.asarray(sd[prefix + "in_proj_weight"])
     p = {"wq": _t(w[:d]), "wk": _t(w[d:2 * d]), "wv": _t(w[2 * d:]),
          "wo": _t(sd[prefix + "out_proj.weight"])}
     if prefix + "in_proj_bias" in sd:
         b = np.asarray(sd[prefix + "in_proj_bias"])
         p.update(bq=b[:d].copy(), bk=b[d:2 * d].copy(), bv=b[2 * d:].copy())
+    else:
+        z = np.zeros((d,), np.float32)
+        p.update(bq=z, bk=z.copy(), bv=z.copy())
     if prefix + "out_proj.bias" in sd:
         p["bo"] = np.asarray(sd[prefix + "out_proj.bias"])
+    else:
+        p["bo"] = np.zeros((d,), np.float32)
     return p
 
 

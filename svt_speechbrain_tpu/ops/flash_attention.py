@@ -345,6 +345,12 @@ def flash_attention(q, k, v, lengths=None, scale=None, block_q=256,
     ``attention_dropout`` keep the fused path. ``dropout_seed``: int32
     scalar (fold a fresh one per step from the step rng);
     ``attention_dropout_mask`` reproduces the mask in XLA for tests."""
+    if dropout_rate > 0.0 and dropout_seed is None:
+        # a silent seed-0 default would apply the SAME structured mask at
+        # every training step — systematic link removal, not dropout
+        raise ValueError(
+            "flash_attention: dropout_rate > 0 requires dropout_seed "
+            "(fold a fresh int32 seed per step from the step rng)")
     return _flash_forward(q, k, v, lengths, scale, block_q, block_k,
                           interpret, dropout_seed=dropout_seed,
                           dropout_rate=dropout_rate)
@@ -532,8 +538,7 @@ def flash_attention_available():
 SHORT_T_MAX = 512  # rows longer than this stream K/V panels instead
 
 
-def _flash_short_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, *, scale, group,
-                        tk_pad):
+def _flash_short_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, *, scale, group):
     """One program = GROUP consecutive (batch·head) rows, full attention in
     VMEM. The per-head matmuls are (Tq, D)·(D, Tk) with D=64 — individually
     small for the MXU, which is why several heads share one program."""
@@ -581,8 +586,7 @@ def _short_forward(q, k, v, lengths, scale, group, interpret):
     kf = k.reshape(bh, tk_pad, d)
     vf = v.reshape(bh, tk_pad, d)
     out = pl.pallas_call(
-        functools.partial(_flash_short_kernel, scale=scale, group=g,
-                          tk_pad=tk_pad),
+        functools.partial(_flash_short_kernel, scale=scale, group=g),
         grid=(bh // g,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),

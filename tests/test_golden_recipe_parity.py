@@ -23,7 +23,6 @@ passes the reference's lengths to both sides, which makes the losses
 bit-comparable; eval is batch-1 unpadded so the question never arises.
 """
 import functools
-import importlib.machinery
 import importlib.util
 import os
 import sys
@@ -33,20 +32,15 @@ import numpy as np
 import pytest
 
 from tests.conftest import REPO_ROOT, reference_available
+from tests.reference_harness import (
+    STUBBED_MODULES, RefBatch as _RefBatch, load_reference_module,
+    ref_amt_hparams as _ref_hparams, stub_module as _stub,
+    stub_reference_deps)
 
 pytestmark = pytest.mark.skipif(
     not reference_available(), reason="reference checkout not present")
 
 T_SAMPLES = 8000
-
-
-def _stub(name, **attrs):
-    m = types.ModuleType(name)
-    m.__spec__ = importlib.machinery.ModuleSpec(name, None)
-    for k, v in attrs.items():
-        setattr(m, k, v)
-    sys.modules[name] = m
-    return m
 
 
 @pytest.fixture(scope="module")
@@ -70,39 +64,21 @@ def env():
         added_mods.append(name)
         return _stub(name, **attrs)
 
-    saved_modules = {k: sys.modules.get(k) for k in (
-        "hyperpyyaml", "torchaudio", "ruamel", "ruamel.yaml", "mir_eval",
-        "mir_eval.transcription", "mir_eval.util", "utils")}
-    stub("hyperpyyaml", load_hyperpyyaml=lambda *a, **k: {},
-         resolve_references=lambda *a, **k: None)
-    stub("torchaudio", load=None, info=None,
-         set_audio_backend=lambda *a, **k: None,
-         get_audio_backend=lambda: "soundfile")
-    ry = stub("ruamel")
-    ry.yaml = stub("ruamel.yaml", YAML=object)
-    me = stub("mir_eval")
-    me.transcription = stub("mir_eval.transcription",
-                            evaluate=recording_evaluate)
-    me.util = stub("mir_eval.util",
-                   midi_to_hz=transcription_eval.midi_to_hz)
+    saved_modules = {k: sys.modules.get(k)
+                     for k in STUBBED_MODULES + ("utils",)}
+    stub_reference_deps(evaluate_fn=recording_evaluate, stub=stub)
 
     sys.path.insert(0, "/root/reference")
     sys.path.insert(0, "/root/reference/MIR_ST500")
     try:
         import speechbrain as sb
 
-        spec = importlib.util.spec_from_file_location(
-            "_ref_amt_recipe", "/root/reference/MIR_ST500/train_audio_ssl.py")
-        ref_recipe = importlib.util.module_from_spec(spec)
-        sys.modules["_ref_amt_recipe"] = ref_recipe
-        spec.loader.exec_module(ref_recipe)
-
-        hi_spec = importlib.util.spec_from_file_location(
-            "_ref_hf_iface",
-            "/root/reference/MIR_ST500/huggingface_interface.py")
-        ref_hi = importlib.util.module_from_spec(hi_spec)
-        sys.modules["_ref_hf_iface"] = ref_hi
-        hi_spec.loader.exec_module(ref_hi)
+        ref_recipe = load_reference_module(
+            "/root/reference/MIR_ST500/train_audio_ssl.py",
+            "_ref_amt_recipe")
+        ref_hi = load_reference_module(
+            "/root/reference/MIR_ST500/huggingface_interface.py",
+            "_ref_hf_iface")
 
         ns = _run_both_stacks(sb, ref_recipe, ref_hi, recorded)
     finally:
@@ -176,39 +152,6 @@ wav2vec2: !new:svt_speechbrain_tpu.models.wav2vec2.HuggingFaceWav2Vec2
       feat_proj_dropout: 0.0
 feat_dim: 32
 """
-
-
-def _ref_hparams(sb):
-    def masked(fn, **kw):
-        return functools.partial(fn, reduction="mean", allowed_len_diff=3,
-                                 label_smoothing=0.0, **kw)
-
-    def stats(fn):
-        return functools.partial(
-            sb.utils.metric_stats.MetricStats,
-            metric=functools.partial(fn, reduction="batch",
-                                     allowed_len_diff=3, label_smoothing=0.0))
-
-    L = sb.nnet.losses
-    return dict(
-        pitch_octave_num=4, pitch_class_num=12,
-        onset_positive_weight=15.0, offset_positive_weight=1.0,
-        onset_criterion=masked(L.bce_loss), offset_criterion=masked(L.bce_loss),
-        octave_criterion=masked(L.nll_loss), pitch_criterion=masked(L.nll_loss),
-        log_softmax=sb.nnet.activations.Softmax(apply_log=True),
-        onset_threshold=0.4, offset_threshold=0.5, frame_rate=49.8,
-        onset_tolerance=0.05, pitch_tolerance=50,
-        onset_stats=stats(L.bce_loss), offset_stats=stats(L.bce_loss),
-        octave_stats=stats(L.nll_loss), pitch_stats=stats(L.nll_loss),
-    )
-
-
-class _RefBatch:
-    def __init__(self, **kw):
-        self.__dict__.update(kw)
-
-    def to(self, device):
-        return self
 
 
 def _run_both_stacks(sb, ref_recipe, ref_hi, recorded):

@@ -180,8 +180,11 @@ fusion: !new:svt_speechbrain_tpu.models.fusion.FusionRCA
     loss = brain.evaluate(list(test_datasets.values())[0], max_key="COnPOff_f1",
                           test_loader_kwargs=hparams["test_dataloader_opts"])
     assert np.isfinite(loss)
-    # per-song prediction dump written (reference train_rca_av.py:113-123)
-    pred = root / "data" / "song2" / "noise_data" / "clean_av_pred.npy"
+    # per-song prediction dump written (reference train_rca_av.py:113-123);
+    # the audio-only control tags its dumps "audio" like the reference's
+    # train_rca_a.py (tasks/amt.py:435)
+    tag = "audio" if zero_video else "av"
+    pred = root / "data" / "song2" / "noise_data" / f"clean_{tag}_pred.npy"
     assert pred.exists()
 
 

@@ -1,6 +1,6 @@
 """TRAINING-TRAJECTORY golden parity: the reference torch ``AMT`` Brain and
 ours train from identical converted weights on identical batch sequences for
-3 epochs x 10 steps (fp32, CPU), crossing NewBob anneals, and must produce
+4 epochs x 10 steps (fp32, CPU), crossing NewBob anneals, and must produce
 the same per-step losses, the same lr trajectories for BOTH optimizers, and
 the same final parameters.
 
@@ -236,7 +236,7 @@ def _train_both_stacks(sb, ref_recipe, ref_hi):
 
 
 def test_per_step_losses_match(env):
-    """30 consecutive optimizer steps with losses in lockstep (fp32 drift
+    """40 consecutive optimizer steps with losses in lockstep (fp32 drift
     compounds through two optimizers' accumulators — the tolerance grows
     with step index but stays far below any semantic divergence)."""
     flat_ref = np.asarray(env.ref_losses).ravel()
@@ -265,7 +265,7 @@ def test_at_least_one_anneal_fired(env):
 
 def test_final_parameters_match(env):
     """Post-training parameters agree: Adam side (encoder) and Adadelta side
-    (head) both within fp32 drift after 30 steps."""
+    (head) both within fp32 drift after 40 steps."""
     conv = env.convert(env.ref_final["w2v"], env.my_cfg)
     ref_tree = {"encoder": conv}
     import jax
