@@ -35,7 +35,17 @@ logger = logging.getLogger(__name__)
 
 class RCALayer(Module):
     """Shared-weight self+cross attention with α-residual (reference
-    ``fusion.py:82-183``)."""
+    ``fusion.py:82-183``).
+
+    Example
+    -------
+    >>> import jax, jax.numpy as jnp
+    >>> layer = RCALayer(d_ffn=32, nhead=4, d_model=16, alpha=0.5)
+    >>> params = layer.init(jax.random.PRNGKey(0))
+    >>> audio, video = jnp.ones((2, 10, 16)), jnp.ones((2, 10, 16))
+    >>> layer(params, audio, video).shape       # audio attended by both
+    (2, 10, 16)
+    """
 
     def __init__(self, d_ffn, nhead, d_model, alpha=0.5, kdim=None, vdim=None,
                  dropout=0.0, activation="relu", normalize_before=False):

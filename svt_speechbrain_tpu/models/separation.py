@@ -112,7 +112,17 @@ class MaskNet(Module):
 
 
 class ConvTasNet(Module):
-    """Full Conv-TasNet separator: wav (B, T) → sources (B, n_src, T')."""
+    """Full Conv-TasNet separator: wav (B, T) → sources (B, n_src, T').
+
+    Example
+    -------
+    >>> import jax, jax.numpy as jnp
+    >>> sep = ConvTasNet(n_sources=2, enc_channels=32, bn_channels=16,
+    ...                  hidden=32, n_blocks=2, n_repeats=1)
+    >>> params = sep.init(jax.random.PRNGKey(0))
+    >>> sep(params, jnp.ones((1, 800))).shape
+    (1, 2, 800)
+    """
 
     def __init__(self, n_sources=2, enc_kernel=16, enc_channels=256,
                  bn_channels=128, hidden=512, n_blocks=8, n_repeats=3):

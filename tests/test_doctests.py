@@ -54,6 +54,8 @@ MODULES = [
     "svt_speechbrain_tpu.models.conformer",
     "svt_speechbrain_tpu.models.rnnlm",
     "svt_speechbrain_tpu.models.crdnn",
+    "svt_speechbrain_tpu.models.separation",
+    "svt_speechbrain_tpu.models.fusion",
     "svt_speechbrain_tpu.decoders.seq2seq",
     "svt_speechbrain_tpu.core",
     "svt_speechbrain_tpu.lm.ngram",
