@@ -6,7 +6,17 @@ from svt_speechbrain_tpu.utils import edit_distance
 
 
 def print_wer_summary(wer_details, file=None):
-    """Print the global WER summary line (reference ``wer.py:16``)."""
+    """Print the global WER summary line (reference ``wer.py:16``).
+
+    Example
+    -------
+    >>> from svt_speechbrain_tpu.utils.edit_distance import (
+    ...     wer_details_for_batch, wer_summary)
+    >>> details = wer_details_for_batch(["u1"], [["a", "b"]], [["a", "c"]])
+    >>> print_wer_summary(wer_summary(details))
+    %WER 50.00 [ 1 / 2, 0 ins, 0 del, 1 sub ]
+    %SER 100.00 [ 1 / 1 ]
+    """
     import sys
 
     file = file or sys.stdout

@@ -8,6 +8,23 @@ def read_arpa(fstream):
 
     ``ngrams[order][context][token] = logprob``;
     ``backoffs[order][context_tuple] = backoff_logprob``.
+
+    Example
+    -------
+    >>> import io
+    >>> arpa = io.StringIO('''
+    ... \\\\data\\\\
+    ... ngram 1=2
+    ...
+    ... \\\\1-grams:
+    ... -0.5\\ta
+    ... -1.0\\tb\\t-0.30103
+    ...
+    ... \\\\end\\\\
+    ... ''')
+    >>> counts, ngrams, backoffs = read_arpa(arpa)
+    >>> counts[1], ngrams[1][()]["a"], backoffs[1][("b",)]
+    (2, -0.5, -0.30103)
     """
     num_ngrams = {}
     ngrams_by_order = {}

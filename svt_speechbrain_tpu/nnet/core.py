@@ -28,6 +28,21 @@ class Module:
     Subclasses implement ``init`` and ``__call__``. The base class only
     provides naming/help conveniences; there is no parameter registry —
     parameters are whatever ``init`` returns.
+
+    Example
+    -------
+    >>> import jax, jax.numpy as jnp
+    >>> class Scale(Module):
+    ...     def init(self, rng):
+    ...         return {"g": jnp.ones(())}
+    ...     def __call__(self, params, x):
+    ...         return params["g"] * x
+    >>> mod = Scale()
+    >>> params = mod.init(jax.random.PRNGKey(0))
+    >>> float(mod(params, jnp.asarray(3.0)))
+    3.0
+    >>> count_params(params)
+    1
     """
 
     def init(self, rng):

@@ -14,7 +14,19 @@ def lengths_arg_exists(func):
 
 class LengthsCapableChain:
     """Chain of callables where each may take (x) or (x, lengths)
-    (reference ``callchains.py:22``)."""
+    (reference ``callchains.py:22``).
+
+    Example
+    -------
+    >>> chain = LengthsCapableChain(
+    ...     lambda x: x + 1,
+    ...     lambda x, lengths: x * lengths,
+    ... )
+    >>> chain(2, lengths=10)            # (2+1) * 10
+    30
+    >>> chain.takes_lengths
+    [False, True]
+    """
 
     def __init__(self, *funcs):
         self.funcs = []

@@ -58,6 +58,10 @@ MODULES = [
     "svt_speechbrain_tpu.models.fusion",
     "svt_speechbrain_tpu.decoders.seq2seq",
     "svt_speechbrain_tpu.core",
+    "svt_speechbrain_tpu.nnet.core",
+    "svt_speechbrain_tpu.utils.callchains",
+    "svt_speechbrain_tpu.lm.arpa",
+    "svt_speechbrain_tpu.dataio.wer",
     "svt_speechbrain_tpu.lm.ngram",
     "svt_speechbrain_tpu.nnet.transducer_joint",
     "svt_speechbrain_tpu.nnet.loss.si_snr_loss",
