@@ -109,7 +109,21 @@ provides_decorator = provides
 
 class DataPipeline:
     """Compute requested output keys from raw data-point dicts
-    (reference ``data_pipeline.py:286-405``)."""
+    (reference ``data_pipeline.py:286-405``).
+
+    Example
+    -------
+    >>> @takes("text")
+    ... @provides("words", "n_words")
+    ... def tokenize(text):
+    ...     words = text.split()
+    ...     yield words
+    ...     yield len(words)
+    >>> pipeline = DataPipeline(["text"], [tokenize],
+    ...                         output_keys=["n_words"])
+    >>> pipeline.compute_outputs({"text": "the quick brown fox"})
+    {'n_words': 4}
+    """
 
     def __init__(self, static_data_keys, dynamic_items=(), output_keys=()):
         self.dg = DependencyGraph()

@@ -40,7 +40,15 @@ def setup_logging(log_file=None, console_level=logging.INFO, file_level=logging.
 
 
 def format_order_of_magnitude(number, abbreviate=True):
-    """3.5M-style formatting (reference ``logger.py:106``)."""
+    """3.5M-style formatting (reference ``logger.py:106``).
+
+    Example
+    -------
+    >>> format_order_of_magnitude(3_500_000)
+    ('3.5', 'M')
+    >>> format_order_of_magnitude(950)
+    ('950.0', '')
+    """
     style = ORDERS_ABBREV
     precision = "{num:3.1f}"
     order = 3 * math.floor(math.log(math.fabs(number), 1000)) if number != 0 else 0

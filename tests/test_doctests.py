@@ -62,6 +62,8 @@ MODULES = [
     "svt_speechbrain_tpu.utils.callchains",
     "svt_speechbrain_tpu.lm.arpa",
     "svt_speechbrain_tpu.dataio.wer",
+    "svt_speechbrain_tpu.utils.data_pipeline",
+    "svt_speechbrain_tpu.utils.logger",
     "svt_speechbrain_tpu.lm.ngram",
     "svt_speechbrain_tpu.nnet.transducer_joint",
     "svt_speechbrain_tpu.nnet.loss.si_snr_loss",
