@@ -259,10 +259,12 @@ class CyclicLRScheduler:
     def _clr(self, clr_iterations):
         cycle = math.floor(1 + clr_iterations / (2 * self.step_size))
         x = abs(clr_iterations / self.step_size - 2 * cycle + 1)
-        base = self.base_lr + (self.max_lr - self.base_lr) * max(0, (1 - x))
+        # the scale applies to the triangular component only — base_lr is
+        # the floor every cycle returns to (reference schedulers.py:680-695)
+        tri = (self.max_lr - self.base_lr) * max(0, (1 - x))
         if self.scale_mode == "cycle":
-            return base * self.scale_fn(cycle)
-        return base * self.scale_fn(clr_iterations)
+            return self.base_lr + tri * self.scale_fn(cycle)
+        return self.base_lr + tri * self.scale_fn(clr_iterations)
 
     def on_batch_end(self):
         self.clr_iterations += 1
