@@ -3,7 +3,6 @@
 TDOA → delay-and-sum → ISTFT, end-to-end as one jit-able chain."""
 from __future__ import annotations
 
-import jax.numpy as jnp
 
 from svt_speechbrain_tpu.nnet.core import Module
 from svt_speechbrain_tpu.processing.features import STFT, ISTFT
@@ -18,13 +17,13 @@ class DelaySum_Beamformer(Module):
         self.stft = STFT(sample_rate=sampling_rate)
         self.cov = Covariance()
         self.gccphat = GccPhat(tdoa_max=tdoa_max)
-        self.delaysum = DelaySum(sample_rate=sampling_rate)
+        self.delaysum = DelaySum()
         self.istft = ISTFT(sample_rate=sampling_rate)
 
     def __call__(self, params, mics_signals):
         del params
         xs = self.stft(None, mics_signals)       # (B, T', F, 2, C)
-        cov = self.cov(None, xs)                 # (B, 1, F, C, C)
-        tdoas = self.gccphat(None, cov)          # (B, C)
-        ys = self.delaysum(None, xs, tdoas.astype(jnp.float32))  # (..., 1)
+        cov = self.cov(None, xs)                 # (B, T', F, 2, P) packed
+        tdoas = self.gccphat(None, cov)          # (B, T', P) fractional
+        ys = self.delaysum(None, xs, tdoas)      # (B, T', F, 2, 1)
         return self.istft(None, ys[..., 0], sig_length=mics_signals.shape[1])

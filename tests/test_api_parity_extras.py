@@ -398,8 +398,7 @@ def test_sweep_batch3_processing():
     from svt_speechbrain_tpu.nnet.loss.stoi_loss import (removeSilentFrames,
                                                          thirdoct)
     from svt_speechbrain_tpu.processing.decomposition import (
-        _complex_to_tri, _tri_to_complex, f, finv, g, gevd, ginv, inv,
-        pos_def)
+        _pack, _unpack, f, finv, g, gevd, ginv, inv, pos_def)
     from svt_speechbrain_tpu.processing.diarization import (
         Spec_Clust_unorm, cosine_affinity, distribute_overlap, is_overlapped,
         spectral_clustering_sb)
@@ -424,27 +423,30 @@ def test_sweep_batch3_processing():
     np.testing.assert_allclose(A[..., 0, :] ** 2 + A[..., 1, :] ** 2, 1.0,
                                atol=1e-5)
 
-    # decomposition round trips + generalized eigensolve
+    # decomposition round trips + generalized eigensolve (packed (*, 2, P))
     rng = np.random.default_rng(0)
     m = rng.normal(size=(2, 3, 3)) + 1j * rng.normal(size=(2, 3, 3))
     m = m @ np.conj(np.swapaxes(m, -1, -2)) + 3 * np.eye(3)
-    tri = _complex_to_tri(jnp.asarray(m, jnp.complex64))
-    np.testing.assert_allclose(np.asarray(_tri_to_complex(tri)), m, rtol=1e-5)
+    tri = _pack(jnp.asarray(m, jnp.complex64))
+    assert tri.shape == (2, 2, 6)
+    np.testing.assert_allclose(np.asarray(_unpack(tri)), m, rtol=1e-5)
     np.testing.assert_allclose(np.asarray(finv(f(tri))), np.asarray(tri),
                                atol=1e-5)
-    np.testing.assert_allclose(np.asarray(ginv(g(tri))), np.asarray(tri),
-                               atol=1e-5)
-    mi = np.asarray(_tri_to_complex(inv(tri)))
-    prod = mi @ np.asarray(_tri_to_complex(pos_def(tri)))
+    stacked = jnp.stack([jnp.real(jnp.asarray(m, jnp.complex64)),
+                         jnp.imag(jnp.asarray(m, jnp.complex64))], axis=-1)
+    np.testing.assert_allclose(np.asarray(ginv(g(stacked))),
+                               np.asarray(stacked), atol=1e-5)
+    mi = np.asarray(inv(tri))
+    mi = mi[..., 0] + 1j * mi[..., 1]
+    prod = mi @ np.asarray(_unpack(pos_def(tri)))
     np.testing.assert_allclose(prod, np.broadcast_to(np.eye(3), prod.shape),
                                atol=1e-4)
-    b = _complex_to_tri(jnp.asarray(np.stack([np.eye(3) * 2] * 2),
-                                    jnp.complex64))
-    vecs, vals = gevd(tri, b)
+    b = _pack(jnp.asarray(np.stack([np.eye(3) * 2] * 2), jnp.complex64))
+    vecs, ds = gevd(tri, b)
     vm = np.asarray(vecs[..., 0]) + 1j * np.asarray(vecs[..., 1])
-    lhs = np.asarray(_tri_to_complex(tri)) @ vm
-    rhs = (np.asarray(_tri_to_complex(pos_def(b))) @ vm
-           ) * np.asarray(vals)[..., None, :]
+    vals = np.asarray(ds[..., 0]).diagonal(axis1=-2, axis2=-1)
+    lhs = np.asarray(_unpack(tri)) @ vm
+    rhs = (np.asarray(_unpack(b)) @ vm) * vals[..., None, :]
     np.testing.assert_allclose(lhs, rhs, atol=1e-4)
 
     # diarization public API separates two clear clusters

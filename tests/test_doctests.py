@@ -38,6 +38,8 @@ MODULES = [
     "svt_speechbrain_tpu.decoders.ctc",
     "svt_speechbrain_tpu.models.features",
     "svt_speechbrain_tpu.processing.signal_processing",
+    "svt_speechbrain_tpu.processing.multi_mic",
+    "svt_speechbrain_tpu.processing.decomposition",
     "svt_speechbrain_tpu.utils.accuracy",
     "svt_speechbrain_tpu.utils.epoch_loop",
     "svt_speechbrain_tpu.dataio.sampler",

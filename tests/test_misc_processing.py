@@ -64,14 +64,16 @@ def test_multi_mic_delay_sum_and_gcc():
     stft = STFT(sample_rate=16000, n_fft=400)
     xs = np.asarray(stft(None, jnp.asarray(x)))  # (B, T, F, 2, C)
     cov = Covariance()(None, xs)
+    # packed triu pairs (0,0), (0,1), (1,1); fractional TDOAs per frame
     tdoas = np.asarray(GccPhat(tdoa_max=20)(None, cov))
-    assert tdoas.shape == (1, 2)
-    assert tdoas[0, 0] == 0
-    assert abs(abs(tdoas[0, 1]) - delay) <= 1  # recovers the delay
+    assert tdoas.shape == (1, xs.shape[1], 3)
+    assert np.all(np.abs(tdoas[..., 0]) < 0.5)          # autocorrelation
+    assert np.all(np.abs(tdoas[..., 2]) < 0.5)
+    assert abs(abs(tdoas[0, 0, 1]) - delay) <= 1        # recovers the delay
 
-    out = DelaySum()(None, jnp.asarray(xs), jnp.asarray(tdoas, jnp.float32))
+    out = DelaySum()(None, jnp.asarray(xs), jnp.asarray(tdoas))
     assert out.shape == (1, xs.shape[1], xs.shape[2], 2, 1)
-    out2 = Mvdr()(None, jnp.asarray(xs), cov, jnp.asarray(tdoas, jnp.float32))
+    out2 = Mvdr()(None, jnp.asarray(xs), cov, jnp.asarray(tdoas))
     assert np.isfinite(np.asarray(out2)).all()
 
 
