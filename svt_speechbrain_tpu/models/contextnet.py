@@ -86,7 +86,18 @@ class ContextNetBlock(Module):
 
 class ContextNet(Module):
     """ContextNet encoder (reference ``ContextNet.py:18``), simplified to the
-    block schedule (channel/stride plan of the small variant)."""
+    block schedule (channel/stride plan of the small variant).
+
+    Example
+    -------
+    >>> import jax, jax.numpy as jnp
+    >>> net = ContextNet(input_size=40, out_channels=64,
+    ...                  conv_channels=[32, 32, 32, 32, 64],
+    ...                  num_blocks=5, num_layers=2)
+    >>> params = net.init(jax.random.PRNGKey(0))
+    >>> net(params, jnp.ones((2, 16, 40))).shape
+    (2, 16, 64)
+    """
 
     def __init__(self, input_size, out_channels=640, conv_channels=None,
                  kernel_size=3, strides=None, num_blocks=5, num_layers=2,
@@ -124,7 +135,17 @@ class ContextNet(Module):
 
 
 class ESPnetVGG(Module):
-    """VGG2L frontend + LSTM (reference ``ESPnetVGG.py:18``)."""
+    """VGG2L frontend + LSTM (reference ``ESPnetVGG.py:18``).
+
+    Example
+    -------
+    >>> import jax, jax.numpy as jnp
+    >>> vgg = ESPnetVGG(input_size=40, vgg_channels=(4, 8),
+    ...                 rnn_neurons=16, rnn_layers=1)
+    >>> params = vgg.init(jax.random.PRNGKey(0))
+    >>> vgg(params, jnp.ones((2, 8, 40))).shape   # 2x2 pooling per VGG block
+    (2, 2, 32)
+    """
 
     def __init__(self, input_size, vgg_channels=(64, 128), rnn_neurons=512,
                  rnn_layers=4, rnn_bidirectional=True, dropout=0.15):

@@ -13,7 +13,19 @@ from svt_speechbrain_tpu.nnet.normalization import LayerNorm
 class ConvolutionFrontEnd(Module):
     """Stack of strided conv blocks for 4x time downsampling before a
     transformer encoder (reference ``convolution.py:18``). Channel-last
-    (B, T, F); each block: conv(stride on time) → norm → activation."""
+    (B, T, F); each block: conv(stride on time) → norm → activation.
+
+    Example
+    -------
+    >>> import jax, jax.numpy as jnp
+    >>> fe = ConvolutionFrontEnd(input_size=40, out_channels=(8, 16, 32),
+    ...                          strides=(2, 2, 1))
+    >>> params = fe.init(jax.random.PRNGKey(0))
+    >>> fe(params, jnp.ones((2, 16, 40))).shape   # 4x time downsampling
+    (2, 4, 320)
+    >>> fe.output_dim()
+    320
+    """
 
     def __init__(self, input_shape=None, input_size=None, num_blocks=3,
                  num_layers_per_block=1, out_channels=(128, 256, 512),

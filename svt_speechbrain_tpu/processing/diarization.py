@@ -8,7 +8,16 @@ import numpy as np
 
 
 def get_oracle_num_spkrs(rec_id, spkr_info):
-    """Oracle speaker count from RTTM speaker info (reference ``:42``)."""
+    """Oracle speaker count from RTTM speaker info (reference ``:42``).
+
+    Example
+    -------
+    >>> info = ["SPKR-INFO rec1 0 <NA> <NA> <NA> unknown spk1",
+    ...         "SPKR-INFO rec1 0 <NA> <NA> <NA> unknown spk2",
+    ...         "SPKR-INFO rec2 0 <NA> <NA> <NA> unknown spk9"]
+    >>> get_oracle_num_spkrs("rec1", info)
+    2
+    """
     return len({line.split()[7] for line in spkr_info
                 if line.split()[1] == rec_id})
 
@@ -70,7 +79,22 @@ def _kmeans(x, k, n_iter=50, seed=0):
 
 def do_spec_clustering(emb, k_oracle=None, pval=0.3, max_num_spkrs=10):
     """Full spectral-clustering pipeline embeddings → labels
-    (reference ``Spec_Cluster.do_spec_clust``)."""
+    (reference ``Spec_Cluster.do_spec_clust``).
+
+    Example
+    -------
+    >>> import numpy as np
+    >>> rng = np.random.default_rng(0)
+    >>> a = rng.normal(size=(10, 8)) * 0.05 + np.eye(8)[0]  # speaker A
+    >>> b = rng.normal(size=(10, 8)) * 0.05 + np.eye(8)[1]  # speaker B
+    >>> labels, k = do_spec_clustering(np.vstack([a, b]), k_oracle=2)
+    >>> k
+    2
+    >>> bool((labels[:10] == labels[0]).all()
+    ...      and (labels[10:] == labels[10]).all()
+    ...      and labels[0] != labels[10])
+    True
+    """
     sim = cosine_affinity(np.asarray(emb))
     pruned = p_pruning(sim, pval)
     lap = get_laplacian(pruned)

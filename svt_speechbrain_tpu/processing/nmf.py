@@ -7,7 +7,16 @@ import numpy as np
 
 def nmf_factorize(V, rank=20, n_iter=100, eps=1e-10, seed=0):
     """Multiplicative-update NMF: V ≈ W H with KL divergence
-    (reference ``decomposition.py``)."""
+    (reference ``decomposition.py``).
+
+    Example
+    -------
+    >>> import numpy as np
+    >>> V = np.outer([1.0, 2.0, 3.0], [1.0, 0.5, 2.0, 1.0])  # rank-1 exactly
+    >>> W, H = nmf_factorize(V, rank=1, n_iter=200)
+    >>> bool(np.allclose(W @ H, V, atol=1e-6))
+    True
+    """
     rng = np.random.default_rng(seed)
     V = np.maximum(np.asarray(V, dtype=np.float64), eps)
     f, t = V.shape
@@ -25,7 +34,23 @@ def nmf_factorize(V, rank=20, n_iter=100, eps=1e-10, seed=0):
 
 def separate_sources(mixture_mag, W1, W2, n_iter=100, eps=1e-10, seed=0):
     """Wiener-style separation with two pre-trained spectral dictionaries
-    (reference ``NMF.py`` separate)."""
+    (reference ``NMF.py`` separate).
+
+    Example
+    -------
+    >>> import numpy as np
+    >>> W1 = np.array([[1.0], [0.0]])   # source 1 lives in bin 0
+    >>> W2 = np.array([[0.0], [1.0]])   # source 2 lives in bin 1
+    >>> V = np.array([[2.0, 0.0],       # mixture magnitudes (F=2, T=2)
+    ...               [0.0, 3.0]])
+    >>> S1, S2 = separate_sources(V, W1, W2, n_iter=50)
+    >>> np.round(S1, 2)
+    array([[2., 0.],
+           [0., 0.]])
+    >>> np.round(S2, 2)
+    array([[0., 0.],
+           [0., 3.]])
+    """
     rng = np.random.default_rng(seed)
     V = np.maximum(np.asarray(mixture_mag, dtype=np.float64), eps)
     W = np.concatenate([W1, W2], axis=1)

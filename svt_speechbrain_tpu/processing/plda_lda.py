@@ -49,7 +49,23 @@ class StatObject_SB:
 
 class LDA:
     """Linear discriminant analysis projection (reference ``PLDA_LDA.py``
-    ``do_lda``)."""
+    ``do_lda``).
+
+    Example
+    -------
+    >>> import numpy as np
+    >>> rng = np.random.default_rng(0)
+    >>> x = np.vstack([rng.normal(size=(20, 4)) * 0.1 + [3, 0, 0, 0],
+    ...                rng.normal(size=(20, 4)) * 0.1 + [-3, 0, 0, 0]])
+    >>> ids = np.array(["spkA"] * 20 + ["spkB"] * 20)
+    >>> st = StatObject_SB(modelset=ids, segset=ids,
+    ...                    stat0=np.ones((40, 1)), stat1=x)
+    >>> proj = LDA(reduce_dim=1).do_lda(st)
+    >>> proj.stat1.shape
+    (40, 1)
+    >>> bool(abs(proj.stat1[:20].mean() - proj.stat1[20:].mean()) > 4)
+    True
+    """
 
     def __init__(self, reduce_dim=2):
         self.reduce_dim = reduce_dim
@@ -78,7 +94,23 @@ class LDA:
 
 class PLDA:
     """Probabilistic LDA with EM training + LLR scoring
-    (reference ``PLDA_LDA.py`` PLDA class)."""
+    (reference ``PLDA_LDA.py`` PLDA class).
+
+    Example
+    -------
+    >>> import numpy as np
+    >>> rng = np.random.default_rng(0)
+    >>> x = np.vstack([rng.normal(size=(20, 4)) * 0.1 + [3, 0, 0, 0],
+    ...                rng.normal(size=(20, 4)) * 0.1 + [-3, 0, 0, 0]])
+    >>> ids = np.array(["spkA"] * 20 + ["spkB"] * 20)
+    >>> st = StatObject_SB(modelset=ids, segset=ids,
+    ...                    stat0=np.ones((40, 1)), stat1=x)
+    >>> p = PLDA(rank_f=2, nb_iter=5)
+    >>> _ = p.plda(st)
+    >>> llr = _plda_llr_matrix(p, x[:1], x[[1, 21]])  # enroll A vs (A, B)
+    >>> bool(llr[0, 0] > llr[0, 1])   # same-speaker scores higher
+    True
+    """
 
     def __init__(self, rank_f=100, nb_iter=10, scaling_factor=1.0):
         self.rank_f = rank_f

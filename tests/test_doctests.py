@@ -73,6 +73,11 @@ MODULES = [
     "svt_speechbrain_tpu.processing.features",
     "svt_speechbrain_tpu.utils.der",
     "svt_speechbrain_tpu.parallel.mesh",
+    "svt_speechbrain_tpu.processing.nmf",
+    "svt_speechbrain_tpu.processing.diarization",
+    "svt_speechbrain_tpu.processing.plda_lda",
+    "svt_speechbrain_tpu.models.contextnet",
+    "svt_speechbrain_tpu.models.convolution",
 ]
 
 
