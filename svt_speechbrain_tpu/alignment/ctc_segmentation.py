@@ -11,6 +11,19 @@ def ctc_segmentation(log_probs, tokens, blank_id=0, frame_duration=0.02,
                      min_window=8000):
     """log_probs (T, V) CTC posteriors; tokens: list of token-id lists per
     utterance. Returns list of (start_s, end_s, min_avg_logp) per utterance.
+
+    Example
+    -------
+    >>> import numpy as np
+    >>> lp = np.full((10, 3), -8.0)          # vocab: blank, tok1, tok2
+    >>> lp[0:4, 1] = -0.1                    # frames 0-3 say tok1
+    >>> lp[4:6, 0] = -0.1                    # frames 4-5 say blank
+    >>> lp[6:10, 2] = -0.1                   # frames 6-9 say tok2
+    >>> lp -= np.log(np.exp(lp).sum(1, keepdims=True))
+    >>> segs = ctc_segmentation(lp, [[1], [2]], blank_id=0,
+    ...                         frame_duration=0.02)
+    >>> [(round(s, 2), round(e, 2)) for s, e, conf in segs]
+    [(0.0, 0.08), (0.12, 0.18)]
     """
     log_probs = np.asarray(log_probs, dtype=np.float64)
     t_max = log_probs.shape[0]

@@ -14,6 +14,24 @@ class TransducerBeamSearcher:
 
     ``decode_fn(tokens, state) → (dec_out, state)`` runs the prediction
     network one step; ``joint_fn(enc_frame, dec_out) → logits`` the joint.
+
+    Example
+    -------
+    >>> import jax, jax.numpy as jnp
+    >>> V = 4   # vocab with blank_id=0
+    >>> def decode_fn(tokens, state):      # suppress the last-emitted token
+    ...     return -10.0 * jax.nn.one_hot(tokens, V), None
+    >>> def joint_fn(enc_frame, dec_out):
+    ...     return enc_frame + dec_out
+    >>> enc = 5.0 * jax.nn.one_hot(jnp.array([[2, 1, 0]]), V)  # (1, 3, V)
+    >>> searcher = TransducerBeamSearcher(decode_fn, joint_fn, blank_id=0,
+    ...                                   beam_size=1)
+    >>> hyps, scores = searcher(enc)
+    >>> hyps
+    [[2, 1]]
+    >>> TransducerBeamSearcher(decode_fn, joint_fn, blank_id=0,
+    ...                        beam_size=2)(enc)[0]
+    [[2, 1]]
     """
 
     def __init__(self, decode_fn, joint_fn, blank_id, beam_size=4,

@@ -13,7 +13,22 @@ from svt_speechbrain_tpu.processing.speech_augmentation import (
 class SpecAugment(Module):
     """Time/frequency masking + time warp over spectrograms
     (reference ``augment.py:32``). Static shapes: masks are built with
-    broadcasted comparisons; warp uses linear interpolation."""
+    broadcasted comparisons; warp uses linear interpolation.
+
+    Example
+    -------
+    >>> import jax, jax.numpy as jnp, numpy as np
+    >>> aug = SpecAugment(time_warp=False, freq_mask_width=(2, 4),
+    ...                   time_mask_width=(2, 4))
+    >>> x = jnp.ones((1, 50, 40))
+    >>> out = aug(None, x, rng=jax.random.PRNGKey(3))
+    >>> out.shape
+    (1, 50, 40)
+    >>> bool((np.asarray(out) == 0).any())      # masks zero entries out
+    True
+    >>> bool(np.array_equal(np.asarray(aug(None, x)), np.asarray(x)))
+    True
+    """
 
     def __init__(self, time_warp=True, time_warp_window=5, time_warp_mode="bicubic",
                  freq_mask=True, n_freq_mask=2, time_mask=True, n_time_mask=2,

@@ -10,6 +10,18 @@ class GuidedAttentionLoss:
     """L = mean over valid (t, u) of A[t, u] * (1 - exp(-((u/U - t/T)^2) / 2σ²)).
 
     Call with attention (B, targets_len, inputs_len) and absolute lengths.
+
+    Example
+    -------
+    >>> import jax.numpy as jnp
+    >>> loss = GuidedAttentionLoss(sigma=0.2)
+    >>> lens = jnp.array([4])
+    >>> diag = loss(jnp.eye(4)[None], lens, lens)        # on-diagonal: free
+    >>> anti = loss(jnp.eye(4)[::-1][None], lens, lens)  # anti-diagonal
+    >>> float(diag)
+    0.0
+    >>> bool(anti > diag)
+    True
     """
 
     def __init__(self, sigma=0.2):

@@ -78,6 +78,11 @@ MODULES = [
     "svt_speechbrain_tpu.processing.plda_lda",
     "svt_speechbrain_tpu.models.contextnet",
     "svt_speechbrain_tpu.models.convolution",
+    "svt_speechbrain_tpu.decoders.transducer",
+    "svt_speechbrain_tpu.alignment.ctc_segmentation",
+    "svt_speechbrain_tpu.nnet.loss.guidedattn_loss",
+    "svt_speechbrain_tpu.nnet.loss.stoi_loss",
+    "svt_speechbrain_tpu.models.augment",
 ]
 
 
