@@ -79,7 +79,16 @@ class HMMAligner:
 
 def batch_log_matvecmul(A, b):
     """Log-space matrix × vector: out[i] = logsumexp_j(A[ij] + b[j]),
-    batched (reference ``aligner.py:1077``)."""
+    batched (reference ``aligner.py:1077``).
+
+    Example
+    -------
+    >>> import numpy as np, jax.numpy as jnp
+    >>> A = jnp.log(jnp.asarray([[[0.5, 0.5], [0.25, 0.75]]]))
+    >>> b = jnp.log(jnp.asarray([[0.5, 0.5]]))
+    >>> np.round(np.exp(np.asarray(batch_log_matvecmul(A, b))), 3)
+    array([[0.5, 0.5]], dtype=float32)
+    """
     import jax.numpy as jnp
 
     return jax.nn.logsumexp(A + b[:, None, :], axis=-1)
@@ -87,7 +96,17 @@ def batch_log_matvecmul(A, b):
 
 def batch_log_maxvecmul(A, b):
     """Max-plus matrix × vector with argmax, batched
-    (reference ``aligner.py:1107``): returns (max values, argmax indices)."""
+    (reference ``aligner.py:1107``): returns (max values, argmax indices).
+
+    Example
+    -------
+    >>> import numpy as np, jax.numpy as jnp
+    >>> A = jnp.log(jnp.asarray([[[0.5, 0.5], [0.25, 0.75]]]))
+    >>> b = jnp.log(jnp.asarray([[0.5, 0.5]]))
+    >>> v, idx = batch_log_maxvecmul(A, b)
+    >>> np.round(np.exp(np.asarray(v)), 3), np.asarray(idx)
+    (array([[0.25 , 0.375]], dtype=float32), array([[0, 1]], dtype=int32))
+    """
     import jax.numpy as jnp
 
     scores = A + b[:, None, :]

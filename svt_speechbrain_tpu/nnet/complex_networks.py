@@ -49,7 +49,16 @@ def complex_init(rng, in_features, out_features, criterion="glorot"):
 
 def complex_linear_op(x, real_weight, imag_weight, bias=None):
     """Complex matmul over the packed representation
-    (reference ``c_ops.py`` complex_linear_op)."""
+    (reference ``c_ops.py`` complex_linear_op).
+
+    Example
+    -------
+    >>> import jax.numpy as jnp
+    >>> x = jnp.asarray([[1.0, 2.0]])                 # one unit: 1 + 2j
+    >>> wr, wi = jnp.asarray([[3.0]]), jnp.asarray([[4.0]])   # weight 3 + 4j
+    >>> complex_linear_op(x, wr, wi)                  # (1+2j)(3+4j) = -5+10j
+    Array([[-5., 10.]], dtype=float32)
+    """
     xr, xi = get_real(x), get_imag(x)
     yr = xr @ real_weight - xi @ imag_weight
     yi = xr @ imag_weight + xi @ real_weight
@@ -61,7 +70,16 @@ def complex_linear_op(x, real_weight, imag_weight, bias=None):
 
 class CLinear(Module):
     """Complex linear layer (reference ``complex_networks/linear.py``).
-    ``n_neurons`` counts complex units (output width = 2*n_neurons)."""
+    ``n_neurons`` counts complex units (output width = 2*n_neurons).
+
+    Example
+    -------
+    >>> import jax, jax.numpy as jnp
+    >>> lin = CLinear(n_neurons=4, input_size=2)
+    >>> params = lin.init(jax.random.PRNGKey(0))
+    >>> lin(params, jnp.ones((2, 5, 2))).shape
+    (2, 5, 8)
+    """
 
     def __init__(self, n_neurons, input_shape=None, input_size=None, bias=True,
                  init_criterion="glorot", weight_init="complex"):

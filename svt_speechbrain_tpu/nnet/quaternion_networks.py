@@ -50,7 +50,16 @@ def quaternion_init(rng, in_features, out_features, criterion="glorot"):
 
 def quaternion_linear_op(x, wr, wi, wj, wk, bias=None):
     """Hamilton product y = x ⊗ W over packed tensors
-    (reference ``q_ops.py`` quaternion_linear_op)."""
+    (reference ``q_ops.py`` quaternion_linear_op).
+
+    Example
+    -------
+    >>> import jax.numpy as jnp
+    >>> x = jnp.asarray([[0.0, 1.0, 0.0, 0.0]])            # pure i
+    >>> wr, wi, wj, wk = (jnp.asarray([[v]]) for v in (0., 0., 1., 0.))  # j
+    >>> quaternion_linear_op(x, wr, wi, wj, wk)            # i ⊗ j = k
+    Array([[0., 0., 0., 1.]], dtype=float32)
+    """
     xr, xi, xj, xk = split_quaternion(x)
     yr = xr @ wr - xi @ wi - xj @ wj - xk @ wk
     yi = xr @ wi + xi @ wr + xj @ wk - xk @ wj

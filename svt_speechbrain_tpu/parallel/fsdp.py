@@ -50,6 +50,21 @@ def fsdp_shardings(params, mesh, axis="data", base=None):
 
     ``base``: optional pytree of NamedSharding (e.g. from
     ``tp.encoder_tp_shardings``) whose already-sharded axes are preserved.
+
+    Example
+    -------
+    >>> import jax.numpy as jnp
+    >>> from svt_speechbrain_tpu.parallel.mesh import make_mesh
+    >>> mesh = make_mesh()                  # 1-D "data" mesh, 8 CPU devices
+    >>> params = {"w": jnp.ones((16, 8)), "b": jnp.ones((3,))}
+    >>> sh = fsdp_shardings(params, mesh, axis="data")
+    >>> sh["w"].spec                        # largest divisible axis sharded
+    PartitionSpec('data', None)
+    >>> sh["b"].spec                        # 3 not divisible by 8: replicated
+    PartitionSpec()
+    >>> placed = apply_fsdp(params, mesh, axis="data")
+    >>> placed["w"].addressable_shards[0].data.shape   # 16/8 rows per device
+    (2, 8)
     """
     axis_size = mesh.shape[axis]
 

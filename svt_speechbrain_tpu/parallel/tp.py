@@ -41,7 +41,25 @@ def _spec_for_path(path, model_axis):
 
 def encoder_tp_shardings(params, mesh, model_axis="model"):
     """NamedSharding pytree for wav2vec2/AV-HuBERT encoder params: column/row
-    parallel FFN + head-parallel attention over ``model_axis``."""
+    parallel FFN + head-parallel attention over ``model_axis``.
+
+    Example
+    -------
+    >>> import jax.numpy as jnp
+    >>> from svt_speechbrain_tpu.parallel.mesh import make_mesh
+    >>> mesh = make_mesh(axis_names=("data", "model"), shape=(2, 4))
+    >>> params = {"layers": {"0": {
+    ...     "ffn1": {"w": jnp.ones((8, 16))}, "ffn2": {"w": jnp.ones((16, 8))},
+    ...     "attn": {"wq": jnp.ones((8, 8)), "wo": jnp.ones((8, 8))},
+    ...     "norm": {"scale": jnp.ones((8,))}}}}
+    >>> sh = encoder_tp_shardings(params, mesh)["layers"]["0"]
+    >>> sh["ffn1"]["w"].spec, sh["ffn2"]["w"].spec    # column, then row
+    (PartitionSpec(None, 'model'), PartitionSpec('model', None))
+    >>> sh["attn"]["wq"].spec, sh["attn"]["wo"].spec  # head-parallel
+    (PartitionSpec(None, 'model'), PartitionSpec('model', None))
+    >>> sh["norm"]["scale"].spec                      # norms replicated
+    PartitionSpec()
+    """
     return jax.tree_util.tree_map_with_path(
         lambda path, leaf: NamedSharding(mesh, _spec_for_path(path, model_axis)),
         params)

@@ -81,5 +81,14 @@ def amt_train_flops(config, num_samples: int, head_out: int = 20,
 
 
 def mfu(flops_per_example: float, examples_per_sec: float) -> float:
-    """Model FLOPs utilization in [0, 1]."""
+    """Model FLOPs utilization in [0, 1].
+
+    Example
+    -------
+    >>> import os
+    >>> os.environ["TPU_PEAK_TFLOPS"] = "100"
+    >>> mfu(1e12, 50.0)     # 50 TFLOP/s achieved on a 100 TFLOP/s chip
+    0.5
+    >>> del os.environ["TPU_PEAK_TFLOPS"]
+    """
     return flops_per_example * examples_per_sec / peak_flops_per_sec()

@@ -83,6 +83,12 @@ MODULES = [
     "svt_speechbrain_tpu.nnet.loss.guidedattn_loss",
     "svt_speechbrain_tpu.nnet.loss.stoi_loss",
     "svt_speechbrain_tpu.models.augment",
+    "svt_speechbrain_tpu.utils.flops",
+    "svt_speechbrain_tpu.parallel.fsdp",
+    "svt_speechbrain_tpu.parallel.tp",
+    "svt_speechbrain_tpu.alignment.aligner",
+    "svt_speechbrain_tpu.nnet.complex_networks",
+    "svt_speechbrain_tpu.nnet.quaternion_networks",
 ]
 
 
