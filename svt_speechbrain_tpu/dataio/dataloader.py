@@ -30,7 +30,24 @@ def make_dataloader(dataset, looped_nominal_epoch=None, **loader_kwargs):
 
 
 class SaveableDataLoader:
-    """Reference ``dataloader.py:185-265`` analogue."""
+    """Reference ``dataloader.py:185-265`` analogue: PaddedBatch-collating
+    loader whose epoch position is checkpointable (``_iterator_position``
+    counts delivered batches; setting ``_recovery_skip`` resumes mid-epoch).
+
+    Example
+    -------
+    >>> import numpy as np
+    >>> data = [{"id": f"u{i}", "x": np.arange(i + 1, dtype=np.float32)}
+    ...         for i in range(4)]
+    >>> dl = SaveableDataLoader(data, batch_size=2)
+    >>> batch = next(iter(dl))
+    >>> batch.id, np.asarray(batch.x.data).shape   # padded to longest row
+    (['u0', 'u1'], (2, 2))
+    >>> resumed = SaveableDataLoader(data, batch_size=2)
+    >>> resumed._recovery_skip = 1                 # as restored from a ckpt
+    >>> [b.id for b in resumed]                    # skips the consumed batch
+    [['u2', 'u3']]
+    """
 
     def __init__(self, dataset, batch_size=1, shuffle=False, sampler=None,
                  batch_sampler=None, collate_fn=None, drop_last=False,

@@ -20,6 +20,15 @@ def total_length_with_padding(lengths):
 
 
 def padding_ratio(lengths):
+    """Wasted fraction when padding to the max length.
+
+    Example
+    -------
+    >>> total_length_with_padding([4, 4, 8])
+    24
+    >>> round(padding_ratio([4, 4, 8]), 3)     # 8 of 24 slots are padding
+    0.333
+    """
     return 1.0 - sum(lengths) / total_length_with_padding(lengths)
 
 
@@ -27,7 +36,15 @@ def indices_around_random_pivot(databuffer, target_batch_numel,
                                 max_batch_size=None, max_batch_numel=None,
                                 max_padding_ratio=None, randint_generator=None):
     """Pick a random pivot in the sorted buffer and grow the batch outward
-    toward the target element count (reference ``iterators.py:44``)."""
+    toward the target element count (reference ``iterators.py:44``).
+
+    Example
+    -------
+    >>> buf = [LengthItem(l, f"utt{l}") for l in (2, 3, 4, 8, 9)]
+    >>> indices_around_random_pivot(buf, target_batch_numel=12,
+    ...                             randint_generator=lambda a, b: 1)
+    [0, 1, 2]
+    """
     randint_generator = randint_generator or random.randint
     pivot = randint_generator(0, len(databuffer) - 1)
     lo = hi = pivot

@@ -8,7 +8,17 @@ import numpy as np
 class AudioNormalizer:
     """Resample to a target rate and mix channels (reference
     ``preprocess.py:8``): the loader-side normalization every pretrained
-    interface applies to arbitrary input audio."""
+    interface applies to arbitrary input audio.
+
+    Example
+    -------
+    >>> import numpy as np
+    >>> norm = AudioNormalizer(sample_rate=16000)
+    >>> stereo = np.stack([np.ones(80), np.zeros(80)], axis=1)  # 8 kHz stereo
+    >>> out = norm(stereo, 8000)
+    >>> out.shape, round(float(out.mean()), 2)    # upsampled 2x, mono-mixed
+    ((160,), 0.5)
+    """
 
     def __init__(self, sample_rate=16000, mix="avg-to-mono"):
         self.sample_rate = sample_rate

@@ -11,7 +11,17 @@ logger = logging.getLogger(__name__)
 
 def import_from_path(path):
     """Import a python module from an arbitrary file path
-    (reference ``superpowers.py:20``)."""
+    (reference ``superpowers.py:20``).
+
+    Example
+    -------
+    >>> import os, tempfile
+    >>> d = tempfile.mkdtemp()
+    >>> path = os.path.join(d, "mymod.py")
+    >>> _ = open(path, "w").write("VALUE = 42\\n")
+    >>> import_from_path(path).VALUE
+    42
+    """
     spec = importlib.util.spec_from_file_location("external_module", path)
     module = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(module)
@@ -20,7 +30,14 @@ def import_from_path(path):
 
 def run_shell(cmd):
     """Run a shell command, returning (output, err, return_code)
-    (reference ``superpowers.py:51``)."""
+    (reference ``superpowers.py:51``).
+
+    Example
+    -------
+    >>> out, err, rc = run_shell("echo hello")
+    >>> out.decode().strip(), rc
+    ('hello', 0)
+    """
     p = subprocess.Popen(cmd, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
                          shell=True)
     output, err = p.communicate()

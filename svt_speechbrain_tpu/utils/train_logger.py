@@ -14,7 +14,18 @@ class TrainLogger:
 
 class FileTrainLogger(TrainLogger):
     """One line per epoch in a stats file (reference ``train_logger.py:44-99``);
-    format: ``epoch: 3, lr: 1.00e-3 - train loss: 2.51 - valid loss: 2.30``."""
+    format: ``epoch: 3, lr: 1.00e-3 - train loss: 2.51 - valid loss: 2.30``.
+
+    Example
+    -------
+    >>> import os, tempfile
+    >>> d = tempfile.mkdtemp()
+    >>> tl = FileTrainLogger(os.path.join(d, "log.txt"))
+    >>> tl.log_stats({"epoch": 3, "lr": 0.001}, train_stats={"loss": 2.512},
+    ...              valid_stats={"loss": 2.301}, verbose=False)
+    >>> print(open(tl.save_file).read().strip())
+    epoch: 3, lr: 1.00e-03 - train loss: 2.51 - valid loss: 2.30
+    """
 
     def __init__(self, save_file, precision=2):
         self.save_file = save_file

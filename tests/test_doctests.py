@@ -89,6 +89,11 @@ MODULES = [
     "svt_speechbrain_tpu.alignment.aligner",
     "svt_speechbrain_tpu.nnet.complex_networks",
     "svt_speechbrain_tpu.nnet.quaternion_networks",
+    "svt_speechbrain_tpu.dataio.iterators",
+    "svt_speechbrain_tpu.dataio.preprocess",
+    "svt_speechbrain_tpu.dataio.dataloader",
+    "svt_speechbrain_tpu.utils.train_logger",
+    "svt_speechbrain_tpu.utils.superpowers",
 ]
 
 
