@@ -13,7 +13,19 @@ from svt_speechbrain_tpu.nnet.rnn import LSTM
 
 class EnhancementGenerator(Module):
     """MetricGAN generator: BLSTM → linear mask with learnable sigmoid
-    (reference ``MetricGAN.py`` EnhancementGenerator)."""
+    (reference ``MetricGAN.py`` EnhancementGenerator).
+
+    Example
+    -------
+    >>> import jax, jax.numpy as jnp, numpy as np
+    >>> g = EnhancementGenerator(input_size=8, hidden_size=6, num_layers=1)
+    >>> params = g.init(jax.random.PRNGKey(0))
+    >>> mask = g(params, jnp.ones((2, 5, 8)))
+    >>> mask.shape
+    (2, 5, 8)
+    >>> bool(((np.asarray(mask) >= 0) & (np.asarray(mask) <= 1)).all())
+    True
+    """
 
     def __init__(self, input_size=257, hidden_size=200, num_layers=2, dropout=0.0):
         self.blstm = LSTM(hidden_size, input_size=input_size,

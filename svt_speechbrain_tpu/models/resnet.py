@@ -155,6 +155,16 @@ class ResEncoder(Module):
     """Conv3D frontend + per-frame ResNet trunk (reference ``resnet.py:133-171``).
 
     Input (B, T, H, W, 1) grayscale lip ROIs → output (B, T, 512).
+
+    Example
+    -------
+    >>> import jax, jax.numpy as jnp
+    >>> enc = ResEncoder()
+    >>> params = enc.init(jax.random.PRNGKey(0))
+    >>> out, new_state = enc(params, enc.init_state(),
+    ...                      jnp.ones((1, 2, 32, 32, 1)))
+    >>> out.shape
+    (1, 2, 512)
     """
 
     def __init__(self, relu_type="prelu", weights=None):

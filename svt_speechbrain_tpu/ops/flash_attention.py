@@ -99,7 +99,17 @@ def attention_dropout_mask(seed, b, h, tq, tk, rate):
     """XLA twin of the in-kernel mask for row-major (B, H) flattening:
     (B, H, Tq, Tk) multiplier array (0 or 1/(1-rate)). Used by equivalence
     tests and by einsum fallbacks that must match the flash path bit for
-    bit."""
+    bit.
+
+    Example
+    -------
+    >>> import numpy as np
+    >>> m = attention_dropout_mask(seed=7, b=1, h=2, tq=8, tk=8, rate=0.5)
+    >>> m.shape
+    (1, 2, 8, 8)
+    >>> sorted(set(np.asarray(m).ravel().tolist()))   # dropped or 1/(1-p)
+    [0.0, 2.0]
+    """
     seed = jnp.asarray(seed, jnp.uint32)
     rows = jnp.arange(b * h, dtype=jnp.uint32).reshape(b * h, 1, 1)
     q_idx = jnp.arange(tq, dtype=jnp.int32).reshape(1, tq, 1)
@@ -344,7 +354,19 @@ def flash_attention(q, k, v, lengths=None, scale=None, block_q=256,
     ``dropout_seed`` + global score coordinates), so training configs with
     ``attention_dropout`` keep the fused path. ``dropout_seed``: int32
     scalar (fold a fresh one per step from the step rng);
-    ``attention_dropout_mask`` reproduces the mask in XLA for tests."""
+    ``attention_dropout_mask`` reproduces the mask in XLA for tests.
+
+    Example
+    -------
+    >>> import jax, jax.numpy as jnp, numpy as np
+    >>> q, k, v = (jax.random.normal(kk, (1, 2, 64, 16))
+    ...            for kk in jax.random.split(jax.random.PRNGKey(0), 3))
+    >>> out = flash_attention(q, k, v, interpret=True,  # interpret: CPU test
+    ...                       block_q=32, block_k=32)
+    >>> ref = _xla_attention(q, k, v, scale=1 / np.sqrt(16))
+    >>> out.shape, bool(jnp.allclose(out, ref, atol=1e-5))
+    ((1, 2, 64, 16), True)
+    """
     if dropout_rate > 0.0 and dropout_seed is None:
         # a silent seed-0 default would apply the SAME structured mask at
         # every training step — systematic link removal, not dropout

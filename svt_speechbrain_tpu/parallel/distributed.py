@@ -44,7 +44,18 @@ def main_process_only(function):
 def run_on_main(func, args=None, kwargs=None, post_func=None, post_args=None,
                 post_kwargs=None, run_post_on_main=False):
     """Run ``func`` on the main process only, barrier, then optionally run
-    ``post_func`` on non-main processes (reference ``distributed.py:14-79``)."""
+    ``post_func`` on non-main processes (reference ``distributed.py:14-79``).
+
+    Example
+    -------
+    >>> if_main_process()       # single-process: this IS the main process
+    True
+    >>> acc = []
+    >>> run_on_main(acc.append, args=[1],
+    ...             post_func=acc.append, post_args=[2], run_post_on_main=True)
+    >>> acc
+    [1, 2]
+    """
     args = args or []
     kwargs = kwargs or {}
     post_args = post_args or []

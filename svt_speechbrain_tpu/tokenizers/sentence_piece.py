@@ -71,7 +71,15 @@ class SentencePiece:
 
 
 class CharTokenizer:
-    """Character-level tokenizer with the SentencePiece call surface."""
+    """Character-level tokenizer with the SentencePiece call surface.
+
+    Example
+    -------
+    >>> tok = CharTokenizer(vocab=["abc", "cab"])
+    >>> ids = tok.encode("cab")
+    >>> ids, tok.decode(ids), tok.vocab_size   # id 0 reserved for unk
+    ([3, 1, 2], 'cab', 4)
+    """
 
     def __init__(self, vocab=None, unk_id=0):
         self.unk_id = unk_id

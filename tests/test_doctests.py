@@ -94,6 +94,11 @@ MODULES = [
     "svt_speechbrain_tpu.dataio.dataloader",
     "svt_speechbrain_tpu.utils.train_logger",
     "svt_speechbrain_tpu.utils.superpowers",
+    "svt_speechbrain_tpu.ops.flash_attention",
+    "svt_speechbrain_tpu.parallel.distributed",
+    "svt_speechbrain_tpu.tokenizers.sentence_piece",
+    "svt_speechbrain_tpu.models.enhancement",
+    "svt_speechbrain_tpu.models.resnet",
 ]
 
 
