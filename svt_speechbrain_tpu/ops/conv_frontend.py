@@ -152,7 +152,26 @@ def fused_conv_frontend(params, wav, conv_dim=(512,) * 7, interpret=False,
                         tile_f=TILE_F, packed=None):
     """wav (B, T) → frames (B, F_total, C) through the fused kernel
     ("layer" norm mode only; group-norm frontends need global time
-    statistics and stay on the XLA path)."""
+    statistics and stay on the XLA path).
+
+    Example
+    -------
+    >>> import jax, jax.numpy as jnp
+    >>> c, kernels = 8, (10, 3, 3, 3, 3, 2, 2)
+    >>> keys = jax.random.split(jax.random.PRNGKey(1), 7)
+    >>> params = {str(i): {
+    ...     "conv": {"w": 0.3 * jax.random.normal(
+    ...                  keys[i], (kernels[i], 1 if i == 0 else c, c)),
+    ...              "b": jnp.zeros((c,))},
+    ...     "layer_norm": {"scale": jnp.ones((c,)), "bias": jnp.zeros((c,))}}
+    ...     for i in range(7)}
+    >>> wav = jax.random.normal(jax.random.PRNGKey(2), (1, 1120))
+    >>> out = fused_conv_frontend(params, wav, conv_dim=(c,) * 7,
+    ...                           interpret=True, tile_f=4)
+    >>> ref = _xla_reference(params, wav, (c,) * 7)
+    >>> out.shape, bool(jnp.allclose(out, ref, atol=1e-3))
+    ((1, 3, 8), True)
+    """
     b, t = wav.shape
     c = conv_dim[0]
     interpret = interpret or jax.default_backend() != "tpu"

@@ -322,7 +322,22 @@ def transducer_loss_fused(logits, targets, input_lens, target_lens,
     plus the closed-form RNN-T gradient w.r.t. the logits (occupancy scatter
     fused with the log-softmax VJP — one elementwise pass over (B,T,U1,V)
     instead of autodiff's separate scatter/softmax transposes). Same API:
-    relative lengths, (B, T, U+1, V) logits."""
+    relative lengths, (B, T, U+1, V) logits.
+
+    Example
+    -------
+    >>> import jax, jax.numpy as jnp
+    >>> from svt_speechbrain_tpu.nnet.loss.transducer_loss import (
+    ...     transducer_loss)
+    >>> logits = jax.random.normal(jax.random.PRNGKey(0), (2, 5, 4, 6))
+    >>> targets = jnp.asarray([[1, 2, 3], [2, 4, 0]])
+    >>> t_len, u_len = jnp.asarray([1.0, 0.8]), jnp.asarray([1.0, 2 / 3])
+    >>> fused = transducer_loss_fused(logits, targets, t_len, u_len,
+    ...                               blank_index=0)
+    >>> ref = transducer_loss(logits, targets, t_len, u_len, blank_index=0)
+    >>> bool(jnp.allclose(fused, ref, atol=1e-5))
+    True
+    """
     logits = jnp.asarray(logits).astype(jnp.float32)
     b, t_max, u1, v = logits.shape
     targets = jnp.asarray(targets).astype(jnp.int32)

@@ -47,6 +47,19 @@ def spmd_pipeline(stage_fn, stacked_params, x_microbatches, mesh,
     mesh : jax.sharding.Mesh with ``axis`` of size S.
 
     Returns (M, ...) outputs, replicated over ``axis``.
+
+    Example
+    -------
+    >>> import numpy as np, jax.numpy as jnp
+    >>> from svt_speechbrain_tpu.parallel.mesh import make_mesh
+    >>> mesh = make_mesh(axis_names=("pipe",), shape=(8,))
+    >>> stacked = stack_stage_params(
+    ...     [{"w": jnp.full((1,), float(i + 1))} for i in range(8)])
+    >>> x = jnp.zeros((8, 4))           # 8 microbatches of shape (4,)
+    >>> y = spmd_pipeline(lambda p, x: x + p["w"], stacked, x, mesh,
+    ...                   axis="pipe")
+    >>> y.shape, np.unique(np.asarray(y))     # each mb passed stages 1..8
+    ((8, 4), array([36.], dtype=float32))
     """
     s = mesh.shape[axis]
     m = x_microbatches.shape[0]

@@ -37,6 +37,18 @@ def _sigmoid(x):
 
 
 def save_msgpack(tree, path):
+    """Serialize a param pytree to msgpack (the recipes' feature-extractor
+    export format — the TPU-side equivalent of the reference's ``.pt``
+    dumps, ``MIR_ST500/extract_ssl_feats.py``).
+
+    Example
+    -------
+    >>> import os, tempfile, jax.numpy as jnp
+    >>> path = os.path.join(tempfile.mkdtemp(), "model.msgpack")
+    >>> save_msgpack({"w": jnp.arange(3.0)}, path)
+    >>> load_msgpack(path)
+    {'w': array([0., 1., 2.], dtype=float32)}
+    """
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     with open(path, "wb") as f:
         f.write(serialization.to_bytes(jax.device_get(tree)))

@@ -99,6 +99,11 @@ MODULES = [
     "svt_speechbrain_tpu.tokenizers.sentence_piece",
     "svt_speechbrain_tpu.models.enhancement",
     "svt_speechbrain_tpu.models.resnet",
+    "svt_speechbrain_tpu.ops.transducer_lattice",
+    "svt_speechbrain_tpu.ops.conv_frontend",
+    "svt_speechbrain_tpu.parallel.pipeline",
+    "svt_speechbrain_tpu.utils.profiling",
+    "svt_speechbrain_tpu.tasks.amt",
 ]
 
 
