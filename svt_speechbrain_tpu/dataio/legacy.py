@@ -15,6 +15,18 @@ class ExtendedCSVDataset(DynamicItemDataset):
     """SpeechBrain legacy "extended CSV" (triplet columns
     ``<name>, <name>_format, <name>_opts``; reference ``legacy.py:28``).
     wav entries load audio automatically; string entries pass through.
+
+    Example
+    -------
+    >>> import os, tempfile
+    >>> path = os.path.join(tempfile.mkdtemp(), "data.csv")
+    >>> _ = open(path, "w").write(
+    ...     "ID, duration, text, text_format, text_opts\\n"
+    ...     "u1, 1.0, hello, string, \\n"
+    ...     "u2, 2.5, world, string, \\n")
+    >>> ds = ExtendedCSVDataset(path, sorting="descending")
+    >>> [ds[i]["text_data"] for i in range(len(ds))], ds[0]["id"]
+    (['world', 'hello'], 'u2')
     """
 
     def __init__(self, csvpath, replacements={}, sorting="original",

@@ -21,7 +21,20 @@ from svt_speechbrain_tpu.models.conformer import ConformerEncoder
 class TransformerASR(Module):
     """CNN-less transformer ASR: input proj + encoder + decoder
     (reference ``TransformerASR.py:28``). ``encoder_module`` selects a
-    vanilla transformer or conformer encoder."""
+    vanilla transformer or conformer encoder.
+
+    Example
+    -------
+    >>> import jax, jax.numpy as jnp
+    >>> m = TransformerASR(tgt_vocab=11, input_size=20, d_model=16, nhead=4,
+    ...                    num_encoder_layers=1, num_decoder_layers=1,
+    ...                    d_ffn=32)
+    >>> params = m.init(jax.random.PRNGKey(0))
+    >>> enc, dec = m(params, jnp.ones((2, 7, 20)),
+    ...              jnp.ones((2, 5), jnp.int32))
+    >>> enc.shape, dec.shape
+    ((2, 7, 16), (2, 5, 16))
+    """
 
     def __init__(self, tgt_vocab, input_size, d_model=512, nhead=8,
                  num_encoder_layers=6, num_decoder_layers=6, d_ffn=2048,
@@ -84,7 +97,17 @@ class TransformerASR(Module):
 
 
 class TransformerLM(Module):
-    """Decoder-only transformer LM (reference ``TransformerLM.py:22``)."""
+    """Decoder-only transformer LM (reference ``TransformerLM.py:22``).
+
+    Example
+    -------
+    >>> import jax, jax.numpy as jnp
+    >>> lm = TransformerLM(vocab=11, d_model=16, nhead=4,
+    ...                    num_encoder_layers=1, d_ffn=32)
+    >>> params = lm.init(jax.random.PRNGKey(0))
+    >>> lm(params, jnp.ones((2, 5), jnp.int32)).shape   # per-token logits
+    (2, 5, 11)
+    """
 
     def __init__(self, vocab, d_model=512, nhead=8, num_encoder_layers=12,
                  d_ffn=2048, dropout=0.1, activation="relu",

@@ -18,7 +18,18 @@ from svt_speechbrain_tpu.models.transformer_asr import TransformerASR
 
 class CNNTransformerSE(Module):
     """Speech-enhancement transformer: encoder stack producing a spectral
-    mask (reference ``TransformerSE.py:18``)."""
+    mask (reference ``TransformerSE.py:18``).
+
+    Example
+    -------
+    >>> import jax, jax.numpy as jnp, numpy as np
+    >>> se = CNNTransformerSE(d_model=16, output_size=20, nhead=4,
+    ...                       num_layers=1, d_ffn=32, input_size=20)
+    >>> params = se.init(jax.random.PRNGKey(0))
+    >>> mask = se(params, jnp.ones((2, 6, 20)))
+    >>> mask.shape, bool((np.asarray(mask) >= 0).all())   # relu mask
+    ((2, 6, 20), True)
+    """
 
     def __init__(self, d_model, output_size, output_activation="relu",
                  nhead=8, num_layers=8, d_ffn=512, dropout=0.1,
@@ -80,7 +91,17 @@ class TransformerST(TransformerASR):
 
 class IMU_CRNN(Module):
     """Small conv + GRU classifier over IMU channels
-    (reference ``IMU_CRNN.py``)."""
+    (reference ``IMU_CRNN.py``).
+
+    Example
+    -------
+    >>> import jax, jax.numpy as jnp
+    >>> imu = IMU_CRNN(input_size=6, channels=(8, 16), rnn_neurons=12,
+    ...                outputs=4)
+    >>> params = imu.init(jax.random.PRNGKey(0))
+    >>> imu(params, jnp.ones((2, 32, 6))).shape    # last-frame class logits
+    (2, 4)
+    """
 
     def __init__(self, input_size=6, channels=(32, 64), kernel_size=5,
                  rnn_neurons=64, outputs=8, pool_size=2, dropout=0.1):

@@ -614,6 +614,19 @@ class HuggingFaceWav2Vec2(Module):
     processor would ``do_normalize``), encoder, optional whole-tensor output
     layer-norm; ``freeze`` stops gradients (reference detaches,
     ``huggingface_interface.py:273-277``).
+
+    Example
+    -------
+    >>> import jax, jax.numpy as jnp
+    >>> cfg = Wav2Vec2Config(hidden_size=32, num_layers=2, num_heads=4,
+    ...                      ffn_size=64, conv_dim=(16,) * 7,
+    ...                      num_conv_pos_embeddings=16,
+    ...                      num_conv_pos_embedding_groups=4)
+    >>> model = HuggingFaceWav2Vec2(config=cfg)
+    >>> params = model.init(jax.random.PRNGKey(0))
+    >>> out = model(params, jnp.ones((2, 3200)))   # 0.2 s of 16 kHz audio
+    >>> out.shape, cfg.output_length(3200)         # 320 samples per frame
+    ((2, 9, 32), 9)
     """
 
     def __init__(self, source=None, save_path=None, config: Wav2Vec2Config = None,

@@ -72,7 +72,19 @@ class GumbelVectorQuantizer(Module):
 
 def sample_negative_indices(batch_size, seq_len, num_negatives, mask, rng):
     """Sample in-utterance negatives among masked positions (host-side,
-    HF ``_sample_negative_indices``)."""
+    HF ``_sample_negative_indices``).
+
+    Example
+    -------
+    >>> import numpy as np
+    >>> mask = np.ones((1, 6), bool)
+    >>> negs = sample_negative_indices(1, 6, num_negatives=4, mask=mask,
+    ...                                rng=np.random.default_rng(0))
+    >>> negs.shape
+    (1, 6, 4)
+    >>> bool((negs[0] != np.arange(6)[:, None]).all())  # never its own pos
+    True
+    """
     out = np.zeros((batch_size, seq_len, num_negatives), dtype=np.int64)
     for b in range(batch_size):
         masked = np.flatnonzero(mask[b])

@@ -104,6 +104,11 @@ MODULES = [
     "svt_speechbrain_tpu.parallel.pipeline",
     "svt_speechbrain_tpu.utils.profiling",
     "svt_speechbrain_tpu.tasks.amt",
+    "svt_speechbrain_tpu.models.wav2vec2",
+    "svt_speechbrain_tpu.models.wav2vec2_pretrain",
+    "svt_speechbrain_tpu.models.transformer_asr",
+    "svt_speechbrain_tpu.models.transformer_se_st",
+    "svt_speechbrain_tpu.dataio.legacy",
 ]
 
 
