@@ -11,7 +11,21 @@ from svt_speechbrain_tpu.processing.multi_mic import Covariance, GccPhat, DelayS
 
 class DelaySum_Beamformer(Module):
     """Reference ``beamform_multimic.py:15``: multi-channel waveform
-    (B, T, C) → beamformed mono waveform (B, T)."""
+    (B, T, C) → beamformed mono waveform (B, T).
+
+    Example
+    -------
+    >>> import numpy as np, jax.numpy as jnp
+    >>> src = np.random.default_rng(0).normal(size=4000).astype(np.float32)
+    >>> sig = np.stack([src, np.roll(src, 3)], axis=-1)[None]  # mic1 lags 3
+    >>> bf = DelaySum_Beamformer(sampling_rate=16000, tdoa_max=8)
+    >>> out = bf(None, jnp.asarray(sig))
+    >>> out.shape
+    (1, 4000)
+    >>> corr = np.corrcoef(np.asarray(out)[0, 200:3800], src[200:3800])[0, 1]
+    >>> bool(corr > 0.99)      # aligned average reconstructs the source
+    True
+    """
 
     def __init__(self, sampling_rate=16000, tdoa_max=None):
         self.stft = STFT(sample_rate=sampling_rate)

@@ -32,6 +32,17 @@ def _t(x):
 
 
 def _lin(sd, prefix):
+    """torch ``nn.Linear`` state-dict entries → framework Linear params
+    (weight transposed to (in, out); bias omitted when absent).
+
+    Example
+    -------
+    >>> import torch
+    >>> sd = {k: v.numpy() for k, v in torch.nn.Linear(4, 2).state_dict().items()}
+    >>> p = _lin(sd, "")
+    >>> p["w"].shape, p["b"].shape
+    ((4, 2), (2,))
+    """
     p = {"w": _t(sd[prefix + "weight"])}
     if prefix + "bias" in sd:
         p["b"] = np.asarray(sd[prefix + "bias"])

@@ -18,6 +18,19 @@ logger = logging.getLogger(__name__)
 
 def fetch(filename, source, savedir="./pretrained_model_checkpoints",
           overwrite=False, save_filename=None, use_auth_token=False):
+    """Materialize ``source/filename`` under ``savedir`` (reference
+    ``fetching.py:20``): local directories symlink, URLs download, anything
+    else is tried as an HF hub repo id.
+
+    Example
+    -------
+    >>> import os, tempfile
+    >>> src, dst = tempfile.mkdtemp(), tempfile.mkdtemp()
+    >>> _ = open(os.path.join(src, "weights.ckpt"), "w").write("x")
+    >>> p = fetch("weights.ckpt", src, savedir=dst)
+    >>> p.exists(), p.name
+    (True, 'weights.ckpt')
+    """
     if save_filename is None:
         save_filename = filename
     savedir = pathlib.Path(savedir)

@@ -28,7 +28,17 @@ class HyperparameterOptimizationReporter:
 
 
 class GenericHyperparameterOptimizationReporter(HyperparameterOptimizationReporter):
-    """Print a JSON line per trial (reference generic reporter)."""
+    """Print a JSON line per trial (reference generic reporter).
+
+    Example
+    -------
+    >>> import io
+    >>> buf = io.StringIO()
+    >>> rep = GenericHyperparameterOptimizationReporter(output=buf)
+    >>> rep.report_objective({"objective": 0.25, "epoch": 3})
+    >>> buf.getvalue().strip()
+    '{"objective": 0.25, "epoch": 3}'
+    """
 
     def __init__(self, objective_key="objective", output=None, reference_date=None):
         self.objective_key = objective_key

@@ -23,6 +23,21 @@ class OrbaxCheckpointer:
     Pytree recoverables (``PytreeHandle``) are stored via orbax's
     ``StandardCheckpointer``; python-state objects fall back to YAML files in
     the same step directory.
+
+    Example
+    -------
+    >>> import tempfile, numpy as np, jax.numpy as jnp
+    >>> from svt_speechbrain_tpu.utils.checkpoints import PytreeHandle
+    >>> store = {"params": {"w": jnp.arange(3.0)}}
+    >>> handle = PytreeHandle(lambda: store["params"],
+    ...                       lambda t: store.update(params=t))
+    >>> ck = OrbaxCheckpointer(tempfile.mkdtemp(),
+    ...                        recoverables={"model": handle})
+    >>> step = ck.save_checkpoint()
+    >>> store["params"] = {"w": jnp.zeros(3)}      # clobber…
+    >>> _ = ck.recover_if_possible()               # …and restore
+    >>> np.asarray(store["params"]["w"])
+    array([0., 1., 2.], dtype=float32)
     """
 
     def __init__(self, checkpoints_dir, recoverables=None, max_to_keep=1):

@@ -109,6 +109,11 @@ MODULES = [
     "svt_speechbrain_tpu.models.transformer_asr",
     "svt_speechbrain_tpu.models.transformer_se_st",
     "svt_speechbrain_tpu.dataio.legacy",
+    "svt_speechbrain_tpu.models.beamform_multimic",
+    "svt_speechbrain_tpu.utils.orbax_checkpoints",
+    "svt_speechbrain_tpu.pretrained.fetching",
+    "svt_speechbrain_tpu.utils.hpopt",
+    "svt_speechbrain_tpu.models.convert_sb",
 ]
 
 
