@@ -319,7 +319,29 @@ class BatchedAMTTranscriber:
 
         ``fast=True`` uses the vectorized decoder, ``fast=False`` the
         reference state machine — both produce bit-identical notes
-        (equivalence-tested including majority-vote ties)."""
+        (equivalence-tested including majority-vote ties).
+
+        Example
+        -------
+        >>> import jax, numpy as np, jax.numpy as jnp
+        >>> from svt_speechbrain_tpu.models.wav2vec2 import (
+        ...     HuggingFaceWav2Vec2, Wav2Vec2Config)
+        >>> from svt_speechbrain_tpu.nnet.linear import Linear
+        >>> cfg = Wav2Vec2Config(hidden_size=16, num_layers=1, num_heads=4,
+        ...                      ffn_size=32, conv_dim=(8,) * 7,
+        ...                      num_conv_pos_embeddings=16,
+        ...                      num_conv_pos_embedding_groups=4)
+        >>> bridge = HuggingFaceWav2Vec2(config=cfg)
+        >>> head = Linear(2 + 5 + 13, 16)       # onset/offset + octave/class
+        >>> params = {"wav2vec2": bridge.init(jax.random.PRNGKey(0)),
+        ...           "model": head.init(jax.random.PRNGKey(1))}
+        >>> tr = BatchedAMTTranscriber(bridge, head, params,
+        ...                            chunk_seconds=1.0, batch_size=2,
+        ...                            compute_dtype=jnp.float32)
+        >>> notes = tr.transcribe({"song1": np.zeros(24000, np.float32)})
+        >>> sorted(notes), all(len(ev) == 3 for ev in notes["song1"])
+        (['song1'], True)
+        """
         decode = frame2note_fast if fast else frame2note
         frames = self.predict_frames(songs)
         return {

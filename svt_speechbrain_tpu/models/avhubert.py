@@ -118,7 +118,23 @@ class VideoSubModel(Module):
 
 
 class AVHubertModel(Module):
-    """Dual-stream AV-HuBERT encoder (reference ``hubert.py:329-739``)."""
+    """Dual-stream AV-HuBERT encoder (reference ``hubert.py:329-739``).
+
+    Example
+    -------
+    >>> import jax, jax.numpy as jnp
+    >>> cfg = AVHubertConfig(encoder_layers=1, encoder_embed_dim=16,
+    ...                      encoder_ffn_embed_dim=32,
+    ...                      encoder_attention_heads=4, audio_feat_dim=10,
+    ...                      modality_fuse="concat", conv_pos=8,
+    ...                      conv_pos_groups=2)
+    >>> m = AVHubertModel(cfg)
+    >>> params = m.init(jax.random.PRNGKey(0))
+    >>> feats, _ = m.extract_finetune(params, m.init_state(),
+    ...                               {"audio": jnp.ones((2, 7, 10))})
+    >>> feats.shape           # missing video stream is zero-filled
+    (2, 7, 16)
+    """
 
     def __init__(self, config: AVHubertConfig = None):
         self.config = config or AVHubertConfig.large()

@@ -17,6 +17,14 @@ def _t(x):
 
 
 def _conv2d_w(x):  # (out, in, kh, kw) -> (kh, kw, in, out)
+    """torch conv weight layout → channel-last jax layout.
+
+    Example
+    -------
+    >>> import numpy as np
+    >>> _conv2d_w(np.zeros((8, 3, 5, 7))).shape
+    (5, 7, 3, 8)
+    """
     return np.ascontiguousarray(np.transpose(np.asarray(x), (2, 3, 1, 0)))
 
 

@@ -51,7 +51,33 @@ def convert_wav2vec2_state_dict(sd, config):
     """HF state dict → ``Wav2Vec2Encoder`` params. Handles the whole
     name-sniffed family: ``Wav2Vec2Model``, ``HubertModel`` (optional feature
     projection LN), ``Data2VecAudioModel`` (stacked plain pos convs),
-    ``WavLMModel`` (gated relative-position-bias attention)."""
+    ``WavLMModel`` (gated relative-position-bias attention).
+
+    Example
+    -------
+    >>> import jax, numpy as np, jax.tree_util as jtu
+    >>> from transformers import Wav2Vec2Config as HFConfig, Wav2Vec2Model
+    >>> from svt_speechbrain_tpu.models.wav2vec2 import (Wav2Vec2Config,
+    ...                                                  Wav2Vec2Encoder)
+    >>> hf = Wav2Vec2Model(HFConfig(
+    ...     hidden_size=32, num_hidden_layers=2, num_attention_heads=4,
+    ...     intermediate_size=64, conv_dim=(16,) * 7, conv_bias=True,
+    ...     num_conv_pos_embeddings=16, num_conv_pos_embedding_groups=4,
+    ...     do_stable_layer_norm=True, feat_extract_norm="layer"))
+    >>> sd = {k: v.numpy() for k, v in hf.state_dict().items()}
+    >>> cfg = Wav2Vec2Config(hidden_size=32, num_layers=2, num_heads=4,
+    ...                      ffn_size=64, conv_dim=(16,) * 7,
+    ...                      num_conv_pos_embeddings=16,
+    ...                      num_conv_pos_embedding_groups=4)
+    >>> params = convert_wav2vec2_state_dict(sd, cfg)
+    >>> ref = jax.eval_shape(lambda r: Wav2Vec2Encoder(cfg).init(r),
+    ...                      jax.random.PRNGKey(0))
+    >>> jtu.tree_structure(params) == jtu.tree_structure(ref)
+    True
+    >>> all(np.shape(a) == b.shape for a, b in
+    ...     zip(jtu.tree_leaves(params), jtu.tree_leaves(ref)))
+    True
+    """
     for prefix in ("wav2vec2.", "hubert.", "data2vec_audio.", "wavlm."):
         sd = {k.removeprefix(prefix): v for k, v in sd.items()}
 

@@ -22,6 +22,14 @@ class Pretrained:
 
     Subclasses declare ``HPARAMS_NEEDED``/``MODULES_NEEDED``; the loaded
     hparams dict is exposed like in the Brain.
+
+    Example
+    -------
+    >>> from svt_speechbrain_tpu.nnet.linear import Linear
+    >>> pt = Pretrained(modules={"head": Linear(4, 8)}, hparams={"foo": 1})
+    >>> params = pt.init_params()
+    >>> sorted(params), params["head"]["w"].shape, pt.hparams.foo
+    (['head'], (8, 4), 1)
     """
 
     HPARAMS_NEEDED = []

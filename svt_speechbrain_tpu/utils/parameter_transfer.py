@@ -17,7 +17,29 @@ logger = logging.getLogger(__name__)
 
 
 class Pretrainer:
-    """Reference ``parameter_transfer.py:23``."""
+    """Collect-then-load pretrained parameter transfer
+    (reference ``parameter_transfer.py:23``).
+
+    Example
+    -------
+    >>> import os, tempfile, numpy as np, jax.numpy as jnp
+    >>> from svt_speechbrain_tpu.utils.checkpoints import PytreeHandle
+    >>> src = tempfile.mkdtemp()
+    >>> donor = {"params": {"w": jnp.arange(3.0)}}
+    >>> PytreeHandle(lambda: donor["params"],
+    ...              lambda t: donor.update(params=t)
+    ...              ).ckpt_save(os.path.join(src, "model.ckpt"))
+    >>> store = {"params": {"w": jnp.zeros(3)}}
+    >>> handle = PytreeHandle(lambda: store["params"],
+    ...                       lambda t: store.update(params=t))
+    >>> pre = Pretrainer(collect_in=tempfile.mkdtemp(),
+    ...                  loadables={"model": handle},
+    ...                  paths={"model": os.path.join(src, "model.ckpt")})
+    >>> _ = pre.collect_files()
+    >>> pre.load_collected()
+    >>> np.asarray(store["params"]["w"])
+    array([0., 1., 2.], dtype=float32)
+    """
 
     def __init__(self, collect_in="./model_checkpoints", loadables=None,
                  paths=None, custom_hooks=None):
