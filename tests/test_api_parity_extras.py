@@ -620,12 +620,14 @@ def test_sweep_batch3_misc():
     W2, _ = nmf_factorize(X2, rank=4, n_iter=20)
     mix = jnp.asarray((0.5 * t1 + 0.5 * t2)[None], jnp.float32)
     Xmix_stft = np.asarray(stft(None, mix))
-    Xmix = np.sqrt(np.sum(Xmix_stft ** 2, -1))[0].T
-    X1h, X2h = NMF_separate_spectra((W1, W2), Xmix)
-    w1r, w2r = reconstruct_results(X1h.T[None], X2h.T[None], Xmix_stft,
-                                   16000, 25, 10)
+    Xmix = np.sqrt(np.sum(Xmix_stft ** 2, -1))[0]      # (T, F)
+    X1h, X2h = NMF_separate_spectra((W1, W2), Xmix, n_iter=100)
+    # (F, T) spectra + (BS, F, T, 2) mixture stft -> per-item waveform lists
+    w1rs, w2rs = reconstruct_results(X1h[None], X2h[None],
+                                     np.transpose(Xmix_stft, (0, 2, 1, 3)),
+                                     16000, 25, 10)
     # iSTFT length covers the centered frames (≥ input length)
-    assert w1r.shape[1] >= 16000 and np.isfinite(w1r).all()
+    assert w1rs[0].shape[1] >= 16000 and np.isfinite(w1rs[0]).all()
 
 
 def test_sweep_batch4_complex_whitening_and_av_dataset():
