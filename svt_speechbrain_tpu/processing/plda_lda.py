@@ -64,6 +64,11 @@ class StatObject_SB:
     def get_model_stat1(self, mod_id):
         return self.stat1[self.modelset == mod_id]
 
+    def norm_stat1(self):
+        """Divide every stat1 row by its Euclidean norm (reference ``:214``)."""
+        vect_norm = np.clip(np.linalg.norm(self.stat1, axis=1), 1e-08, np.inf)
+        self.stat1 = (self.stat1.T / vect_norm).T
+
     def center_stat1(self, mu):
         """Subtract ``stat0 · mu`` from every stat1 row (reference ``:199``):
         zero-order-weighted centering, so SUMMED per-model stats are centered

@@ -454,7 +454,8 @@ def test_sweep_batch3_processing():
                         rng.normal(size=(10, 8)) - 5])
     labels = spectral_clustering_sb(cosine_affinity(X), n_clusters=2)
     assert len(set(labels[:10])) == 1 and labels[0] != labels[-1]
-    sc = Spec_Clust_unorm(n_clusters=2).do_spec_clust(X, 2, 0.3)
+    sc = Spec_Clust_unorm()
+    sc.do_spec_clust(X, 2, 0.3)
     assert sorted(set(sc.labels_)) == [0, 1]
     assert is_overlapped(2.0, 1.5) and not is_overlapped(2.0, 2.5)
     out = distribute_overlap([["r", 0.0, 2.0, 0], ["r", 1.0, 3.0, 1]])

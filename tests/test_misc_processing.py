@@ -102,18 +102,33 @@ def test_plda_scoring_separates_speakers():
     assert same > cross
 
 
-def test_spectral_clustering_recovers_clusters():
-    from svt_speechbrain_tpu.processing.diarization import do_spec_clustering, do_AHC
+def test_spectral_clustering_recovers_clusters(tmp_path):
+    from svt_speechbrain_tpu.processing.diarization import (Spec_Clust_unorm,
+                                                            do_AHC,
+                                                            do_spec_clustering)
+    from svt_speechbrain_tpu.processing.plda_lda import StatObject_SB
 
     rng = np.random.default_rng(1)
     a = rng.normal(size=(15, 12)) + np.array([5.0] + [0] * 11)
     b = rng.normal(size=(15, 12)) - np.array([5.0] + [0] * 11)
     emb = np.concatenate([a, b])
-    labels, k = do_spec_clustering(emb, k_oracle=2)
-    assert k == 2
+    clust = Spec_Clust_unorm()
+    clust.do_spec_clust(emb, k_oracle=2, p_val=0.3)
+    labels = clust.labels_
     assert len(set(labels[:15])) == 1 and len(set(labels[15:])) == 1
     assert labels[0] != labels[-1]
-    ahc = do_AHC(emb, k=2)
+
+    # recipe entrypoints over a diary StatObject (segset carries times)
+    segs = np.array([f"rec1_{i * 100}_{i * 100 + 150}" for i in range(30)],
+                    dtype="|O")
+    diary = StatObject_SB(modelset=segs, segset=segs, stat1=emb)
+    out = tmp_path / "spec.rttm"
+    labels2 = do_spec_clustering(diary, str(out), "rec1", k=2, pval=0.3,
+                                 affinity_type="cos")
+    assert out.read_text().startswith("SPEAKER rec1 0 ")
+    assert labels2[0] != labels2[-1]
+    diary2 = StatObject_SB(modelset=segs, segset=segs, stat1=emb.copy())
+    ahc = do_AHC(diary2, str(tmp_path / "ahc.rttm"), "rec1", k_oracle=2)
     assert ahc[0] != ahc[-1]
 
 
