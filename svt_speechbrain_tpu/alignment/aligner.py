@@ -2,79 +2,552 @@
 ``speechbrain/alignment/aligner.py`` ``HMMAligner``).
 
 Left-to-right HMM over the phoneme sequence with self-loops and forward
-transitions; Viterbi alignment over per-frame emission log-probs. The DP runs
-as a ``lax.scan`` over time (device-friendly); batch items are vmapped.
+transitions. The full reference surface is implemented with the reference's
+numerics (``tests/test_aligner_golden.py`` golden-tests forward/Viterbi
+scores, alignments, lexicon graphs, flat-start/Viterbi-training batches,
+and accuracy): masked per-frame emission gathers, the exact pi/transition
+log-softmax construction, the forward DP that freezes finished rows via a
+self-loop identity, Viterbi backtrace from the chosen final state, lexicon
+pronunciation graphs with optional inter-word silences, and the
+flat-start → store → retrieve Viterbi-training loop. Host-side numpy —
+alignment DP over (U, T) grids is small next to the acoustic model; the
+log-space mat-vec primitives also exist as jax ops for device use.
 """
 from __future__ import annotations
+
+import pickle
+import random
 
 import numpy as np
 
 import jax
-import jax.numpy as jnp
 
-NEG_INF = -1e30
+from svt_speechbrain_tpu.utils.checkpoints import (mark_as_loader,
+                                                   mark_as_saver,
+                                                   register_checkpoint_hooks)
 
 
+def _log_softmax(x, axis):
+    m = np.max(x, axis=axis, keepdims=True)
+    m = np.where(np.isfinite(m), m, 0.0)
+    z = x - m
+    with np.errstate(over="ignore", divide="ignore"):
+        # all -inf rows (padded states) produce -inf lse -> nan rows, which
+        # callers overwrite with neg_inf like the reference
+        lse = np.log(np.sum(np.exp(z), axis=axis, keepdims=True))
+    return z - lse
+
+
+@register_checkpoint_hooks
 class HMMAligner:
-    """Viterbi forced alignment (reference ``aligner.py:17``).
+    """Viterbi/forward alignment over batched emission posteriors
+    (reference ``aligner.py:17``). See ``forward`` for the main entry.
 
-    ``align(emission_lp, phns)``: emission_lp (T, V) log-probs, phns (U,)
-    phoneme ids → per-frame phoneme index sequence (T,) into ``phns``.
+    Example
+    -------
+    >>> import numpy as np
+    >>> emission = np.full((1, 9, 5), -10.0)
+    >>> truth = [0, 0, 0, 1, 1, 1, 2, 2, 2]
+    >>> phn_ids = [3, 1, 4]
+    >>> for t, seg in enumerate(truth):
+    ...     emission[0, t, phn_ids[seg]] = 0.0
+    >>> aligner = HMMAligner()
+    >>> scores, alignments = aligner.forward(
+    ...     emission, np.array([1.0]), np.array([phn_ids]), np.array([1.0]),
+    ...     dp_algorithm="viterbi")
+    >>> alignments
+    [[3, 3, 3, 1, 1, 1, 4, 4, 4]]
+    >>> forward_scores = aligner.forward(
+    ...     emission, np.array([1.0]), np.array([phn_ids]), np.array([1.0]),
+    ...     dp_algorithm="forward")
+    >>> bool(forward_scores[0] >= scores[0])   # sum over paths >= best path
+    True
     """
 
-    def __init__(self, states_per_phoneme=1, output_folder="", neg_inf=NEG_INF):
+    def __init__(self, states_per_phoneme=1, output_folder="", neg_inf=-1e5,
+                 batch_reduction="none", input_len_norm=False,
+                 target_len_norm=False, lexicon_path=None):
         self.states_per_phoneme = states_per_phoneme
+        self.output_folder = output_folder
         self.neg_inf = neg_inf
+        self.batch_reduction = batch_reduction
+        self.input_len_norm = input_len_norm
+        self.target_len_norm = target_len_norm
+        self.align_dict = {}
+        self.lexicon_path = lexicon_path
+        if lexicon_path is not None:
+            self._load_lexicon(lexicon_path)
 
-    def _expand_states(self, phns):
-        return np.repeat(np.asarray(phns), self.states_per_phoneme)
+    # ------------------------------------------------------------- lexicon
+
+    def _load_lexicon(self, lexicon_path):
+        """Parse a CMU-style lexicon file: ``word/phones/`` lines, ``;``
+        comments, ``~``-suffixed variants, digits stripped from phones
+        (reference ``aligner.py:98-136``)."""
+        with open(lexicon_path) as f:
+            lines = f.readlines()
+        start_index = 0
+        for i, line in enumerate(lines):
+            if line[0] != ";":
+                start_index = i
+                break
+        lexicon = {}
+        lexicon_phones = set()
+        for line in lines[start_index:]:
+            word = line.split()[0]
+            phones = line.split("/")[1]
+            phones = "".join([p for p in phones if not p.isdigit()])
+            for p in phones.split(" "):
+                lexicon_phones.add(p)
+            if "~" in word:
+                word = word.split("~")[0]
+            lexicon.setdefault(word, {})[len(lexicon.get(word, {}))] = phones
+        self.lexicon = lexicon
+        phones_sorted = sorted(lexicon_phones)
+        self.lex_lab2ind = {p: i + 1 for i, p in enumerate(phones_sorted)}
+        self.lex_ind2lab = {i + 1: p for i, p in enumerate(phones_sorted)}
+        self.lex_lab2ind["sil"] = 0
+        self.lex_ind2lab[0] = "sil"
+
+    def _use_lexicon(self, words, interword_sils, sample_pron):
+        """One utterance's pronunciation graph (reference ``aligner.py:138``):
+        optional silences, all (or one sampled) pronunciation(s) per word,
+        self-loops + within-pronunciation chains + word→word links, row
+        log-softmax. Returns (poss_phns, log_trans, start_states,
+        final_states)."""
+        spp = self.states_per_phoneme
+        number_of_states = 0
+        words_prime = []   # [word index, [state seqs per pron], is_silence]
+        word_index = 0
+        phoneme_indices = []
+        for word in words:
+            if word_index == 0 or interword_sils:
+                words_prime.append([
+                    word_index,
+                    [[number_of_states + i for i in range(spp)]], True])
+                phoneme_indices += [self.silence_index * spp + i
+                                    for i in range(spp)]
+                number_of_states += spp
+                word_index += 1
+            word_prime = [word_index, [], False]
+            if sample_pron and len(self.lexicon[word]) > 1:
+                random.shuffle(self.lexicon[word])
+            for pron_idx in range(len(self.lexicon[word])):
+                phonemes = self.lexicon[word][pron_idx].split()
+                word_prime[1].append([])
+                for p in phonemes:
+                    phoneme_indices += [self.lex_lab2ind[p] * spp + i
+                                        for i in range(spp)]
+                    word_prime[1][pron_idx] += [
+                        number_of_states + i for i in range(spp)]
+                    number_of_states += spp
+                if sample_pron:
+                    break
+            words_prime.append(word_prime)
+            word_index += 1
+        # optional final silence
+        words_prime.append([
+            word_index, [[number_of_states + i for i in range(spp)]], True])
+        phoneme_indices += [self.silence_index * spp + i for i in range(spp)]
+        number_of_states += spp
+
+        transition_matrix = np.eye(number_of_states)
+        final_states = []
+        for word_prime in words_prime:
+            word_idx = word_prime[0]
+            is_optional_silence = word_prime[-1]
+            next_word_exists = word_idx < len(words_prime) - 2
+            this_word_last_states = [pron[-1] for pron in word_prime[1]]
+            for pronunciation in word_prime[1]:
+                for a, b in zip(pronunciation[:-1], pronunciation[1:]):
+                    transition_matrix[a, b] = 1.0
+            if next_word_exists:
+                next_word_idx = (word_idx + 1
+                                 if is_optional_silence or not interword_sils
+                                 else word_idx + 2)
+                next_starts = [pron[0]
+                               for pron in words_prime[next_word_idx][1]]
+                for last in this_word_last_states:
+                    for nxt in next_starts:
+                        transition_matrix[last, nxt] = 1.0
+            else:
+                final_states += this_word_last_states
+            if not is_optional_silence:
+                next_sil_start = words_prime[word_idx + 1][1][0][0]
+                for last in this_word_last_states:
+                    transition_matrix[last, next_sil_start] = 1.0
+
+        with np.errstate(divide="ignore"):
+            log_transition_matrix = _log_softmax(
+                np.log(transition_matrix), axis=1)
+        start_states = [words_prime[0][1][0][0]]
+        start_states += [pron[0] for pron in words_prime[1][1]]
+        return (np.asarray(phoneme_indices), log_transition_matrix,
+                start_states, final_states)
+
+    def use_lexicon(self, words, interword_sils=True, sample_pron=False):
+        """Batch of pronunciation graphs (reference ``aligner.py:294``):
+        returns (poss_phns (B, U), poss_phn_lens relative, trans_prob
+        (B, U, U), pi_prob (B, U), final_states per utterance)."""
+        self.silence_index = self.lex_lab2ind["sil"]
+        poss_phns, trans_prob, start_states, final_states = [], [], [], []
+        for words_ in words:
+            p, t, s, f = self._use_lexicon(words_, interword_sils, sample_pron)
+            poss_phns.append(p)
+            trans_prob.append(t)
+            start_states.append(s)
+            final_states.append(f)
+
+        poss_phn_lens = [len(p) for p in poss_phns]
+        u_max = max(poss_phn_lens)
+        batch_size = len(poss_phns)
+        for i in range(batch_size):
+            pad = u_max - len(poss_phns[i])
+            poss_phns[i] = np.pad(poss_phns[i], (0, pad))
+            trans_prob[i] = np.pad(trans_prob[i], ((0, pad), (0, pad)),
+                                   constant_values=self.neg_inf)
+        poss_phns = np.stack(poss_phns)
+        trans_prob = np.stack(trans_prob)
+        trans_prob[trans_prob == -np.inf] = self.neg_inf
+
+        pi_prob = self.neg_inf * np.ones([batch_size, u_max])
+        # mirror the reference: every utterance's start states mark ALL rows
+        for start_state in start_states:
+            pi_prob[:, start_state] = 1
+        pi_prob = _log_softmax(pi_prob, axis=1)
+        poss_phn_lens = np.asarray(poss_phn_lens, np.float64) / u_max
+        return poss_phns, poss_phn_lens, trans_prob, pi_prob, final_states
+
+    # -------------------------------------------------------- prob tensors
+
+    def _make_pi_prob(self, phn_lens_abs):
+        """All initial mass on the first phoneme (reference ``:451``)."""
+        batch_size = len(phn_lens_abs)
+        u_max = int(np.max(phn_lens_abs))
+        pi_prob = self.neg_inf * np.ones([batch_size, u_max])
+        pi_prob[:, 0] = 0
+        return pi_prob
+
+    def _make_trans_prob(self, phn_lens_abs):
+        """Self-loop + next-phoneme transitions, length-masked, row
+        log-softmax with NaN/-inf → neg_inf (reference ``:472``)."""
+        phn_lens_abs = np.asarray(phn_lens_abs)
+        batch_size = len(phn_lens_abs)
+        u_max = int(np.max(phn_lens_abs))
+        trans = np.eye(u_max) + np.eye(u_max, k=1)
+        trans = np.broadcast_to(trans, (batch_size, u_max, u_max)).copy()
+        valid = np.arange(u_max)[None, :] < phn_lens_abs[:, None]
+        mask = valid[:, :, None] & valid[:, None, :]
+        trans = trans * mask
+        trans = np.where(trans == 1, trans, -np.inf)
+        with np.errstate(invalid="ignore"):
+            trans = _log_softmax(trans, axis=2)
+        trans[np.isnan(trans)] = self.neg_inf
+        trans[trans == -np.inf] = self.neg_inf
+        return trans
+
+    def _make_emiss_pred_useful(self, emission_pred, lens_abs, phn_lens_abs,
+                                phns):
+        """Gather the per-frame posteriors of each phn-sequence position:
+        frames past ``lens_abs`` contribute 0, positions past
+        ``phn_lens_abs`` neg_inf; → (B, U, T) (reference ``:538``)."""
+        emission_pred = np.asarray(emission_pred, np.float64)
+        u_max = int(np.max(phn_lens_abs))
+        t_max = int(np.max(lens_abs))
+        mask_lens = np.arange(t_max)[None, :] < np.asarray(lens_abs)[:, None]
+        emiss = np.where(mask_lens[:, :, None], emission_pred[:, :t_max], 0.0)
+        gathered = np.take_along_axis(
+            emiss, np.broadcast_to(np.asarray(phns, np.int64)[:, None, :],
+                                   emiss.shape[:2] + (phns.shape[1],)), axis=2)
+        mask_phn = np.arange(phns.shape[1])[None, :] < np.asarray(
+            phn_lens_abs)[:, None]
+        gathered = np.where(mask_phn[:, None, :], gathered, self.neg_inf)
+        return gathered[:, :, :u_max].transpose(0, 2, 1)
+
+    # ----------------------------------------------------------------- DP
+
+    def _dp_forward(self, pi_prob, trans_prob, emiss_pred_useful, lens_abs,
+                    phn_lens_abs, phns):
+        """Forward algorithm; finished utterances freeze via a 0-logprob
+        self-loop identity, like the reference (``:596``)."""
+        del phns
+        batch_size = len(phn_lens_abs)
+        u_max = int(np.max(phn_lens_abs))
+        t_max = int(np.max(lens_abs))
+        lens_abs = np.asarray(lens_abs)
+        trans_prob = np.array(trans_prob, np.float64, copy=True)
+
+        alpha = pi_prob + emiss_pred_useful[:, :, 0]
+        identity = self.neg_inf * np.ones((u_max, u_max))
+        np.fill_diagonal(identity, 0.0)
+        for t in range(1, t_max):
+            passed = lens_abs < t
+            if passed.any():
+                trans_prob[passed] = identity
+            # logsumexp_j(trans[j, i] + alpha[j]) per row i
+            scores = trans_prob.transpose(0, 2, 1) + alpha[:, None, :]
+            m = scores.max(axis=2, keepdims=True)
+            m = np.where(np.isfinite(m), m, 0.0)
+            alpha = (m[..., 0] + np.log(np.exp(scores - m).sum(axis=2))
+                     + emiss_pred_useful[:, :, t])
+        return np.log(np.exp(alpha - alpha.max(1, keepdims=True)).sum(1)) \
+            + alpha.max(1)
+
+    def _dp_viterbi(self, pi_prob, trans_prob, emiss_pred_useful, lens_abs,
+                    phn_lens_abs, phns, final_states):
+        """Viterbi with backtrace from the last in-length frame
+        (reference ``:668``). Returns (z_stars, z_stars_loc, scores)."""
+        batch_size = len(phn_lens_abs)
+        t_max = int(np.max(lens_abs))
+        lens_abs = np.asarray(lens_abs)
+        phn_lens_abs = np.asarray(phn_lens_abs)
+        phns = np.asarray(phns, np.int64)
+
+        v = pi_prob + emiss_pred_useful[:, :, 0]
+        v_hist = [v]
+        backpointers = [np.zeros_like(v, dtype=np.int64)]
+        trans_t = trans_prob.transpose(0, 2, 1)
+        for t in range(1, t_max):
+            scores = trans_t + v[:, None, :]
+            backpointers.append(scores.argmax(axis=2))
+            v = scores.max(axis=2) + emiss_pred_useful[:, :, t]
+            v_hist.append(v)
+        v_matrix = np.stack(v_hist, axis=2)          # (B, U, T)
+        backpointers = np.stack(backpointers, axis=2)
+
+        z_stars, z_stars_loc = [], []
+        for b in range(batch_size):
+            len_abs = int(lens_abs[b])
+            if final_states is not None:
+                finals = list(final_states[b])
+                chosen = int(np.argmax(
+                    v_matrix[b, finals, len_abs - 1]))
+                u = finals[chosen]
+            else:
+                u = int(phn_lens_abs[b]) - 1
+            loc = [u]
+            z_star = [int(phns[b, u])]
+            for time_step in range(len_abs, 1, -1):
+                earlier = int(backpointers[b, loc[0], time_step - 1])
+                loc.insert(0, earlier)
+                z_star.insert(0, int(phns[b, earlier]))
+            z_stars.append(z_star)
+            z_stars_loc.append(loc)
+        viterbi_scores = v_matrix[np.arange(batch_size), phn_lens_abs - 1,
+                                  lens_abs - 1]
+        return z_stars, z_stars_loc, viterbi_scores
+
+    def _loss_reduction(self, loss, input_lens, target_lens):
+        """Optional length normalization + batch reduction (reference ``:782``)."""
+        if self.input_len_norm:
+            loss = loss / np.asarray(input_lens)
+        if self.target_len_norm:
+            loss = loss / np.asarray(target_lens)
+        if self.batch_reduction == "none":
+            return loss
+        if self.batch_reduction == "sum":
+            return loss.sum()
+        if self.batch_reduction == "mean":
+            return loss.mean()
+        raise ValueError(
+            "`batch_reduction` parameter must be one of 'none', 'sum' or "
+            "'mean'")
+
+    def forward(self, emission_pred, lens, phns, phn_lens, dp_algorithm,
+                prob_matrices=None):
+        """Main entry (reference ``:819``): relative lengths → DP.
+        ``dp_algorithm`` "forward" returns per-utterance log-likelihoods;
+        "viterbi" returns (scores, alignments). ``prob_matrices`` overrides
+        {pi_prob, trans_prob, final_states} (the ``use_lexicon`` path)."""
+        emission_pred = np.asarray(emission_pred, np.float64)
+        lens_abs = np.round(
+            emission_pred.shape[1] * np.asarray(lens)).astype(np.int64)
+        phns = np.asarray(phns)
+        phn_lens_abs = np.round(
+            phns.shape[1] * np.asarray(phn_lens)).astype(np.int64)
+        phns = phns.astype(np.int64)
+
+        if prob_matrices is None:
+            pi_prob = self._make_pi_prob(phn_lens_abs)
+            trans_prob = self._make_trans_prob(phn_lens_abs)
+            final_states = None
+        else:
+            pi_prob = prob_matrices["pi_prob"]
+            trans_prob = prob_matrices["trans_prob"]
+            final_states = prob_matrices["final_states"]
+
+        emiss = self._make_emiss_pred_useful(emission_pred, lens_abs,
+                                             phn_lens_abs, phns)
+        if dp_algorithm == "forward":
+            scores = self._dp_forward(pi_prob, trans_prob, emiss, lens_abs,
+                                      phn_lens_abs, phns)
+            return self._loss_reduction(scores, lens_abs, phn_lens_abs)
+        if dp_algorithm == "viterbi":
+            alignments, _, scores = self._dp_viterbi(
+                pi_prob, trans_prob, emiss, lens_abs, phn_lens_abs, phns,
+                final_states)
+            return self._loss_reduction(scores, lens_abs, phn_lens_abs), \
+                alignments
+        raise ValueError(
+            "dp_algorithm input must be either 'forward' or 'viterbi'")
+
+    # ------------------------------------------------- alignment bookkeeping
+
+    def expand_phns_by_states_per_phoneme(self, phns, phn_lens):
+        """id → [spp·id .. spp·id + spp-1] per phoneme (reference ``:938``)."""
+        phns = np.asarray(phns)
+        spp = self.states_per_phoneme
+        expanded = np.zeros((phns.shape[0], phns.shape[1] * spp))
+        phn_lens_abs = np.round(
+            phns.shape[1] * np.asarray(phn_lens)).astype(np.int64)
+        for i in range(phns.shape[0]):
+            utt = phns[i, : phn_lens_abs[i]].astype(np.int64)
+            flat = [spp * p + j for p in utt for j in range(spp)]
+            expanded[i, : len(flat)] = flat
+        return expanded
+
+    def store_alignments(self, ids, alignments):
+        """Record Viterbi alignments for Viterbi training (reference ``:986``)."""
+        for i, utt_id in enumerate(ids):
+            self.align_dict[utt_id] = np.asarray(alignments[i], np.int16)
+
+    def _get_flat_start_batch(self, lens_abs, phn_lens_abs, phns):
+        """Equal-duration flat-start alignments (reference ``:1014``)."""
+        phns = np.asarray(phns, np.int64)
+        batch_size = len(lens_abs)
+        t_max = int(np.max(lens_abs))
+        out = np.zeros((batch_size, t_max), np.int64)
+        for i in range(batch_size):
+            utt = phns[i, : int(phn_lens_abs[i])]
+            repeat_amt = max(int(int(lens_abs[i]) / len(utt)), 1)
+            utt = np.repeat(utt, repeat_amt)[: int(lens_abs[i])]
+            if len(utt) < int(lens_abs[i]):
+                utt = np.pad(utt, (0, int(lens_abs[i]) - len(utt)),
+                             constant_values=utt[-1])
+            out[i, : len(utt)] = utt
+        return out
+
+    def _get_viterbi_batch(self, ids, lens_abs):
+        """Zero-padded batch of stored alignments (reference ``:1072``)."""
+        t_max = int(np.max(lens_abs))
+        out = np.zeros((len(ids), t_max), np.int64)
+        for i, utt_id in enumerate(ids):
+            preds = np.asarray(self.align_dict[utt_id], np.int64)
+            out[i, : len(preds)] = preds
+        return out
+
+    def get_prev_alignments(self, ids, emission_pred, lens, phns, phn_lens):
+        """Stored Viterbi alignments if available, else flat start
+        (reference ``:1107``).
+
+        Example
+        -------
+        >>> import numpy as np
+        >>> aligner = HMMAligner()
+        >>> emission_pred = np.zeros((1, 6, 3))
+        >>> batch = aligner.get_prev_alignments(
+        ...     ["utt1"], emission_pred, np.array([1.0]),
+        ...     np.array([[0, 1, 2]]), np.array([1.0]))
+        >>> batch                      # flat start: equal durations
+        array([[0, 0, 1, 1, 2, 2]])
+        >>> aligner.store_alignments(["utt1"], [[0, 1, 1, 1, 2, 2]])
+        >>> aligner.get_prev_alignments(
+        ...     ["utt1"], emission_pred, np.array([1.0]),
+        ...     np.array([[0, 1, 2]]), np.array([1.0]))
+        array([[0, 1, 1, 1, 2, 2]])
+        """
+        emission_pred = np.asarray(emission_pred)
+        lens_abs = np.round(
+            emission_pred.shape[1] * np.asarray(lens)).astype(np.int64)
+        phns = np.asarray(phns)
+        phn_lens_abs = np.round(
+            phns.shape[1] * np.asarray(phn_lens)).astype(np.int64)
+        if ids[0] in self.align_dict:
+            return self._get_viterbi_batch(ids, lens_abs)
+        return self._get_flat_start_batch(lens_abs, phn_lens_abs, phns)
+
+    # --------------------------------------------------------- evaluation
+
+    def _calc_accuracy_sent(self, alignments_, ends_, phns_):
+        """Sample-level accuracy for one utterance (reference ``:1164``)."""
+        ends_ = [0] + [int(end) for end in ends_]
+        durations = [ends_[i] - ends_[i - 1] for i in range(1, len(ends_))]
+        true_alignments = np.concatenate(
+            [np.full(d, p) for p, d in zip(phns_, durations)])
+        upsample = int(round(len(true_alignments) / len(alignments_)))
+        upsampled = np.repeat(np.asarray(alignments_), upsample)
+        upsampled = upsampled[: len(true_alignments)]
+        if len(true_alignments) > len(upsampled):
+            upsampled = np.pad(upsampled,
+                               (0, len(true_alignments) - len(upsampled)))
+        return float((upsampled == true_alignments).mean() * 100)
+
+    def calc_accuracy(self, alignments, ends, phns, ind2labs=None):
+        """Mean sample-level accuracy vs ground-truth phoneme ends
+        (reference ``:1216``); returns a length-1 array like the reference.
+
+        Example
+        -------
+        >>> aligner = HMMAligner()
+        >>> float(aligner.calc_accuracy([[0., 0., 0., 1.]], [[2, 4]],
+        ...                             [[0., 1.]])[0])
+        75.0
+        """
+        if self.states_per_phoneme > 1:
+            alignments = [[i // self.states_per_phoneme for i in utt]
+                          for utt in alignments]
+        if ind2labs is not None:
+            alignments, phns = map_inds_to_intersect(alignments, phns,
+                                                     ind2labs)
+        accs = [self._calc_accuracy_sent(a, e, p)
+                for a, e, p in zip(alignments, ends, phns)]
+        return np.asarray([np.mean(accs)])
+
+    def collapse_alignments(self, alignments):
+        """Multi-state alignments → 1-state-per-phoneme (reference ``:1275``).
+
+        Example
+        -------
+        >>> aligner = HMMAligner(states_per_phoneme=3)
+        >>> aligner.collapse_alignments([0, 1, 2, 3, 4, 5, 3, 4, 5, 0, 1, 2])
+        [0, 1, 1, 0]
+        """
+        sequence = [v for i, v in enumerate(alignments)
+                    if i == 0 or v != alignments[i - 1]]
+        sequence = [v for v in sequence
+                    if v % self.states_per_phoneme == 0]
+        return [v // self.states_per_phoneme for v in sequence]
+
+    # -------------------------------------------------------- persistence
+
+    @mark_as_saver
+    def _save(self, path):
+        with open(path, "wb") as f:
+            pickle.dump({k: np.asarray(v) for k, v in self.align_dict.items()},
+                        f)
+
+    @mark_as_loader
+    def _load(self, path, end_of_epoch=False, device=None):
+        del end_of_epoch, device
+        with open(path, "rb") as f:
+            self.align_dict = pickle.load(f)
+
+    # ------------------------------------------------ convenience (ours)
 
     def align(self, emission_lp, phns):
-        """Single-utterance Viterbi (host numpy; T×U is small)."""
-        emission_lp = np.asarray(emission_lp, dtype=np.float64)
-        states = self._expand_states(phns)
-        t_max, _ = emission_lp.shape
-        u = len(states)
-        delta = np.full((t_max, u), self.neg_inf)
-        psi = np.zeros((t_max, u), dtype=np.int64)
-        delta[0, 0] = emission_lp[0, states[0]]
-        for t in range(1, t_max):
-            stay = delta[t - 1]
-            move = np.concatenate([[self.neg_inf], delta[t - 1, :-1]])
-            best = np.maximum(stay, move)
-            psi[t] = (move > stay).astype(np.int64)
-            delta[t] = best + emission_lp[t, states]
-        # backtrace from the final state
-        path = np.zeros(t_max, dtype=np.int64)
-        path[-1] = u - 1
-        for t in range(t_max - 2, -1, -1):
-            path[t] = path[t + 1] - psi[t + 1, path[t + 1]]
-        return path // self.states_per_phoneme, float(delta[-1, -1])
-
-    def forward(self, emission_lp, phns):
-        """Total log-likelihood of all monotone alignments (forward algo)."""
-        emission_lp = np.asarray(emission_lp, dtype=np.float64)
-        states = self._expand_states(phns)
-        t_max = emission_lp.shape[0]
-        u = len(states)
-        alpha = np.full(u, self.neg_inf)
-        alpha[0] = emission_lp[0, states[0]]
-        for t in range(1, t_max):
-            move = np.concatenate([[self.neg_inf], alpha[:-1]])
-            alpha = np.logaddexp(alpha, move) + emission_lp[t, states]
-        return float(alpha[-1])
-
-    def align_batch(self, emission_lps, lens, phns_batch, phn_lens):
-        """Batched alignment over padded inputs with relative lengths."""
-        out = []
-        t_max = emission_lps.shape[1]
-        u_max = phns_batch.shape[1]
-        for i in range(emission_lps.shape[0]):
-            t = int(round(float(lens[i]) * t_max))
-            un = int(round(float(phn_lens[i]) * u_max))
-            path, score = self.align(emission_lps[i, :t], phns_batch[i, :un])
-            out.append((path, score))
-        return out
+        """Single-utterance Viterbi convenience: emission_lp (T, V), phns
+        (U,) → (per-frame phoneme-position path (T,), score)."""
+        emission_lp = np.asarray(emission_lp, np.float64)
+        lens_abs = np.asarray([emission_lp.shape[0]])
+        phn_lens_abs = np.asarray([len(phns)])
+        phns_b = np.asarray([phns], np.int64)
+        _, locs, scores = self._dp_viterbi(
+            self._make_pi_prob(phn_lens_abs),
+            self._make_trans_prob(phn_lens_abs),
+            self._make_emiss_pred_useful(emission_lp[None], lens_abs,
+                                         phn_lens_abs, phns_b),
+            lens_abs, phn_lens_abs, phns_b, None)
+        return np.asarray(locs[0]), float(scores[0])
 
 
 def batch_log_matvecmul(A, b):
@@ -89,8 +562,6 @@ def batch_log_matvecmul(A, b):
     >>> np.round(np.exp(np.asarray(batch_log_matvecmul(A, b))), 3)
     array([[0.5, 0.5]], dtype=float32)
     """
-    import jax.numpy as jnp
-
     return jax.nn.logsumexp(A + b[:, None, :], axis=-1)
 
 
@@ -115,7 +586,7 @@ def batch_log_maxvecmul(A, b):
 
 def map_inds_to_intersect(lists1, lists2, ind2labs):
     """Map two index-sequence lists onto a shared label-intersection index
-    space (reference ``aligner.py:998``). Returns (mapped1, mapped2,
+    space (reference ``aligner.py:1340``). Returns (mapped1, mapped2,
     new_lab2ind)."""
     ind2lab1, ind2lab2 = ind2labs
     labs = sorted(set(ind2lab1.values()) | set(ind2lab2.values()))

@@ -144,7 +144,9 @@ def test_hmm_aligner():
     aligner = HMMAligner()
     path, score = aligner.align(emission, phn_ids)
     assert list(path) == truth
-    assert aligner.forward(emission, phn_ids) >= score
+    fwd = aligner.forward(emission[None], np.array([1.0]),
+                          np.array([phn_ids]), np.array([1.0]), "forward")
+    assert fwd[0] >= score
 
 
 def test_ctc_segmentation_orders_segments():
