@@ -7,28 +7,30 @@ import itertools
 def pad_ends(sequence, pad_left=True, left_pad_symbol="<s>",
              right_pad_symbol="</s>"):
     """Pad sentence-boundary symbols around a token sequence
-    (reference ``counting.py:24``).
+    (reference ``counting.py:16``). Returns a lazy chain like the reference.
 
     Example
     -------
-    >>> pad_ends(["hello", "world"])
+    >>> list(pad_ends(["hello", "world"]))
     ['<s>', 'hello', 'world', '</s>']
     """
-    sequence = list(sequence)
     if pad_left:
-        return [left_pad_symbol] + sequence + [right_pad_symbol]
-    return sequence + [right_pad_symbol]
+        return itertools.chain((left_pad_symbol,), tuple(sequence),
+                               (right_pad_symbol,))
+    return itertools.chain(tuple(sequence), (right_pad_symbol,))
 
 
 def ngrams(sequence, n):
     """Yield each n-gram (as a tuple) of the sequence
-    (reference ``counting.py:58``, itertools window).
+    (reference ``counting.py:62``, itertools window); ``n <= 0`` raises.
 
     Example
     -------
     >>> list(ngrams(["a", "b", "c", "d"], 2))
     [('a', 'b'), ('b', 'c'), ('c', 'd')]
     """
+    if n <= 0:
+        raise ValueError("N must be >=1")
     iters = itertools.tee(sequence, n)
     for i, it in enumerate(iters):
         for _ in range(i):
@@ -37,9 +39,18 @@ def ngrams(sequence, n):
 
 
 def ngrams_for_evaluation(sequence, max_n, predict_first=False):
-    """Yield (token, context) pairs with growing context up to ``max_n - 1``
-    (reference ``counting.py:86``): for LM evaluation where the first tokens
-    only have short histories."""
+    """Yield ``(token, context-tuple)`` pairs with growing context up to
+    ``max_n - 1`` (reference ``counting.py:111``): for LM evaluation where
+    the first tokens only have short histories.
+
+    Example
+    -------
+    >>> list(ngrams_for_evaluation(["a", "b", "c"], max_n=2))
+    [('b', ('a',)), ('c', ('b',))]
+    """
+    if max_n <= 0:
+        raise ValueError("Max N must be >=1")
+    sequence = list(sequence)
     for i in range(not predict_first, len(sequence)):
         context_start = max(0, i - max_n + 1)
-        yield sequence[i], sequence[context_start:i]
+        yield sequence[i], tuple(sequence[context_start:i])

@@ -1,4 +1,11 @@
-"""Back-off n-gram LM (analogue of reference ``speechbrain/lm/ngram.py``)."""
+"""Back-off n-gram LM (analogue of reference ``speechbrain/lm/ngram.py``).
+
+Reference-exact (golden-tested in ``tests/test_lm_golden.py``): the Katz
+back-off recursion, the evaluation-details contract (sentences of
+``(token, context)`` pairs → ``collections.Counter`` per sentence), and the
+perplexity aggregation. ``CountNgramCounter`` is a TPU-side counting
+utility addition.
+"""
 from __future__ import annotations
 
 import collections
@@ -9,7 +16,9 @@ NEGINFINITY = float("-inf")
 class BackoffNgramLM:
     """Query interface over ARPA-style ngrams/backoffs
     (reference ``ngram.py:12``): ``logprob(token, context)`` applies the
-    standard Katz back-off recursion.
+    standard Katz back-off recursion. ``ngrams[order][context][token]`` and
+    ``backoffs[order][context]`` hold log-probabilities / back-off weights;
+    the backoff dict must cover order N or N-1 like the reference.
 
     Example
     -------
@@ -24,66 +33,73 @@ class BackoffNgramLM:
     """
 
     def __init__(self, ngrams, backoffs):
-        if not isinstance(ngrams, dict) or not isinstance(backoffs, dict):
-            raise ValueError("Ngrams and backoffs need to be dicts")
+        order = len(ngrams)
+        if not (len(backoffs) == order or len(backoffs) == order - 1):
+            raise ValueError("Backoffs dict needs to be of order N or N-1")
         self.ngrams = ngrams
         self.backoffs = backoffs
-        self.top_order = max(ngrams.keys())
+        self.top_order = order
 
     def logprob(self, token, context=tuple()):
         context = tuple(context)
         query_order = len(context) + 1
         if query_order > self.top_order:
-            context = context[1:]
-            query_order -= 1
-        while query_order > 0:
-            table = self.ngrams.get(query_order, {})
-            if context in table and token in table[context]:
-                return table[context][token]
-            # back off
-            backoff_table = self.backoffs.get(query_order - 1, {})
-            backoff = backoff_table.get(context, 0.0) if query_order > 1 else 0.0
-            if query_order == 1:
-                return NEGINFINITY
-            result = self._backoff_logprob(token, context[1:], query_order - 1)
-            return backoff + result
-        return NEGINFINITY
-
-    def _backoff_logprob(self, token, context, order):
-        table = self.ngrams.get(order, {})
+            return self.logprob(token, context[1:])
+        table = self.ngrams[query_order]
         if context in table and token in table[context]:
             return table[context][token]
-        if order == 1:
+        if query_order == 1:
             return NEGINFINITY
-        backoff = self.backoffs.get(order - 1, {}).get(context, 0.0)
-        return backoff + self._backoff_logprob(token, context[1:], order - 1)
+        backoff_log_weight = self.backoffs[query_order - 1].get(context, 0.0)
+        return self.logprob(token, context[1:]) + backoff_log_weight
 
 
 def ngram_evaluation_details(data, LM):
-    """Per-sentence NLL details (reference ``ngram.py:preplexity helpers``)."""
+    """Per-sentence evaluation (reference ``ngram.py:108``): ``data`` is an
+    iterator over sentences of ``(token, context)`` pairs (the output of
+    ``counting.ngrams_for_evaluation``); returns one
+    ``collections.Counter({"num_tokens", "neglogprob"})`` per sentence.
+
+    Example
+    -------
+    >>> class MockLM:
+    ...     top_order = 2
+    ...     def logprob(self, token, context):
+    ...         return -1.0
+    >>> details = ngram_evaluation_details(
+    ...     [[("a", ("<s>",)), ("b", ("a",))]], MockLM())
+    >>> details[0]["num_tokens"], details[0]["neglogprob"]
+    (2, 2.0)
+    """
     details = []
     for sentence in data:
-        logprob = 0.0
-        num_tokens = 0
-        context = tuple()
-        for token in sentence:
-            lp = LM.logprob(token, context)
-            logprob += lp
-            num_tokens += 1
-            context = (context + (token,))[-(LM.top_order - 1):] if LM.top_order > 1 else tuple()
-        details.append({"neglogprob": -logprob, "num_tokens": num_tokens})
+        counter = collections.Counter()
+        for token, context in sentence:
+            counter["num_tokens"] += 1
+            counter["neglogprob"] += -LM.logprob(token, context)
+        details.append(counter)
     return details
 
 
 def ngram_perplexity(eval_details, logbase=10.0):
-    """Aggregate perplexity (reference)."""
-    nll = sum(d["neglogprob"] for d in eval_details)
-    n = sum(d["num_tokens"] for d in eval_details)
-    return logbase ** (nll / max(n, 1))
+    """Aggregate perplexity over sentence Counters (reference ``ngram.py:170``).
+
+    Example
+    -------
+    >>> import collections
+    >>> ngram_perplexity([
+    ...     collections.Counter(neglogprob=5, num_tokens=5),
+    ...     collections.Counter(neglogprob=15, num_tokens=15)])
+    10.0
+    """
+    counter = sum(eval_details, collections.Counter())
+    exponent = counter["neglogprob"] / counter["num_tokens"]
+    return logbase ** exponent
 
 
 class CountNgramCounter:
-    """Simple n-gram counting helper for training small LMs."""
+    """Simple n-gram counting helper for training small LMs (TPU-side
+    utility; the reference counts via ``counting.ngrams`` in recipes)."""
 
     def __init__(self, order):
         self.order = order

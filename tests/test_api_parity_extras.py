@@ -188,7 +188,7 @@ def test_misc_small_apis():
     s = pad_ends(["a", "b"])
     assert list(ngrams(s, 2)) == [("<s>", "a"), ("a", "b"), ("b", "</s>")]
     assert list(ngrams_for_evaluation(["a", "b", "c"], 2)) == [
-        ("b", ["a"]), ("c", ["b"])]
+        ("b", ("a",)), ("c", ("b",))]
     assert merge_char([list("ab_cd")]) == [["ab", "cd"]]
     assert split_word([["ab", "cd"]]) == [list("ab_cd")]
     assert convert_index_to_lab([[0, 1]], {0: "a", 1: "b"}) == [["a", "b"]]

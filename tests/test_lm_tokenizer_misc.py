@@ -34,7 +34,10 @@ ngram 2=2
     assert abs(lm.logprob("b", ("a",)) - (-0.2)) < 1e-9
     # backoff: P(a | b) = backoff(b) + P(a)
     assert abs(lm.logprob("a", ("b",)) - (-0.2 + -0.5)) < 1e-9
-    details = ngram_evaluation_details([["a", "b"]], lm)
+    from svt_speechbrain_tpu.lm.counting import ngrams_for_evaluation
+
+    sent = list(ngrams_for_evaluation(["a", "b"], 2, predict_first=True))
+    details = ngram_evaluation_details([sent], lm)
     assert np.isfinite(details[0]["neglogprob"])
     assert ngram_perplexity(details) > 0
 
