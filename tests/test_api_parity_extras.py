@@ -364,14 +364,17 @@ def test_sweep_batch2_util_helpers():
 
     det = wer_details_by_utterance({"u1": ["a", "b"], "u2": ["c"]},
                                    {"u1": ["a", "x"], "u2": ["c"]})
-    spk = wer_details_by_speaker(det, {"u1": "s1", "u2": "s2"})
+    spk = {d["speaker"]: d
+           for d in wer_details_by_speaker(det, {"u1": "s1", "u2": "s2"})}
     assert spk["s1"]["WER"] == 50.0 and spk["s2"]["WER"] == 0.0
-    assert top_wer_utts(det)[0]["key"] == "u1"
-    assert top_wer_spks(spk)[0]["speaker"] == "s1"
+    top_non_empty, top_empty = top_wer_utts(det)
+    assert top_non_empty[0]["key"] == "u1" and top_empty == []
+    assert top_wer_spks(list(spk.values()))[0]["speaker"] == "s1"
     with pytest.raises(KeyError):
         wer_details_by_utterance({"u": ["a"]}, {}, scoring_mode="strict")
-    assert wer_details_by_utterance({"u": ["a"]}, {},
-                                    scoring_mode="present") == []
+    present = wer_details_by_utterance({"u": ["a"]}, {},
+                                       scoring_mode="present")
+    assert len(present) == 1 and not present[0]["scored"]
 
     A = jnp.log(jnp.full((2, 3, 4), 0.25))
     b = jnp.log(jnp.full((2, 4), 0.25))
