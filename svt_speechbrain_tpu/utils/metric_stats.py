@@ -122,35 +122,43 @@ class BinaryMetricStats:
         return self.summary
 
 
+def _det_thresholds(positive_scores, negative_scores):
+    """Candidate thresholds: the unique scores PLUS their midpoints
+    (reference ``metric_stats.py:474-480``)."""
+    thresholds = np.sort(np.unique(np.concatenate([positive_scores,
+                                                   negative_scores])))
+    interm = (thresholds[:-1] + thresholds[1:]) / 2
+    return np.sort(np.concatenate([thresholds, interm]))
+
+
 def eer_threshold(positive_scores, negative_scores):
-    """Equal-error-rate and its threshold (reference ``metric_stats.py:455``
-    ``EER``)."""
-    thresholds = np.sort(np.unique(np.concatenate([positive_scores, negative_scores])))
-    best_eer, best_thr = 1.0, 0.0
-    best_gap = np.inf
-    for thr in thresholds:
-        far = float(np.mean(negative_scores >= thr)) if len(negative_scores) else 0.0
-        frr = float(np.mean(positive_scores < thr)) if len(positive_scores) else 0.0
-        gap = abs(far - frr)
-        if gap < best_gap:
-            best_gap = gap
-            best_eer = (far + frr) / 2
-            best_thr = float(thr)
-    return best_eer, best_thr
+    """Equal-error-rate and its threshold — reference-exact
+    (``metric_stats.py:455`` ``EER``): FRR counts ``pos <= thr``, FAR counts
+    ``neg > thr``, candidates include score midpoints, EER is the mean of
+    FAR/FRR at their closest point."""
+    positive_scores = np.asarray(positive_scores, np.float32)
+    negative_scores = np.asarray(negative_scores, np.float32)
+    thresholds = _det_thresholds(positive_scores, negative_scores)
+    frr = (positive_scores[:, None] <= thresholds[None, :]).mean(0)
+    far = (negative_scores[:, None] > thresholds[None, :]).mean(0)
+    min_index = int(np.argmin(np.abs(far - frr)))
+    return float((far[min_index] + frr[min_index]) / 2), \
+        float(thresholds[min_index])
 
 
-def minDCF(positive_scores, negative_scores, c_miss=1.0, c_fa=1.0, p_target=0.01):
-    """Minimum detection cost function (reference ``metric_stats.py:509``)."""
-    thresholds = np.sort(np.unique(np.concatenate([positive_scores, negative_scores])))
-    best = (np.inf, 0.0)
-    for thr in thresholds:
-        p_miss = float(np.mean(positive_scores < thr)) if len(positive_scores) else 0.0
-        p_fa = float(np.mean(negative_scores >= thr)) if len(negative_scores) else 0.0
-        c_det = c_miss * p_miss * p_target + c_fa * p_fa * (1 - p_target)
-        if c_det < best[0]:
-            best = (c_det, float(thr))
-    c_def = min(c_miss * p_target, c_fa * (1 - p_target))
-    return best[0] / c_def, best[1]
+def minDCF(positive_scores, negative_scores, c_miss=1.0, c_fa=1.0,
+           p_target=0.01):
+    """Minimum detection cost — reference-exact (``metric_stats.py:509``):
+    ``min_thr c_miss·p_miss·p_target + c_fa·p_fa·(1-p_target)`` over the
+    midpoint-augmented threshold grid, UNnormalized like the reference."""
+    positive_scores = np.asarray(positive_scores, np.float32)
+    negative_scores = np.asarray(negative_scores, np.float32)
+    thresholds = _det_thresholds(positive_scores, negative_scores)
+    p_miss = (positive_scores[:, None] <= thresholds[None, :]).mean(0)
+    p_fa = (negative_scores[:, None] > thresholds[None, :]).mean(0)
+    c_det = c_miss * p_miss * p_target + c_fa * p_fa * (1 - p_target)
+    min_index = int(np.argmin(c_det))
+    return float(c_det[min_index]), float(thresholds[min_index])
 
 
 class ErrorRateStats(MetricStats):

@@ -76,6 +76,66 @@ def test_details_summary_speaker_topk_match_reference():
             == red.top_wer_spks(r_spk, top_k=1))
 
 
+def test_wer_printers_match_reference_bytes():
+    import io
+
+    red = _ref()
+    import_reference_speechbrain()
+    from speechbrain.dataio import wer as rwer
+
+    from svt_speechbrain_tpu.dataio import wer as ower
+
+    ids = ["u1", "u2", "u3"]
+    refs = [["the", "cat", "sat"], ["a", "dog"], ["hi"]]
+    hyps = [["the", "cat"], ["a", "dug", "x"], []]
+    det = red.wer_details_for_batch(ids, refs, hyps, compute_alignments=True)
+
+    r_buf, o_buf = io.StringIO(), io.StringIO()
+    rwer.print_wer_summary(red.wer_summary(det), file=r_buf)
+    ower.print_wer_summary(oed.wer_summary(det), file=o_buf)
+    assert o_buf.getvalue() == r_buf.getvalue()
+
+    r_buf, o_buf = io.StringIO(), io.StringIO()
+    rwer.print_alignments(det, file=r_buf)
+    ower.print_alignments(det, file=o_buf)
+    assert o_buf.getvalue() == r_buf.getvalue()
+
+    r_ne, r_e = red.top_wer_utts(det, top_k=2)
+    r_buf, o_buf = io.StringIO(), io.StringIO()
+    rwer._print_top_wer_utts(r_ne, r_e, file=r_buf)
+    ower._print_top_wer_utts(r_ne, r_e, file=o_buf)
+    assert o_buf.getvalue() == r_buf.getvalue()
+
+    spk = red.wer_details_by_speaker(det, {"u1": "A", "u2": "B", "u3": "A"})
+    r_buf, o_buf = io.StringIO(), io.StringIO()
+    rwer._print_top_wer_spks(red.top_wer_spks(spk), file=r_buf)
+    ower._print_top_wer_spks(oed.top_wer_spks(spk), file=o_buf)
+    assert o_buf.getvalue() == r_buf.getvalue()
+
+
+def test_eer_mindcf_match_reference():
+    import numpy as np
+    import torch
+
+    import_reference_speechbrain()
+    from speechbrain.utils import metric_stats as rms
+
+    from svt_speechbrain_tpu.utils import metric_stats as oms
+
+    rng = np.random.default_rng(0)
+    for trial in range(5):
+        pos = rng.normal(loc=1.0, size=40).astype(np.float32)
+        neg = rng.normal(loc=-1.0, size=60).astype(np.float32)
+        r_eer, r_thr = rms.EER(torch.tensor(pos), torch.tensor(neg))
+        o_eer, o_thr = oms.EER(pos, neg)
+        assert abs(o_eer - r_eer) < 1e-6 and abs(o_thr - r_thr) < 1e-6
+        r_dcf, r_dthr = rms.minDCF(torch.tensor(pos), torch.tensor(neg),
+                                   c_miss=1.5, c_fa=0.5, p_target=0.05)
+        o_dcf, o_dthr = oms.minDCF(pos, neg, c_miss=1.5, c_fa=0.5,
+                                   p_target=0.05)
+        assert abs(o_dcf - r_dcf) < 1e-6 and abs(o_dthr - r_dthr) < 1e-6
+
+
 def test_scoring_modes_match_reference():
     red = _ref()
     ref_dict = {"u1": ["a", "b"], "u2": ["c"]}
