@@ -28,8 +28,9 @@ def undo_padding(batch, lengths):
 
 def pad_right_to(array, target_shape, mode="constant", value=0):
     """Pad ``array`` up to ``target_shape`` on the right of every axis
-    (reference ``data_utils.py:317``). Returns (padded, rel_length) where
-    rel_length = original/target of the *first* axis."""
+    (reference ``data_utils.py:317``). Returns (padded, valid%) where
+    valid% is the list of original/target fractions PER AXIS, like the
+    reference."""
     array = np.asarray(array)
     assert len(target_shape) == array.ndim
     pads = []
@@ -39,7 +40,7 @@ def pad_right_to(array, target_shape, mode="constant", value=0):
         pads.append((0, target - array.shape[i]))
         valid.append(array.shape[i] / target)
     padded = np.pad(array, pads, mode=mode, constant_values=value)
-    return padded, valid[0]
+    return padded, valid
 
 
 def batch_pad_right(arrays, mode="constant", value=0, target_len=None):
@@ -73,7 +74,7 @@ def batch_pad_right(arrays, mode="constant", value=0, target_len=None):
     for x in arrays:
         p, v = pad_right_to(x, max_shape, mode=mode, value=value)
         padded.append(p)
-        valid.append(v)
+        valid.append(v[0])   # first-axis fraction only (reference :418)
     return np.stack(padded), np.array(valid, dtype=np.float32)
 
 
@@ -127,9 +128,10 @@ def download_file(source, dest, unpack=False, dest_unpack=None, replace_existing
 
 
 def split_path(path):
-    """Split into (dirname-or-source, filename) (reference ``data_utils.py:185``)."""
+    """Split into [dirname-or-source, filename] (reference
+    ``data_utils.py:511``; a list, like ``str.rsplit``)."""
     if "/" in path:
-        return path.rsplit("/", 1)[0], path.rsplit("/", 1)[1]
+        return path.rsplit("/", maxsplit=1)
     return "./", path
 
 
