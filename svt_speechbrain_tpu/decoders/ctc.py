@@ -46,106 +46,168 @@ def ctc_greedy_decode(probabilities, seq_lens, blank_id=-1):
     return outputs
 
 
-class CTCPrefixScorer:
-    """CTC prefix scoring for joint CTC/attention beam decoding
-    (reference ``ctc.py:13``; Watanabe et al. hybrid decoding).
 
-    The per-step interface mirrors the reference: ``forward_step(g, state)``
-    returns scores for extending each hypothesis prefix by every vocab token,
-    using the standard ψ recursion over blank/non-blank forward variables.
+def _logsumexp(a, axis):
+    m = np.max(a, axis=axis, keepdims=True)
+    m = np.where(np.isfinite(m), m, 0.0)
+    with np.errstate(over="ignore"):
+        return np.squeeze(m, axis) + np.log(np.sum(np.exp(a - m), axis=axis))
+
+
+class CTCPrefixScorer:
+    """CTC prefix scorer for joint CTC/attention beam decoding — the
+    reference's exact Algorithm-2 implementation (``ctc.py:13``; Watanabe et
+    al., TR2017-190), numerically golden-tested in
+    ``tests/test_ctc_scorer_golden.py``: the (r, psi, scoring_table) state
+    tuple, time pruning from the prefix length, partial candidate scoring
+    with the scoring table, attention-window pruning, eos scored from each
+    utterance's last frame, blank excluded from joint scores, and the
+    vocab-flat ``permute_mem``. The per-row python loops of the reference
+    are vectorized with fancy indexing; the math is unchanged.
+
+    Arguments mirror the reference: ``x`` (B, T, V) LOG posteriors from the
+    CTC head, ``enc_lens`` ABSOLUTE frame counts.
     """
 
-    def __init__(self, x, enc_lens, batch_size, beam_size, blank_index, eos_index,
-                 ctc_window_size=0):
+    def __init__(self, x, enc_lens, batch_size, beam_size, blank_index,
+                 eos_index, ctc_window_size=0):
         self.blank_index = blank_index
         self.eos_index = eos_index
         self.batch_size = batch_size
         self.beam_size = beam_size
-        self.vocab_size = x.shape[-1]
-        self.max_enc_len = x.shape[1]
-
-        # log-softmax CTC posteriors (B, T, V) → expanded to beams later
-        self.x = jax.nn.log_softmax(jnp.asarray(x), axis=-1)
-        t = self.max_enc_len
-        abs_len = jnp.round(jnp.asarray(enc_lens) * t).astype(jnp.int32)
-        self.mask = (jnp.arange(t)[None, :] < abs_len[:, None])  # (B, T)
+        self.ctc_window_size = ctc_window_size
         self.minus_inf = -1e20
 
-    def init_state(self):
-        """(r_prev, psi_prev) for empty prefixes."""
-        bsz = self.batch_size * self.beam_size
-        x = jnp.repeat(self.x, self.beam_size, axis=0)  # (B*beam, T, V)
-        mask = jnp.repeat(self.mask, self.beam_size, axis=0)
-        # r_nb over time for the empty prefix: cumulative blank prob
-        blank_lp = jnp.where(mask, x[:, :, self.blank_index], 0.0)
-        r_b = jnp.cumsum(blank_lp, axis=1)  # log prob of all-blank prefix
-        r_nb = jnp.full_like(r_b, self.minus_inf)
-        return {"x": x, "mask": mask, "r_b": r_b, "r_nb": r_nb,
-                "psi": jnp.zeros((bsz,))}
+        x = np.array(x, dtype=np.float64, copy=True)
+        self.max_enc_len = x.shape[1]
+        self.vocab_size = x.shape[-1]
+        enc_lens = np.asarray(enc_lens, np.int64)
+        self.last_frame_index = enc_lens - 1
 
-    def forward_step(self, inp_tokens, states, candidates=None, attn=None):
-        """Score extending each prefix with every vocab token.
+        # mask frames past each utterance's length: all-minus-inf except a
+        # free blank (reference :58-62)
+        mask = np.arange(self.max_enc_len)[None, :] >= enc_lens[:, None]
+        x = np.where(mask[:, :, None], self.minus_inf, x)
+        x[:, :, 0] = np.where(mask, 0.0, x[:, :, 0])
 
-        For efficiency this implements the recursion for all tokens at once:
-        r_nb_new(t, c) = lp(t, c) + logaddexp(r_nb_prev(t-1) [c == last? φ],
-        r_b_prev(t-1)); returns ψ(c) - ψ_prev.
-        """
-        x, mask = states["x"], states["mask"]
-        bsz, t_max, v = x.shape
-        r_b_prev, r_nb_prev = states["r_b"], states["r_nb"]
-        last = inp_tokens  # (bsz,) last token of each prefix
+        xnb = x.transpose(1, 0, 2)                        # (T, B, V)
+        xb = np.broadcast_to(xnb[:, :, self.blank_index][:, :, None],
+                             xnb.shape)
+        self.x = np.stack([xnb, np.array(xb)])            # (2, T, B, V)
+        self.beam_offset = np.arange(batch_size) * beam_size
+        self.cand_offset = np.arange(batch_size) * self.vocab_size
 
-        # phi(t) = r_b_prev(t) for the repeated-last-token case else
-        # logaddexp(r_b_prev, r_nb_prev)
-        r_sum = jnp.logaddexp(r_b_prev, r_nb_prev)  # (bsz, T)
-        phi = r_sum[:, :, None].repeat(v, axis=2)
-        phi = phi.at[jnp.arange(bsz), :, last].set(r_b_prev)
+    def forward_step(self, g, state, candidates=None, attn=None):
+        """Score extending each prefix ``g`` (B·beam, prefix_len) by every
+        vocab token (or only ``candidates``); returns (psi - psi_prev,
+        new state)."""
+        g = np.asarray(g)
+        n_bh = self.batch_size * self.beam_size
+        prefix_length = g.shape[1] if g.ndim == 2 else 0
+        if prefix_length > 0:
+            last_char = np.asarray(g[:, -1], np.int64)
+        else:
+            last_char = np.zeros(n_bh, np.int64)
+        self.num_candidates = (self.vocab_size if candidates is None
+                               else candidates.shape[-1])
+        if state is None:
+            # empty-prefix forward variables: all-blank paths
+            r_prev = np.full((self.max_enc_len, 2, self.batch_size,
+                              self.beam_size), self.minus_inf)
+            r_prev[:, 1] = np.cumsum(
+                self.x[0, :, :, self.blank_index], 0)[:, :, None]
+            r_prev = r_prev.reshape(-1, 2, n_bh)
+            psi_prev = 0.0
+        else:
+            r_prev, psi_prev = state
 
-        lp = x  # (bsz, T, V)
+        if candidates is not None:
+            candidates = np.asarray(candidates, np.int64)
+            scoring_table = np.full((n_bh, self.vocab_size), -1, np.int64)
+            scoring_table[np.arange(n_bh)[:, None],
+                          candidates] = np.arange(self.num_candidates)
+            scoring_index = (
+                candidates
+                + np.repeat(self.cand_offset, self.beam_size)[:, None]
+            ).reshape(-1)
+            x_inflate = self.x.reshape(2, -1, self.batch_size
+                                       * self.vocab_size)[
+                :, :, scoring_index].reshape(
+                2, -1, n_bh, self.num_candidates)
+        else:
+            scoring_table = None
+            x_inflate = np.repeat(self.x, self.beam_size, axis=2)
 
-        def scan_step(carry, t):
-            r_nb_t_prev, r_b_t_prev, psi = carry
-            # r_nb(t, c) = lp(t, c) + logaddexp(r_nb(t-1, c), phi(t-1, c))
-            start = jnp.logaddexp(r_nb_t_prev, phi[:, t - 1])
-            r_nb_t = lp[:, t] + start
-            # r_b(t) = blank(t) + logaddexp(r_b(t-1), r_nb(t-1)) — per new prefix c
-            r_b_t = lp[:, t, self.blank_index][:, None] + jnp.logaddexp(
-                r_b_t_prev, r_nb_t_prev)
-            psi = jnp.logaddexp(psi, phi[:, t - 1] + lp[:, t])
-            valid = mask[:, t][:, None]
-            r_nb_t = jnp.where(valid, r_nb_t, r_nb_t_prev)
-            r_b_t = jnp.where(valid, r_b_t, r_b_t_prev)
-            return (r_nb_t, r_b_t, psi), (r_nb_t, r_b_t)
+        r = np.full((self.max_enc_len, 2, n_bh, self.num_candidates),
+                    self.minus_inf)
+        if prefix_length == 0:
+            r[0, 0] = x_inflate[0, 0]
+        r_sum = _logsumexp(r_prev, axis=1)                 # (T, n_bh)
+        phi = np.repeat(r_sum[:, :, None], self.num_candidates, axis=2)
+        # phi(last char of g) = r^b_prev (reference :180-186)
+        if candidates is not None:
+            pos = scoring_table[np.arange(n_bh), last_char]
+            sel = pos != -1
+            phi[:, np.flatnonzero(sel), pos[sel]] = r_prev[:, 1][:, sel]
+        else:
+            phi[:, np.arange(n_bh), last_char] = r_prev[:, 1]
 
-        r_nb_0 = lp[:, 0] + jnp.where(
-            jnp.arange(v)[None, :] == self.blank_index, self.minus_inf, 0.0)
-        r_nb_0 = jnp.where(mask[:, 0][:, None], r_nb_0, self.minus_inf)
-        r_b_0 = jnp.full((bsz, v), self.minus_inf)
-        psi0 = r_nb_0
-        (r_nb_T, r_b_T, psi), (r_nb_seq, r_b_seq) = jax.lax.scan(
-            scan_step, (r_nb_0, r_b_0, psi0), jnp.arange(1, t_max))
+        # scoring frames: |g| < |h|, optional attention window (ref :190)
+        if self.ctc_window_size == 0 or attn is None:
+            start = max(1, prefix_length)
+            end = self.max_enc_len
+        else:
+            attn_peak = np.argmax(np.asarray(attn), axis=1)
+            max_frame = int(np.max(attn_peak)) + self.ctc_window_size
+            min_frame = int(np.min(attn_peak)) - self.ctc_window_size
+            start = max(max(1, prefix_length), min_frame)
+            end = min(self.max_enc_len, max_frame)
 
-        psi = jnp.where(jnp.arange(v)[None, :] == self.eos_index,
-                        r_sum[:, -1][:, None], psi)
-        scores = psi - states["psi"][:, None]
-        new_states = {"x": x, "mask": mask, "psi": psi,
-                      "r_nb_seq": r_nb_seq, "r_b_seq": r_b_seq,
-                      "r_nb_0": r_nb_0, "r_b_0": r_b_0}
-        return scores, new_states
+        for t in range(start, end):
+            rnb_prev = r[t - 1, 0]
+            rb_prev = r[t - 1, 1]
+            r[t, 0] = np.logaddexp(rnb_prev, phi[t - 1]) + x_inflate[0, t]
+            r[t, 1] = np.logaddexp(rnb_prev, rb_prev) + x_inflate[1, t]
 
-    def permute_mem(self, states, index):
-        """Select per-candidate forward variables after top-k
-        (reference ``ctc.py:269``). ``index``: (bsz,) chosen token per beam
-        plus (bsz,) beam reordering."""
-        beam_idx, tok_idx = index
-        r_nb_seq = states["r_nb_seq"]  # (T-1, bsz, V)
-        r_b_seq = states["r_b_seq"]
-        t1 = r_nb_seq.shape[0]
-        bsz = beam_idx.shape[0]
-        r_nb = jnp.concatenate([states["r_nb_0"][None], r_nb_seq], axis=0)
-        r_b = jnp.concatenate([states["r_b_0"][None], r_b_seq], axis=0)
-        r_nb_sel = r_nb[:, beam_idx, tok_idx].transpose(1, 0)  # (bsz, T)
-        r_b_sel = r_b[:, beam_idx, tok_idx].transpose(1, 0)
-        return {"x": states["x"], "mask": states["mask"],
-                "r_b": r_b_sel, "r_nb": r_nb_sel,
-                "psi": states["psi"][beam_idx, tok_idx]}
+        psi_init = r[start - 1, 0][None]
+        phix = np.concatenate((phi[0][None], phi[:-1]), axis=0) + x_inflate[0]
+        if candidates is not None:
+            psi = np.full((n_bh, self.vocab_size), self.minus_inf)
+            psi_ = _logsumexp(
+                np.concatenate((phix[start:end], psi_init), axis=0), axis=0)
+            psi[np.arange(n_bh)[:, None], candidates] = psi_
+        else:
+            psi = _logsumexp(
+                np.concatenate((phix[start:end], psi_init), axis=0), axis=0)
+
+        # eos scores from each utterance's LAST VALID frame (ref :232)
+        rows = np.arange(n_bh)
+        psi[:, self.eos_index] = r_sum[
+            self.last_frame_index[rows // self.beam_size], rows]
+        # blank never proposed by the joint decoder (ref :238)
+        psi[:, self.blank_index] = self.minus_inf
+
+        return psi - psi_prev, (r, psi, scoring_table)
+
+    def permute_mem(self, memory, index):
+        """Synchronize the scorer state with the search's top-k choice
+        (reference ``:242``). ``index``: (B, beam) candidate indices in the
+        beam·vocab-flattened space."""
+        r, psi, scoring_table = memory
+        index = np.asarray(index, np.int64)
+        best_index = (index + (self.beam_offset[:, None]
+                               * self.vocab_size)).reshape(-1)
+        psi = psi.reshape(-1)[best_index]
+        psi = np.broadcast_to(
+            psi[:, None], (self.batch_size * self.beam_size,
+                           self.vocab_size)).copy()
+        if scoring_table is not None:
+            effective_index = (index // self.vocab_size
+                               + self.beam_offset[:, None]).reshape(-1)
+            selected_vocab = (index % self.vocab_size).reshape(-1)
+            score_index = scoring_table[effective_index, selected_vocab]
+            score_index[score_index == -1] = 0
+            best_index = score_index + effective_index * self.num_candidates
+        r = r.reshape(-1, 2, self.batch_size * self.beam_size
+                      * self.num_candidates)[:, :, best_index]
+        return r, psi

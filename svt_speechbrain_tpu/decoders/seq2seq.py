@@ -100,7 +100,8 @@ class S2SBeamSearcher(S2SBaseSearcher):
                  beam_size, scorer=None, return_topk=False, topk=1,
                  using_eos_threshold=True, eos_threshold=1.5,
                  length_normalization=True, length_rewarding=0,
-                 minus_inf=-1e20):
+                 ctc_weight=0.0, blank_index=0, ctc_score_mode="full",
+                 ctc_window_size=0, minus_inf=-1e20):
         super().__init__(bos_index, eos_index, min_decode_ratio, max_decode_ratio)
         self.beam_size = beam_size
         self.scorer = scorer
@@ -111,6 +112,26 @@ class S2SBeamSearcher(S2SBaseSearcher):
         self.length_normalization = length_normalization
         self.length_rewarding = length_rewarding
         self.minus_inf = minus_inf
+        # joint CTC/attention decoding (reference seq2seq.py:361-379)
+        self.ctc_weight = ctc_weight
+        self.blank_index = blank_index
+        self.att_weight = 1.0 - ctc_weight
+        assert 0.0 <= self.ctc_weight <= 1.0, \
+            "ctc_weight should not > 1.0 and < 0.0"
+        if self.ctc_weight > 0.0 and len(
+                {self.bos_index, self.eos_index, self.blank_index}) < 3:
+            raise ValueError(
+                "To perform joint ATT/CTC decoding, set blank, eos and bos "
+                "to different indexes.")
+        self.ctc_score_mode = ctc_score_mode
+        self.ctc_window_size = ctc_window_size
+
+    def ctc_forward_step(self, x):
+        """CTC head log-posteriors over encoder states (reference ``:825``);
+        subclasses provide ``self.ctc_fc``/params."""
+        raise NotImplementedError(
+            "Joint CTC decoding requires the subclass to implement "
+            "ctc_forward_step (a CTC output head over encoder states).")
 
     def permute_mem(self, memory, index):
         """Reorder recurrent state after top-k; default none."""
@@ -119,6 +140,16 @@ class S2SBeamSearcher(S2SBaseSearcher):
     def __call__(self, enc_states, enc_lens):
         batch_size = enc_states.shape[0]
         beam = self.beam_size
+        ctc_scorer, ctc_memory = None, None
+        if self.ctc_weight > 0.0:
+            from svt_speechbrain_tpu.decoders.ctc import CTCPrefixScorer
+
+            enc_lens_abs = np.round(
+                enc_states.shape[1] * np.asarray(enc_lens)).astype(np.int64)
+            ctc_outputs = self.ctc_forward_step(enc_states)
+            ctc_scorer = CTCPrefixScorer(
+                np.asarray(ctc_outputs), enc_lens_abs, batch_size, beam,
+                self.blank_index, self.eos_index, self.ctc_window_size)
         # expand encoder states to beams
         enc_states_b = jnp.repeat(enc_states, beam, axis=0)
         enc_lens_b = jnp.repeat(jnp.asarray(enc_lens), beam, axis=0)
@@ -139,7 +170,7 @@ class S2SBeamSearcher(S2SBaseSearcher):
                 inp_tokens, memory, enc_states_b, enc_lens_b)
             vocab = log_probs.shape[-1]
             # writable host copy (np.asarray of a jax array is read-only)
-            log_probs = np.array(log_probs)
+            log_probs = self.att_weight * np.array(log_probs)
             if step < min_steps:
                 log_probs[:, self.eos_index] = self.minus_inf
             if self.using_eos_threshold:
@@ -148,9 +179,32 @@ class S2SBeamSearcher(S2SBaseSearcher):
                 bad_eos = log_probs[:, self.eos_index] < thresh
                 log_probs[bad_eos, self.eos_index] = self.minus_inf
 
+            if ctc_scorer is not None:
+                # joint scoring (reference seq2seq.py:666-682): block blank,
+                # optionally prune the scorer's vocab to 2*beam candidates
+                g = np.asarray(hyps, np.int64)
+                if g.ndim != 2:   # step 0: prefixes are empty
+                    g = np.zeros((batch_size * beam, 0), np.int64)
+                log_probs[:, self.blank_index] = self.minus_inf
+                if self.ctc_weight != 1.0 and self.ctc_score_mode == "partial":
+                    ctc_candidates = np.argsort(
+                        -log_probs, axis=-1)[:, : 2 * beam]
+                else:
+                    ctc_candidates = None
+                ctc_log_probs, ctc_memory = ctc_scorer.forward_step(
+                    g, ctc_memory, ctc_candidates,
+                    None if attn is None else np.asarray(attn))
+                # float32 like the reference: in saturated (-1e20-dominated)
+                # regimes the tie structure is precision-dependent
+                log_probs = (log_probs + self.ctc_weight
+                             * ctc_log_probs).astype(np.float32)
+
             cand = np.asarray(scores)[:, None] + log_probs  # (B*beam, V)
             cand = cand.reshape(batch_size, beam * vocab)
-            top_scores_idx = np.argsort(-cand, axis=1)[:, :beam]
+            # stable sort: ties resolve to the lowest flat index, like
+            # torch.topk in the reference
+            top_scores_idx = np.argsort(-cand, axis=1,
+                                        kind="stable")[:, :beam]
             top_scores = np.take_along_axis(cand, top_scores_idx, axis=1)
             beam_idx = top_scores_idx // vocab  # within-batch beam index
             tok_idx = top_scores_idx % vocab
@@ -162,30 +216,51 @@ class S2SBeamSearcher(S2SBaseSearcher):
             scores = jnp.asarray(top_scores.reshape(-1))
             inp_tokens = jnp.asarray(tok_idx.reshape(-1), jnp.int32)
             memory = self.permute_mem(memory, jnp.asarray(flat_beam_idx))
+            if ctc_scorer is not None:
+                ctc_memory = ctc_scorer.permute_mem(ctc_memory,
+                                                    top_scores_idx)
 
-            # collect finished
+            # collect finished (reference _update_hyp_and_scores: per-batch
+            # cap at beam_size, first-come kept)
             ended = np.asarray(inp_tokens) == self.eos_index
             for i in np.flatnonzero(ended):
                 b = i // beam
+                if len(finished[b]) == beam:
+                    continue
                 seq = hyps[i][:-1]
                 score = float(np.asarray(scores)[i])
                 if self.length_normalization:
-                    score = score / max(len(seq) + 1, 1)
-                score = score + self.length_rewarding * (len(seq) + 1)
+                    score = score / (step + 1)
+                score = score + self.length_rewarding * (step + 1)
                 finished[b].append((seq, score))
-                scores = scores.at[i].set(self.minus_inf)
-        # fall back to best alive hypothesis when nothing finished
-        out_hyps, out_scores = [], []
-        scores_np = np.asarray(scores)
-        for b in range(batch_size):
-            if not finished[b]:
-                i = b * beam + int(np.argmax(scores_np[b * beam:(b + 1) * beam]))
+            for i in np.flatnonzero(ended):
+                # true -inf like the reference: a finished row's candidates
+                # all tie at -inf and can never re-enter the ranking
+                scores = scores.at[i].set(-np.inf)
+            if all(len(f) == beam for f in finished):
+                break
+        # force-finalize still-alive rows like the reference's end-of-loop
+        # all-eos fill (reference seq2seq.py:792-806)
+        if not all(len(f) == beam for f in finished):
+            scores_np = np.asarray(scores)
+            for i in range(batch_size * beam):
+                b = i // beam
+                if len(finished[b]) == beam:
+                    continue
                 seq = hyps[i]
                 sc = float(scores_np[i])
                 if self.length_normalization:
-                    sc /= max(len(seq), 1)
+                    sc = sc / max_steps
+                sc = sc + self.length_rewarding * (max_steps + 1)
                 finished[b].append((seq, sc))
+        out_hyps, out_scores = [], []
+        for b in range(batch_size):
             ranked = sorted(finished[b], key=lambda t: -t[1])
+            # trim at the first eos like the reference's output filter
+            # (force-finalized rows may carry an earlier eos mid-sequence)
+            ranked = [(filter_seq2seq_output(list(map(int, h)),
+                                             eos_id=self.eos_index), s)
+                      for h, s in ranked]
             if self.return_topk:
                 out_hyps.append([h for h, s in ranked[:self.topk]])
                 out_scores.append([s for h, s in ranked[:self.topk]])
@@ -199,13 +274,24 @@ class S2SRNNBeamSearcher(S2SBeamSearcher):
     """Beam search over embedding + AttentionalRNNDecoder + linear
     (reference ``seq2seq.py:699``)."""
 
-    def __init__(self, embedding, decoder, linear, params, temperature=1.0, **kwargs):
+    def __init__(self, embedding, decoder, linear, params, temperature=1.0,
+                 ctc_linear=None, **kwargs):
         super().__init__(**kwargs)
         self.emb = embedding
         self.dec = decoder
         self.fc = linear
         self.params = params
         self.temperature = temperature
+        self.ctc_fc = ctc_linear
+        if self.ctc_weight > 0.0 and self.ctc_fc is None:
+            raise ValueError(
+                "To perform joint ATT/CTC decoding, ctc_fc is required.")
+
+    def ctc_forward_step(self, x):
+        """CTC log-posteriors over encoder states (reference ``:825``);
+        params under ``params['ctc_fc']``."""
+        logits = self.ctc_fc(self.params["ctc_fc"], x)
+        return jax.nn.log_softmax(logits, axis=-1)
 
     def reset_mem(self, batch_size):
         return {"hs": None, "c": None, "batch_size": batch_size}
@@ -320,9 +406,10 @@ class S2SRNNBeamSearchTransformerLM(S2SRNNBeamSearchLM):
 
 class S2STransformerBeamSearch(S2SBeamSearcher):
     """Beam search over a TransformerASR model (reference
-    ``seq2seq.py:1119``): modules = [model, seq_lin]; each step decodes the
-    full token prefix (static-shape growth, XLA caches one program per
-    prefix length) and reads the last position's logits."""
+    ``seq2seq.py:1119``): modules = [model, seq_lin] (+ optional ctc_lin for
+    joint decoding); each step decodes the full token prefix (static-shape
+    growth, XLA caches one program per prefix length) and reads the last
+    position's logits."""
 
     def __init__(self, modules, params, temperature=1.0, **kwargs):
         super().__init__(**kwargs)
@@ -330,7 +417,17 @@ class S2STransformerBeamSearch(S2SBeamSearcher):
         self.seq_lin = modules[1]
         self.model_params = params[0]
         self.lin_params = params[1]
+        self.ctc_fc = modules[2] if len(modules) > 2 else None
+        self.ctc_params = params[2] if len(params) > 2 else None
         self.temperature = temperature
+        if self.ctc_weight > 0.0 and self.ctc_fc is None:
+            raise ValueError(
+                "To perform joint ATT/CTC decoding, pass ctc_lin as "
+                "modules[2]/params[2].")
+
+    def ctc_forward_step(self, x):
+        logits = self.ctc_fc(self.ctc_params, x)
+        return jax.nn.log_softmax(logits, axis=-1)
 
     def reset_mem(self, batch_size):
         return {"prefix": np.zeros((batch_size, 0), np.int32)}

@@ -107,3 +107,113 @@ def test_beam_search_matches_reference(cfg, seed):
             f"batch {i}: {my_hyps[i]} vs ref {ref_seq} (cfg={cfg})")
         assert np.isclose(my_scores[i], float(ref_scores[i]), atol=1e-4), (
             my_scores[i], float(ref_scores[i]))
+
+
+BLANK = 0
+
+
+def _ctc_table(seed, t_enc):
+    """Deterministic 'encoder' CTC log-posteriors (B, T, V)."""
+    rng = np.random.default_rng(seed + 1000)
+    logits = rng.normal(size=(3, t_enc, VOCAB)).astype(np.float32)
+    return logits
+
+
+def _ref_joint_searcher(table, ctc_x, **kwargs):
+    import torch
+
+    import_reference_speechbrain()
+    ref_mod = importlib.import_module("speechbrain.decoders.seq2seq")
+
+    class Scripted(ref_mod.S2SBeamSearcher):
+        def reset_mem(self, batch_size, device):
+            return 0
+
+        def permute_mem(self, memory, index):
+            return memory
+
+        def forward_step(self, inp_tokens, memory, enc_states, enc_lens):
+            step = memory
+            lp = table[step][inp_tokens.numpy()]
+            attn = torch.zeros((inp_tokens.shape[0], enc_states.shape[1]))
+            return torch.tensor(lp), step + 1, attn
+
+        def ctc_forward_step(self, x):
+            return torch.log_softmax(torch.tensor(ctc_x), dim=-1)
+
+        def lm_forward_step(self, inp_tokens, memory):
+            raise NotImplementedError
+
+    return Scripted(bos_index=BOS, eos_index=EOS, blank_index=BLANK, **kwargs)
+
+
+def _my_joint_searcher(table, ctc_x, **kwargs):
+    import scipy.special
+
+    from svt_speechbrain_tpu.decoders.seq2seq import S2SBeamSearcher
+
+    class Scripted(S2SBeamSearcher):
+        def reset_mem(self, batch_size):
+            return 0
+
+        def forward_step(self, inp_tokens, memory, enc_states, enc_lens):
+            step = memory
+            lp = table[step][np.asarray(inp_tokens)]
+            attn = np.zeros((inp_tokens.shape[0], enc_states.shape[1]))
+            return jnp.asarray(lp), step + 1, attn
+
+        def ctc_forward_step(self, x):
+            return scipy.special.log_softmax(ctc_x, axis=-1)
+
+    return Scripted(bos_index=BOS, eos_index=EOS, blank_index=BLANK, **kwargs)
+
+
+@pytest.mark.parametrize("cfg", [
+    dict(beam_size=3, ctc_weight=0.4, ctc_score_mode="full",
+         using_eos_threshold=False, length_normalization=True),
+    dict(beam_size=3, ctc_weight=0.4, ctc_score_mode="partial",
+         using_eos_threshold=False, length_normalization=True),
+    dict(beam_size=2, ctc_weight=1.0, ctc_score_mode="full",
+         using_eos_threshold=False, length_normalization=False),
+    dict(beam_size=3, ctc_weight=0.25, ctc_score_mode="full",
+         using_eos_threshold=True, eos_threshold=1.5,
+         length_normalization=True),
+])
+@pytest.mark.parametrize("seed", [0, 1])
+def test_joint_ctc_attention_beam_search_matches_reference(cfg, seed):
+    """Joint CTC/attention decoding: same scripted attention table + CTC
+    posteriors -> identical hypotheses and scores."""
+    import torch
+
+    t_enc = 10
+    max_steps = int(t_enc * 0.8)
+    table = make_table(seed, max_steps + 2)
+    ctc_x = _ctc_table(seed, t_enc)
+    common = dict(min_decode_ratio=0.1, max_decode_ratio=0.8, **cfg)
+
+    ref = _ref_joint_searcher(table, ctc_x, **common)
+    mine = _my_joint_searcher(table, ctc_x, **common)
+
+    b = 3
+    enc_t = torch.zeros((b, t_enc, 4))
+    wav_len = torch.tensor([1.0, 0.8, 0.6])
+    with torch.no_grad():
+        ref_hyps, ref_scores = ref(enc_t, wav_len)[:2]
+    my_hyps, my_scores = mine(jnp.zeros((b, t_enc, 4)),
+                              np.array([1.0, 0.8, 0.6]))
+
+    for i in range(b):
+        ref_seq = [int(t) for t in ref_hyps[i]]
+        if float(ref_scores[i]) < -1e17:
+            # Degenerate utterance: every candidate saturated at the -1e20
+            # mask (e.g. the encoder is too short to emit any further CTC
+            # token and eos is threshold-blocked). The reference's own
+            # output here is torch.topk's UNSPECIFIED tie order over equal
+            # scores — only the (garbage) score is well-defined.
+            assert np.isclose(my_scores[i], float(ref_scores[i]),
+                              rtol=1e-5), (my_scores[i], float(ref_scores[i]))
+            continue
+        assert my_hyps[i] == ref_seq, (
+            f"batch {i}: {my_hyps[i]} vs ref {ref_seq} (cfg={cfg})")
+        assert np.isclose(my_scores[i], float(ref_scores[i]), atol=1e-4), (
+            my_scores[i], float(ref_scores[i]))
