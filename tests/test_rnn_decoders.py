@@ -143,5 +143,5 @@ def test_transducer_greedy_trivial():
         return jnp.asarray(base)
 
     searcher = TransducerBeamSearcher(decode_fn, joint_once, blank_id=0, beam_size=1)
-    hyps, _ = searcher(enc)
+    hyps = searcher(enc)[0]
     assert hyps[0] == [1, 2]
