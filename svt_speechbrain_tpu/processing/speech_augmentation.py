@@ -120,36 +120,96 @@ class SpeedPerturb(Module):
 
 
 class Resample(Module):
-    """Polyphase windowed-sinc resampling (reference ``:479``, after
-    torchaudio's kaldi-compatible resampler)."""
+    """Kaldi-compatible LinearResample — numerically REFERENCE-EXACT
+    (reference ``:479``, after torchaudio.compliance.kaldi; golden-tested
+    in ``tests/test_resample_golden.py``): raised-cosine-windowed sinc
+    filters at ``new_freq``-spaced output instants, the exact tick-based
+    output length, and the phase/first-index layout. The reference's
+    per-phase conv loop becomes one gather + einsum over static index
+    grids (precomputed at init), so the whole op jits."""
 
     def __init__(self, orig_freq=16000, new_freq=16000, lowpass_filter_width=6):
-        self.orig_freq = orig_freq
-        self.new_freq = new_freq
+        self.orig_freq = int(orig_freq)
+        self.new_freq = int(new_freq)
         self.lowpass_filter_width = lowpass_filter_width
-        g = math.gcd(int(orig_freq), int(new_freq))
-        self.up = int(new_freq) // g
-        self.down = int(orig_freq) // g
+        base_freq = math.gcd(self.orig_freq, self.new_freq)
+        self.conv_stride = self.orig_freq // base_freq
+        self.output_samples = self.new_freq // base_freq
+        if self.orig_freq != self.new_freq:
+            self._make_weights()
+
+    def _make_weights(self):
+        """The reference's ``_indices_and_weights`` (``:715``), in numpy."""
+        min_freq = min(self.orig_freq, self.new_freq)
+        lowpass_cutoff = 0.99 * 0.5 * min_freq
+        window_width = self.lowpass_filter_width / (2.0 * lowpass_cutoff)
+        output_t = np.arange(self.output_samples, dtype=np.float64) \
+            / self.new_freq
+        min_input_index = np.ceil((output_t - window_width) * self.orig_freq)
+        max_input_index = np.floor((output_t + window_width) * self.orig_freq)
+        num_indices = max_input_index - min_input_index + 1
+        max_weight_width = int(num_indices.max())
+        j = np.arange(max_weight_width, dtype=np.float64)
+        input_index = min_input_index[:, None] + j[None, :]
+        delta_t = input_index / self.orig_freq - output_t[:, None]
+        weights = np.zeros_like(delta_t)
+        inside = np.abs(delta_t) < window_width
+        weights[inside] = 0.5 * (1 + np.cos(
+            2 * np.pi * lowpass_cutoff / self.lowpass_filter_width
+            * delta_t[inside]))
+        nonzero = delta_t != 0.0
+        weights[nonzero] *= (np.sin(2 * np.pi * lowpass_cutoff
+                                    * delta_t[nonzero])
+                             / (np.pi * delta_t[nonzero]))
+        weights[~nonzero] *= 2 * lowpass_cutoff
+        weights /= self.orig_freq
+        self.first_indices = min_input_index.astype(np.int64)
+        self.weights = weights.astype(np.float32)   # (P, W)
+
+    def _output_samples(self, input_num_samp):
+        """Exact tick-based output length (reference ``:659``)."""
+        samp_in, samp_out = self.orig_freq, self.new_freq
+        tick_freq = abs(samp_in * samp_out) // math.gcd(samp_in, samp_out)
+        ticks_per_input_period = tick_freq // samp_in
+        interval_length = input_num_samp * ticks_per_input_period
+        if interval_length <= 0:
+            return 0
+        ticks_per_output_period = tick_freq // samp_out
+        last_output_samp = interval_length // ticks_per_output_period
+        if last_output_samp * ticks_per_output_period == interval_length:
+            last_output_samp -= 1
+        return last_output_samp + 1
 
     def __call__(self, params, waveforms):
         del params
         if self.orig_freq == self.new_freq:
             return waveforms
-        from scipy.signal import resample_poly
+        waveforms = jnp.asarray(waveforms)
+        squeezed = False
+        if waveforms.ndim == 2:
+            x = waveforms[:, :, None]      # (B, T, C=1)
+            squeezed = True
+        else:
+            x = waveforms
+        b, t, c = x.shape
+        p, w = self.weights.shape
+        tot_output_samp = self._output_samples(t)
+        n_blocks = -(-tot_output_samp // p)   # output rows per phase
 
-        # polyphase resampling is host-side math on static shapes; under jit
-        # use pure_callback-free approach: precompute via scipy on concrete
-        # arrays, else fall back to jnp linear interpolation.
-        if isinstance(waveforms, np.ndarray):
-            return resample_poly(waveforms, self.up, self.down, axis=1).astype(
-                waveforms.dtype)
-        t = waveforms.shape[1]
-        new_t = int(round(t * self.up / self.down))
-        pos = jnp.linspace(0.0, t - 1.0, new_t)
-        left = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, t - 1)
-        right = jnp.clip(left + 1, 0, t - 1)
-        frac = pos - left
-        return (waveforms[:, left] * (1 - frac) + waveforms[:, right] * frac)
+        # gather grid: sample for (phase i, block n, tap j) lives at
+        # first_indices[i] + n*conv_stride + j in the (padded) signal
+        pad_left = int(max(0, -self.first_indices.min()))
+        starts = (self.first_indices[:, None] + pad_left
+                  + np.arange(n_blocks)[None, :] * self.conv_stride)  # (P, N)
+        idx = starts[:, :, None] + np.arange(w)[None, None, :]        # (P,N,W)
+        pad_right = int(max(0, idx.max() + 1 - (t + pad_left)))
+        xp = jnp.pad(x, ((0, 0), (pad_left, pad_right), (0, 0)))
+        windows = xp[:, jnp.asarray(idx.reshape(-1)), :].reshape(
+            b, p, n_blocks, w, c)
+        out = jnp.einsum("bpnwc,pw->bnpc", windows,
+                         jnp.asarray(self.weights))
+        out = out.reshape(b, n_blocks * p, c)[:, :tot_output_samp]
+        return out[:, :, 0] if squeezed else out
 
 
 class AddBabble(Module):
