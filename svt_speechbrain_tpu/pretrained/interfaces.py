@@ -263,12 +263,14 @@ class VAD(Pretrained):
         feats = self.mods.compute_features(
             self.params.get("compute_features", {}), wavs)
         norm = self.mods.mean_var_norm
-        try:
-            feats = norm(self.params.get("mean_var_norm", {}), feats, wav_lens)
-        except TypeError:  # stateful InputNormalization(params, state, x, lens)
+        if hasattr(norm, "init_state"):   # stateful: (params, state, x, lens)
+            if self.states.get("mean_var_norm") is None:
+                self.states["mean_var_norm"] = norm.init_state()
             feats, self.states["mean_var_norm"] = norm(
                 self.params.get("mean_var_norm", {}),
-                self.states.get("mean_var_norm"), feats, wav_lens)
+                self.states["mean_var_norm"], feats, wav_lens)
+        else:
+            feats = norm(self.params.get("mean_var_norm", {}), feats, wav_lens)
         out = self.mods.model(self.params["model"], feats)
         if isinstance(out, tuple):
             out = out[0]

@@ -305,8 +305,15 @@ class ContextWindow(Module):
 
 class InputNormalization(Module):
     """Mean/variance normalization with sentence/batch/speaker/global modes
-    (reference ``features.py:939``). Global statistics accumulate as explicit
-    state: ``y, state = norm(params, state, x, lengths, epoch=...)``."""
+    — numerically REFERENCE-EXACT (reference ``features.py:939``;
+    golden-tested in ``tests/test_features_augment.py``): per-sentence
+    stats over unpadded frames with UNBIASED std clamped at eps,
+    per-feature statistic VECTORS, batch mode averaging the per-sentence
+    stats, the global running average's exact update order
+    (first-batch init regardless of epoch, count incremented every
+    training batch, updates frozen after ``update_until_epoch``), and
+    host-side per-speaker dictionaries. Global/speaker statistics live in
+    explicit state: ``y, state = norm(params, state, x, lengths, ...)``."""
 
     def __init__(self, mean_norm=True, std_norm=True, norm_type="global",
                  avg_factor=None, requires_grad=False, update_until_epoch=3):
@@ -315,53 +322,113 @@ class InputNormalization(Module):
         self.norm_type = norm_type
         self.avg_factor = avg_factor
         self.update_until_epoch = update_until_epoch
+        self.eps = 1e-10
 
     def init_state(self):
         return {"glob_mean": jnp.zeros(()), "glob_std": jnp.ones(()),
-                "count": jnp.zeros(())}
+                "count": jnp.zeros(()),
+                "spk_dict_mean": {}, "spk_dict_std": {}, "spk_dict_count": {}}
 
-    def __call__(self, params, state, x, lengths=None, epoch=0, train=True):
-        del params
+    def _current_stats(self, x, lengths):
+        """Per-sentence per-feature stats over unpadded frames: mean and the
+        reference's UNBIASED std, clamped at eps (reference ``:1129``)."""
         t = x.shape[1]
-        if lengths is None:
-            lengths = jnp.ones((x.shape[0],))
         n = jnp.clip(jnp.round(jnp.asarray(lengths) * t), 1, t)
         mask = (jnp.arange(t)[None, :] < n[:, None]).astype(x.dtype)
         while mask.ndim < x.ndim:
             mask = mask[..., None]
-        # per-utterance, per-feature stats over the (unpadded) time axis —
-        # the reference computes torch.mean(x[:length], dim=0)
-        denom = jnp.sum(mask, axis=1, keepdims=True)  # (B, 1, ...)
-        mean = jnp.sum(x * mask, axis=1, keepdims=True) / denom  # (B, 1, F)
-        var = jnp.sum(jnp.square(x - mean) * mask, axis=1, keepdims=True) / denom
-        std = jnp.sqrt(var + 1e-10)
+        denom = jnp.sum(mask, axis=1, keepdims=True)
+        mean = jnp.sum(x * mask, axis=1, keepdims=True) / denom
+        var = jnp.sum(jnp.square((x - mean) * mask), axis=1, keepdims=True) \
+            / jnp.maximum(denom - 1.0, 1.0)           # unbiased, like torch
+        if self.mean_norm:
+            cur_mean = mean[:, 0]
+        else:
+            cur_mean = jnp.zeros_like(mean[:, 0])
+        if self.std_norm:
+            cur_std = jnp.sqrt(var)[:, 0]
+        else:
+            cur_std = jnp.ones_like(mean[:, 0])
+        cur_std = jnp.maximum(cur_std, self.eps)
+        return cur_mean, cur_std                      # (B, F...)
+
+    def __call__(self, params, state, x, lengths=None, spk_ids=None, epoch=0,
+                 train=True):
+        del params
+        x = jnp.asarray(x)
+        if lengths is None:
+            lengths = jnp.ones((x.shape[0],))
+        cur_mean, cur_std = self._current_stats(x, lengths)
 
         if self.norm_type == "sentence":
-            out = x
-            if self.mean_norm:
-                out = out - mean
-            if self.std_norm:
-                out = out / std
+            out = (x - cur_mean[:, None]) / cur_std[:, None]
             return out, state
 
-        # global: running average over batches seen so far
-        batch_mean = jnp.mean(mean)
-        batch_std = jnp.mean(std)
+        if self.norm_type == "speaker":
+            # host-side dictionaries, like the reference (features.py:1023)
+            state = dict(state)
+            spk_mean = dict(state["spk_dict_mean"])
+            spk_std = dict(state["spk_dict_std"])
+            spk_count = dict(state["spk_dict_count"])
+            out_rows = []
+            cm = np.asarray(cur_mean)
+            cs = np.asarray(cur_std)
+            xs = np.asarray(x)
+            for i in range(x.shape[0]):
+                spk = int(np.asarray(spk_ids[i]).reshape(-1)[0])
+                if train:
+                    if spk not in spk_mean:
+                        spk_mean[spk] = cm[i]
+                        spk_std[spk] = cs[i]
+                        spk_count[spk] = 1
+                    else:
+                        spk_count[spk] += 1
+                        w = (1 / spk_count[spk] if self.avg_factor is None
+                             else self.avg_factor)
+                        spk_mean[spk] = (1 - w) * spk_mean[spk] + w * cm[i]
+                        spk_std[spk] = (1 - w) * spk_std[spk] + w * cs[i]
+                    m, s = spk_mean[spk], spk_std[spk]
+                elif spk in spk_mean:
+                    m, s = spk_mean[spk], spk_std[spk]
+                else:
+                    m, s = cm[i], cs[i]
+                out_rows.append((xs[i] - m) / s)
+            state.update(spk_dict_mean=spk_mean, spk_dict_std=spk_std,
+                         spk_dict_count=spk_count)
+            return jnp.asarray(np.stack(out_rows)), state
+
+        # batch/global: average the per-sentence stats (reference :1055)
+        current_mean = jnp.mean(cur_mean, axis=0)
+        current_std = jnp.mean(cur_std, axis=0)
+
+        if self.norm_type == "batch":
+            out = (x - current_mean) / current_std
+            return out, state
+
+        # global: first batch initializes regardless of epoch; later batches
+        # update only while epoch < update_until_epoch; the count increments
+        # on EVERY training batch (reference :1060-1078)
         count = state["count"]
         if self.avg_factor is None:
             w = 1.0 / (count + 1.0)
         else:
             w = self.avg_factor
-        do_update = jnp.logical_and(train, epoch < self.update_until_epoch)
-        new_mean = jnp.where(do_update, (1 - w) * state["glob_mean"] + w * batch_mean,
-                             state["glob_mean"])
-        new_std = jnp.where(do_update, (1 - w) * state["glob_std"] + w * batch_std,
-                            state["glob_std"])
-        new_state = {"glob_mean": new_mean, "glob_std": new_std,
-                     "count": count + jnp.where(do_update, 1.0, 0.0)}
-        out = x
-        if self.mean_norm:
-            out = out - new_mean
-        if self.std_norm:
-            out = out / new_std
+        updated_mean = (1 - w) * state["glob_mean"] + w * current_mean
+        updated_std = (1 - w) * state["glob_std"] + w * current_std
+        new_mean = jnp.where(
+            count == 0, current_mean,
+            jnp.where(epoch < self.update_until_epoch, updated_mean,
+                      state["glob_mean"] * jnp.ones_like(current_mean)))
+        new_std = jnp.where(
+            count == 0, current_std,
+            jnp.where(epoch < self.update_until_epoch, updated_std,
+                      state["glob_std"] * jnp.ones_like(current_std)))
+        if train:
+            new_state = {**state, "glob_mean": new_mean, "glob_std": new_std,
+                         "count": count + 1.0}
+            glob_mean, glob_std = new_mean, new_std
+        else:
+            new_state = state
+            glob_mean, glob_std = state["glob_mean"], state["glob_std"]
+        out = (x - glob_mean) / glob_std
         return out, new_state
