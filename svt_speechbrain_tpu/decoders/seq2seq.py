@@ -101,7 +101,8 @@ class S2SBeamSearcher(S2SBaseSearcher):
                  using_eos_threshold=True, eos_threshold=1.5,
                  length_normalization=True, length_rewarding=0,
                  ctc_weight=0.0, blank_index=0, ctc_score_mode="full",
-                 ctc_window_size=0, minus_inf=-1e20):
+                 ctc_window_size=0, using_max_attn_shift=False,
+                 max_attn_shift=60, coverage_penalty=0.0, minus_inf=-1e20):
         super().__init__(bos_index, eos_index, min_decode_ratio, max_decode_ratio)
         self.beam_size = beam_size
         self.scorer = scorer
@@ -125,6 +126,10 @@ class S2SBeamSearcher(S2SBaseSearcher):
                 "to different indexes.")
         self.ctc_score_mode = ctc_score_mode
         self.ctc_window_size = ctc_window_size
+        # attention-peak monotonicity + coverage (reference seq2seq.py:637,728)
+        self.using_max_attn_shift = using_max_attn_shift
+        self.max_attn_shift = max_attn_shift
+        self.coverage_penalty = coverage_penalty
 
     def ctc_forward_step(self, x):
         """CTC head log-posteriors over encoder states (reference ``:825``);
@@ -164,6 +169,9 @@ class S2SBeamSearcher(S2SBaseSearcher):
         finished = [[] for _ in range(batch_size)]  # (tokens, score)
         max_steps = int(enc_states.shape[1] * self.max_decode_ratio)
         min_steps = int(enc_states.shape[1] * self.min_decode_ratio)
+        prev_attn_peak = np.zeros(batch_size * beam)
+        coverage = None
+        finalize_scores = np.full(batch_size * beam, -np.inf)
 
         for step in range(max_steps):
             log_probs, memory, attn = self.forward_step(
@@ -171,6 +179,15 @@ class S2SBeamSearcher(S2SBaseSearcher):
             vocab = log_probs.shape[-1]
             # writable host copy (np.asarray of a jax array is read-only)
             log_probs = self.att_weight * np.array(log_probs)
+            if self.using_max_attn_shift:
+                # block candidates whose attention peak jumped too far
+                # (reference _check_attn_shift, seq2seq.py:420)
+                attn_np = np.asarray(attn)
+                attn_peak = attn_np.argmax(axis=1)
+                cond = ((attn_peak <= prev_attn_peak + self.max_attn_shift)
+                        & (attn_peak > prev_attn_peak - self.max_attn_shift))
+                log_probs = np.where(cond[:, None], log_probs,
+                                     self.minus_inf)
             if step < min_steps:
                 log_probs[:, self.eos_index] = self.minus_inf
             if self.using_eos_threshold:
@@ -219,6 +236,36 @@ class S2SBeamSearcher(S2SBaseSearcher):
             if ctc_scorer is not None:
                 ctc_memory = ctc_scorer.permute_mem(ctc_memory,
                                                     top_scores_idx)
+            if self.using_max_attn_shift:
+                prev_attn_peak = attn_peak[flat_beam_idx]
+
+            # the score an eos/force-finalized hypothesis is STORED with:
+            # normalized, minus the coverage penalty — which, like the
+            # reference (seq2seq.py:728-755), never feeds back into the
+            # running accumulation
+            finalize_scores = np.asarray(scores, np.float64).copy()
+            if self.length_normalization:
+                finalize_scores = finalize_scores / (step + 1)
+            if self.coverage_penalty > 0:
+                cur_attn = np.asarray(attn)[flat_beam_idx]
+                if cur_attn.ndim > 2:
+                    # transformer attention (B*beam, steps, src): cumulative
+                    # coverage is the sum over decoded steps (the evident
+                    # intent; the reference's 3-dim branch assigns a typo'd
+                    # attribute and never updates)
+                    coverage = cur_attn.sum(axis=1)
+                else:
+                    # the reference's t==0 branch FALLS THROUGH into the
+                    # update, double-permuting and double-counting the first
+                    # step's attention (seq2seq.py:728-748) — mirrored
+                    base = cur_attn if step == 0 else coverage
+                    coverage = base[flat_beam_idx] + cur_attn
+                penalty = (np.maximum(coverage, 0.5).sum(axis=-1)
+                           - coverage.shape[-1] * 0.5)
+                if self.length_normalization:
+                    penalty = penalty / (step + 1)
+                finalize_scores = finalize_scores \
+                    - penalty * self.coverage_penalty
 
             # collect finished (reference _update_hyp_and_scores: per-batch
             # cap at beam_size, first-come kept)
@@ -228,10 +275,8 @@ class S2SBeamSearcher(S2SBaseSearcher):
                 if len(finished[b]) == beam:
                     continue
                 seq = hyps[i][:-1]
-                score = float(np.asarray(scores)[i])
-                if self.length_normalization:
-                    score = score / (step + 1)
-                score = score + self.length_rewarding * (step + 1)
+                score = float(finalize_scores[i]) \
+                    + self.length_rewarding * (step + 1)
                 finished[b].append((seq, score))
             for i in np.flatnonzero(ended):
                 # true -inf like the reference: a finished row's candidates
@@ -240,18 +285,16 @@ class S2SBeamSearcher(S2SBaseSearcher):
             if all(len(f) == beam for f in finished):
                 break
         # force-finalize still-alive rows like the reference's end-of-loop
-        # all-eos fill (reference seq2seq.py:792-806)
+        # all-eos fill (reference seq2seq.py:792-806): stored with the LAST
+        # iteration's (penalized, normalized) scores
         if not all(len(f) == beam for f in finished):
-            scores_np = np.asarray(scores)
             for i in range(batch_size * beam):
                 b = i // beam
                 if len(finished[b]) == beam:
                     continue
                 seq = hyps[i]
-                sc = float(scores_np[i])
-                if self.length_normalization:
-                    sc = sc / max_steps
-                sc = sc + self.length_rewarding * (max_steps + 1)
+                sc = float(finalize_scores[i]) \
+                    + self.length_rewarding * (max_steps + 1)
                 finished[b].append((seq, sc))
         out_hyps, out_scores = [], []
         for b in range(batch_size):

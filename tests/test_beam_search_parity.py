@@ -217,3 +217,95 @@ def test_joint_ctc_attention_beam_search_matches_reference(cfg, seed):
             f"batch {i}: {my_hyps[i]} vs ref {ref_seq} (cfg={cfg})")
         assert np.isclose(my_scores[i], float(ref_scores[i]), atol=1e-4), (
             my_scores[i], float(ref_scores[i]))
+
+
+def _attn_row(step, tokens, t_enc):
+    """Deterministic peaked attention per (step, token): mostly-monotone
+    peaks whose step-to-step shift occasionally exceeds small shift limits
+    (so the attn-shift blocking actually fires on SOME rows, while full
+    batches of blocked rows — the reference's unspecified-tie regime —
+    stay rare)."""
+    peaks = np.minimum(2 * step + (np.asarray(tokens) % 5), t_enc - 1)
+    attn = np.full((len(peaks), t_enc), 0.01, np.float32)
+    attn[np.arange(len(peaks)), peaks] = 1.0
+    return attn
+
+
+def _ref_attn_searcher(table, t_enc, **kwargs):
+    import torch
+
+    import_reference_speechbrain()
+    ref_mod = importlib.import_module("speechbrain.decoders.seq2seq")
+
+    class Scripted(ref_mod.S2SBeamSearcher):
+        def reset_mem(self, batch_size, device):
+            return 0
+
+        def permute_mem(self, memory, index):
+            return memory
+
+        def forward_step(self, inp_tokens, memory, enc_states, enc_lens):
+            step = memory
+            lp = table[step][inp_tokens.numpy()]
+            attn = torch.tensor(_attn_row(step, inp_tokens.numpy(), t_enc))
+            return torch.tensor(lp), step + 1, attn
+
+        def lm_forward_step(self, inp_tokens, memory):
+            raise NotImplementedError
+
+    return Scripted(bos_index=BOS, eos_index=EOS, **kwargs)
+
+
+def _my_attn_searcher(table, t_enc, **kwargs):
+    from svt_speechbrain_tpu.decoders.seq2seq import S2SBeamSearcher
+
+    class Scripted(S2SBeamSearcher):
+        def reset_mem(self, batch_size):
+            return 0
+
+        def forward_step(self, inp_tokens, memory, enc_states, enc_lens):
+            step = memory
+            toks = np.asarray(inp_tokens)
+            lp = table[step][toks]
+            return jnp.asarray(lp), step + 1, _attn_row(step, toks, t_enc)
+
+    return Scripted(bos_index=BOS, eos_index=EOS, **kwargs)
+
+
+@pytest.mark.parametrize("cfg", [
+    dict(beam_size=3, coverage_penalty=1.5, using_eos_threshold=False,
+         length_normalization=True),
+    dict(beam_size=3, coverage_penalty=0.8, using_eos_threshold=False,
+         length_normalization=False),
+    dict(beam_size=3, using_max_attn_shift=True, max_attn_shift=4,
+         using_eos_threshold=False, length_normalization=True),
+    dict(beam_size=2, using_max_attn_shift=True, max_attn_shift=6,
+         coverage_penalty=1.0, using_eos_threshold=False,
+         length_normalization=True),
+])
+@pytest.mark.parametrize("seed", [0, 1])
+def test_attn_shift_and_coverage_match_reference(cfg, seed):
+    """Attention-peak monotonicity blocking and coverage penalties: same
+    scripted attention -> identical hypotheses and scores."""
+    import torch
+
+    t_enc = 10
+    max_steps = int(t_enc * 0.8)
+    table = make_table(seed, max_steps + 2)
+    common = dict(min_decode_ratio=0.1, max_decode_ratio=0.8, **cfg)
+
+    ref = _ref_attn_searcher(table, t_enc, **common)
+    mine = _my_attn_searcher(table, t_enc, **common)
+
+    b = 3
+    enc_t = torch.zeros((b, t_enc, 4))
+    with torch.no_grad():
+        ref_hyps, ref_scores = ref(enc_t, torch.ones(b))[:2]
+    my_hyps, my_scores = mine(jnp.zeros((b, t_enc, 4)), np.ones(b))
+
+    for i in range(b):
+        ref_seq = [int(t) for t in ref_hyps[i]]
+        assert my_hyps[i] == ref_seq, (
+            f"batch {i}: {my_hyps[i]} vs ref {ref_seq} (cfg={cfg})")
+        assert np.isclose(my_scores[i], float(ref_scores[i]), atol=1e-4), (
+            my_scores[i], float(ref_scores[i]))
