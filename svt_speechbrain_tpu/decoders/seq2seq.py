@@ -102,7 +102,8 @@ class S2SBeamSearcher(S2SBaseSearcher):
                  length_normalization=True, length_rewarding=0,
                  ctc_weight=0.0, blank_index=0, ctc_score_mode="full",
                  ctc_window_size=0, using_max_attn_shift=False,
-                 max_attn_shift=60, coverage_penalty=0.0, minus_inf=-1e20):
+                 max_attn_shift=60, coverage_penalty=0.0, lm_weight=0.0,
+                 minus_inf=-1e20):
         super().__init__(bos_index, eos_index, min_decode_ratio, max_decode_ratio)
         self.beam_size = beam_size
         self.scorer = scorer
@@ -130,6 +131,22 @@ class S2SBeamSearcher(S2SBaseSearcher):
         self.using_max_attn_shift = using_max_attn_shift
         self.max_attn_shift = max_attn_shift
         self.coverage_penalty = coverage_penalty
+        # LM shallow fusion happens in the BASE loop after the eos threshold
+        # and before CTC, unscaled by att_weight (reference seq2seq.py:658)
+        self.lm_weight = lm_weight
+
+    def lm_forward_step(self, inp_tokens, memory):
+        """LM log-probs for the next token (reference ``:110``); subclasses
+        with ``lm_weight > 0`` provide this."""
+        raise NotImplementedError
+
+    def reset_lm_mem(self, batch_size):
+        """Initial LM memory (reference ``:132``)."""
+        return None
+
+    def permute_lm_mem(self, memory, index):
+        """Reorder LM memory after top-k (reference ``:715``)."""
+        return memory
 
     def ctc_forward_step(self, x):
         """CTC head log-posteriors over encoder states (reference ``:825``);
@@ -159,6 +176,8 @@ class S2SBeamSearcher(S2SBaseSearcher):
         enc_states_b = jnp.repeat(enc_states, beam, axis=0)
         enc_lens_b = jnp.repeat(jnp.asarray(enc_lens), beam, axis=0)
         memory = self.reset_mem(batch_size * beam)
+        lm_memory = (self.reset_lm_mem(batch_size * beam)
+                     if self.lm_weight > 0 else None)
 
         inp_tokens = jnp.full((batch_size * beam,), self.bos_index, jnp.int32)
         # only the first beam of each batch is alive initially
@@ -195,6 +214,12 @@ class S2SBeamSearcher(S2SBaseSearcher):
                 thresh = self.eos_threshold * max_probs
                 bad_eos = log_probs[:, self.eos_index] < thresh
                 log_probs[bad_eos, self.eos_index] = self.minus_inf
+
+            if self.lm_weight > 0:
+                lm_log_probs, lm_memory = self.lm_forward_step(inp_tokens,
+                                                               lm_memory)
+                log_probs = log_probs + self.lm_weight * np.asarray(
+                    lm_log_probs)
 
             if ctc_scorer is not None:
                 # joint scoring (reference seq2seq.py:666-682): block blank,
@@ -233,6 +258,8 @@ class S2SBeamSearcher(S2SBaseSearcher):
             scores = jnp.asarray(top_scores.reshape(-1))
             inp_tokens = jnp.asarray(tok_idx.reshape(-1), jnp.int32)
             memory = self.permute_mem(memory, jnp.asarray(flat_beam_idx))
+            if self.lm_weight > 0:
+                lm_memory = self.permute_lm_mem(lm_memory, flat_beam_idx)
             if ctc_scorer is not None:
                 ctc_memory = ctc_scorer.permute_mem(ctc_memory,
                                                     top_scores_idx)
@@ -408,37 +435,30 @@ class S2SRNNBeamSearchLM(S2SRNNBeamSearcher):
 
     def __init__(self, embedding, decoder, linear, language_model, lm_params,
                  params, lm_weight=0.0, temperature_lm=1.0, **kwargs):
-        super().__init__(embedding, decoder, linear, params, **kwargs)
+        super().__init__(embedding, decoder, linear, params,
+                         lm_weight=lm_weight, **kwargs)
         self.lm = language_model
         self.lm_params = lm_params
-        self.lm_weight = lm_weight
         self.temperature_lm = temperature_lm
 
-    def reset_mem(self, batch_size):
-        mem = super().reset_mem(batch_size)
-        mem["prefix"] = np.full((batch_size, 0), self.bos_index, np.int32)
-        return mem
+    def reset_lm_mem(self, batch_size):
+        """LM memory = the token prefix (re-scored per step; prefixes are
+        short and the jitted LM caches one program per length)."""
+        return np.full((batch_size, 0), self.bos_index, np.int32)
 
-    def _lm_log_probs(self, prefix):
+    def lm_forward_step(self, inp_tokens, memory):
+        """Fused in the BASE loop after the eos threshold, unscaled by
+        att_weight — the reference's placement (seq2seq.py:658)."""
+        prefix = np.concatenate(
+            [memory, np.asarray(inp_tokens)[:, None]], axis=1)
         out = self.lm(self.lm_params, jnp.asarray(prefix))
         logits = out[0] if isinstance(out, tuple) else out
-        return jax.nn.log_softmax(logits[:, -1] / self.temperature_lm, axis=-1)
+        log_probs = jax.nn.log_softmax(
+            logits[:, -1] / self.temperature_lm, axis=-1)
+        return log_probs, prefix
 
-    def forward_step(self, inp_tokens, memory, enc_states, enc_lens):
-        prefix = np.concatenate(
-            [memory["prefix"], np.asarray(inp_tokens)[:, None]], axis=1)
-        log_probs, memory, attn = super().forward_step(
-            inp_tokens, memory, enc_states, enc_lens)
-        memory["prefix"] = prefix
-        if self.lm_weight != 0.0:
-            log_probs = log_probs + self.lm_weight * self._lm_log_probs(prefix)
-        return log_probs, memory, attn
-
-    def permute_mem(self, memory, index):
-        prefix = memory["prefix"]
-        memory = super().permute_mem(memory, index)
-        memory["prefix"] = prefix[np.asarray(index)]
-        return memory
+    def permute_lm_mem(self, memory, index):
+        return memory[np.asarray(index)]
 
 
 class S2SRNNBeamSearchTransformerLM(S2SRNNBeamSearchLM):

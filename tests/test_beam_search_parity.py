@@ -309,3 +309,90 @@ def test_attn_shift_and_coverage_match_reference(cfg, seed):
             f"batch {i}: {my_hyps[i]} vs ref {ref_seq} (cfg={cfg})")
         assert np.isclose(my_scores[i], float(ref_scores[i]), atol=1e-4), (
             my_scores[i], float(ref_scores[i]))
+
+
+def _lm_table(seed):
+    rng = np.random.default_rng(seed + 2000)
+    logits = rng.normal(size=(VOCAB, VOCAB)).astype(np.float32)
+    return np.log(np.exp(logits) / np.exp(logits).sum(-1, keepdims=True))
+
+
+def _ref_lm_searcher(table, lm_tab, **kwargs):
+    import torch
+
+    import_reference_speechbrain()
+    ref_mod = importlib.import_module("speechbrain.decoders.seq2seq")
+
+    class Scripted(ref_mod.S2SBeamSearcher):
+        def reset_mem(self, batch_size, device):
+            return 0
+
+        def reset_lm_mem(self, batch_size, device):
+            return None
+
+        def permute_mem(self, memory, index):
+            return memory
+
+        def permute_lm_mem(self, memory, index):
+            return memory
+
+        def forward_step(self, inp_tokens, memory, enc_states, enc_lens):
+            step = memory
+            lp = table[step][inp_tokens.numpy()]
+            attn = torch.zeros((inp_tokens.shape[0], enc_states.shape[1]))
+            return torch.tensor(lp), step + 1, attn
+
+        def lm_forward_step(self, inp_tokens, memory):
+            return torch.tensor(lm_tab[inp_tokens.numpy()]), memory
+
+    return Scripted(bos_index=BOS, eos_index=EOS, **kwargs)
+
+
+def _my_lm_searcher(table, lm_tab, **kwargs):
+    from svt_speechbrain_tpu.decoders.seq2seq import S2SBeamSearcher
+
+    class Scripted(S2SBeamSearcher):
+        def reset_mem(self, batch_size):
+            return 0
+
+        def forward_step(self, inp_tokens, memory, enc_states, enc_lens):
+            step = memory
+            lp = table[step][np.asarray(inp_tokens)]
+            attn = np.zeros((inp_tokens.shape[0], enc_states.shape[1]))
+            return jnp.asarray(lp), step + 1, attn
+
+        def lm_forward_step(self, inp_tokens, memory):
+            return lm_tab[np.asarray(inp_tokens)], memory
+
+    return Scripted(bos_index=BOS, eos_index=EOS, **kwargs)
+
+
+@pytest.mark.parametrize("cfg", [
+    dict(beam_size=3, lm_weight=0.5, using_eos_threshold=True,
+         eos_threshold=1.5, length_normalization=True),
+    dict(beam_size=4, lm_weight=0.3, using_eos_threshold=False,
+         length_normalization=False),
+])
+@pytest.mark.parametrize("seed", [0, 1])
+def test_lm_fusion_matches_reference(cfg, seed):
+    """LM shallow fusion in the base loop: fused AFTER the eos threshold,
+    unscaled by att_weight — the reference's placement."""
+    import torch
+
+    t_enc = 10
+    table = make_table(seed, int(t_enc * 0.8) + 2)
+    lm_tab = _lm_table(seed)
+    common = dict(min_decode_ratio=0.1, max_decode_ratio=0.8, **cfg)
+
+    ref = _ref_lm_searcher(table, lm_tab, **common)
+    mine = _my_lm_searcher(table, lm_tab, **common)
+
+    b = 3
+    with torch.no_grad():
+        ref_hyps, ref_scores = ref(torch.zeros((b, t_enc, 4)),
+                                   torch.ones(b))[:2]
+    my_hyps, my_scores = mine(jnp.zeros((b, t_enc, 4)), np.ones(b))
+
+    for i in range(b):
+        assert my_hyps[i] == [int(t) for t in ref_hyps[i]], (cfg, i)
+        assert np.isclose(my_scores[i], float(ref_scores[i]), atol=1e-4)
