@@ -21,16 +21,97 @@ from svt_speechbrain_tpu.processing.signal_processing import (
 
 
 class AddNoise(Module):
-    """Mix noise at a random SNR (reference ``speech_augmentation.py:30``).
-    Without a noise corpus, white noise is used (the reference's fallback)."""
+    """Mix noise at a random SNR — reference-exact mixing semantics
+    (reference ``speech_augmentation.py:30``; golden-tested in
+    ``tests/test_addnoise_golden.py``): one scalar mix_prob draw for the
+    whole batch, per-row SNR factors, a noise CORPUS loaded host-side from
+    an extended CSV (with ``pad_noise`` looping and ``start_index``
+    slicing, amplitude-normalized to the target), and the reference's
+    UNnormalized white-noise fallback ``noisy += new_amp * randn`` when no
+    corpus is given. ``noise_funct`` is a TPU-side extension: a callable
+    ``(key, shape) -> noise`` treated like a corpus batch (normalized)."""
 
-    def __init__(self, csv_file=None, snr_low=0, snr_high=0, pad_noise=False,
-                 mix_prob=1.0, start_index=None, normalize=False, noise_funct=None):
+    def __init__(self, csv_file=None, csv_keys=None, sorting="random",
+                 snr_low=0, snr_high=0, pad_noise=False, mix_prob=1.0,
+                 start_index=None, normalize=False, replacements={},
+                 noise_funct=None):
+        self.csv_file = csv_file
+        self.csv_keys = csv_keys
+        self.sorting = sorting
         self.snr_low = snr_low
         self.snr_high = snr_high
+        self.pad_noise = pad_noise
         self.mix_prob = mix_prob
+        self.start_index = start_index
         self.normalize = normalize
-        self.noise_funct = noise_funct  # callable (rng, shape) -> noise
+        self.replacements = replacements
+        self.noise_funct = noise_funct  # callable (key, shape) -> noise
+
+    # ------------------------------------------------ noise corpus loading
+
+    def _load_noise_batch(self):
+        """Next corpus batch as (wavs (B, T), relative lens) — host-side
+        (reference ``:428``), looping the loader at epoch end."""
+        if not hasattr(self, "_noise_iter"):
+            from svt_speechbrain_tpu.dataio.dataloader import make_dataloader
+            from svt_speechbrain_tpu.dataio.legacy import ExtendedCSVDataset
+
+            dataset = ExtendedCSVDataset(
+                csvpath=self.csv_file, output_keys=self.csv_keys or (),
+                sorting=self.sorting if self.sorting != "random"
+                else "original", replacements=self.replacements)
+            self._noise_loader = make_dataloader(
+                dataset, batch_size=self._noise_batch_size,
+                shuffle=(self.sorting == "random"))
+            self._noise_iter = iter(self._noise_loader)
+        try:
+            batch = next(self._noise_iter)
+        except StopIteration:
+            self._noise_iter = iter(self._noise_loader)
+            batch = next(self._noise_iter)
+        wavs, lens = batch.wav_data
+        return np.asarray(wavs), np.asarray(lens)
+
+    def _load_noise_batch_of_size(self, batch_size):
+        noise_batch, noise_lens = self._load_noise_batch()
+        while len(noise_batch) < batch_size:
+            added, added_lens = self._load_noise_batch()
+            # pad the shorter set to the longer's length, fix relative lens
+            if added.shape[1] > noise_batch.shape[1]:
+                noise_lens = noise_lens * noise_batch.shape[1] / added.shape[1]
+                noise_batch = np.pad(
+                    noise_batch,
+                    ((0, 0), (0, added.shape[1] - noise_batch.shape[1])))
+            elif noise_batch.shape[1] > added.shape[1]:
+                added_lens = added_lens * added.shape[1] / noise_batch.shape[1]
+                added = np.pad(
+                    added, ((0, 0), (0, noise_batch.shape[1] - added.shape[1])))
+            noise_batch = np.concatenate([noise_batch, added])
+            noise_lens = np.concatenate([noise_lens, added_lens])
+        return noise_batch[:batch_size], noise_lens[:batch_size]
+
+    def _load_noise(self, lengths_abs, max_length, key):
+        """Reference ``:393``: batch of corpus noise covering the speech."""
+        batch_size = len(lengths_abs)
+        self._noise_batch_size = batch_size
+        noise_batch, noise_rel = self._load_noise_batch_of_size(batch_size)
+        noise_len = np.round(noise_rel * noise_batch.shape[1]).astype(np.int64)
+        if self.pad_noise:
+            while np.any(noise_len < lengths_abs):
+                min_len = int(noise_len.min())
+                noise_batch = np.concatenate(
+                    [noise_batch[:, :min_len], noise_batch], axis=1)
+                noise_len = noise_len + min_len
+        elif noise_batch.shape[1] < max_length:
+            noise_batch = np.pad(
+                noise_batch, ((0, 0), (0, max_length - noise_batch.shape[1])))
+        start_index = self.start_index
+        if start_index is None:
+            max_chop = max(int((noise_len - lengths_abs).min()), 1)
+            start_index = int(jax.random.randint(key, (), 0, max_chop))
+        noise_batch = noise_batch[:, start_index: start_index + max_length]
+        noise_len = np.minimum(noise_len - start_index, max_length)[:, None]
+        return jnp.asarray(noise_batch), jnp.asarray(noise_len)
 
     def __call__(self, params, waveforms, lengths=None, rng=None):
         del params
@@ -39,28 +120,39 @@ class AddNoise(Module):
         b, t = waveforms.shape[:2]
         lengths = jnp.ones((b,)) if lengths is None else jnp.asarray(lengths)
         abs_len = (lengths * t)[:, None]
-        k1, k2, k3 = jax.random.split(rng, 3)
+        k_mix, k_snr, k_noise, k_start = jax.random.split(rng, 4)
+
+        # one scalar draw for the whole batch, like the reference (:137)
+        if float(jax.random.uniform(k_mix, ())) > self.mix_prob:
+            return waveforms
 
         clean_amplitude = compute_amplitude(waveforms, abs_len)
-        snr = jax.random.uniform(k1, (b, 1), minval=self.snr_low, maxval=self.snr_high)
+        snr = jax.random.uniform(k_snr, (b, 1), minval=self.snr_low,
+                                 maxval=self.snr_high)
         factor = 1 / (dB_to_amplitude(snr) + 1)
         new_noise_amplitude = factor * clean_amplitude
         noisy = waveforms * (1 - factor)
 
         if self.noise_funct is not None:
-            noise = self.noise_funct(k2, waveforms.shape)
+            noise = jnp.asarray(self.noise_funct(k_noise, waveforms.shape))
+            noise_amplitude = compute_amplitude(noise, abs_len)
+            noisy = noisy + noise * (new_noise_amplitude
+                                     / (noise_amplitude + 1e-14))
+        elif self.csv_file is None:
+            # the reference's white-noise fallback is UNnormalized (:151)
+            noisy = noisy + new_noise_amplitude \
+                * jax.random.normal(k_noise, waveforms.shape)
         else:
-            noise = jax.random.normal(k2, waveforms.shape)
-        noise_amplitude = compute_amplitude(noise, abs_len)
-        noise = noise * (new_noise_amplitude / (noise_amplitude + 1e-14))
-        noisy = noisy + noise
+            lengths_abs = np.round(np.asarray(lengths) * t).astype(np.int64)
+            noise_batch, noise_len = self._load_noise(lengths_abs, t, k_start)
+            noise_amplitude = compute_amplitude(noise_batch, noise_len)
+            noisy = noisy + noise_batch * (new_noise_amplitude
+                                           / (noise_amplitude + 1e-14))
 
-        keep = jax.random.uniform(k3, (b, 1)) > self.mix_prob
-        out = jnp.where(keep, waveforms, noisy)
         if self.normalize:
-            peak = jnp.max(jnp.abs(out), axis=1, keepdims=True)
-            out = out / jnp.maximum(peak, 1.0)
-        return out
+            peak = jnp.max(jnp.abs(noisy), axis=1, keepdims=True)
+            noisy = noisy / jnp.maximum(peak, 1.0)
+        return noisy
 
 
 class AddReverb(Module):

@@ -1,0 +1,99 @@
+"""Golden parity for AddNoise vs the reference
+``speechbrain/processing/speech_augmentation.py``: the corpus-noise path
+(pad_noise looping, short-noise padding, start_index slicing, amplitude
+normalization) with both sides' batch loaders pinned to the same noise,
+and the UNnormalized white-noise law."""
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from tests.conftest import import_reference_speechbrain, reference_available
+
+from svt_speechbrain_tpu.processing.speech_augmentation import AddNoise
+
+pytestmark = pytest.mark.skipif(not reference_available(),
+                                reason="reference checkout not present")
+
+
+def _fixed_snr_pair(noise, noise_rel, **kwargs):
+    import_reference_speechbrain()
+    from speechbrain.processing.speech_augmentation import (AddNoise
+                                                            as RefAddNoise)
+
+    ref = RefAddNoise(csv_file="unused.csv", snr_low=5, snr_high=5,
+                      mix_prob=1.0, **kwargs)
+    ref.data_loader = object()       # skip CSV loader construction
+    ref._load_noise_batch_of_size = lambda b: (
+        torch.tensor(noise)[:b], torch.tensor(noise_rel)[:b])
+    ours = AddNoise(csv_file="unused.csv", snr_low=5, snr_high=5,
+                    mix_prob=1.0, **kwargs)
+    ours._load_noise_batch_of_size = lambda b: (noise.copy()[:b],
+                                                noise_rel.copy()[:b])
+    return ref, ours
+
+
+@pytest.mark.parametrize("pad_noise", [False, True])
+def test_corpus_noise_matches_reference(pad_noise):
+    rng = np.random.default_rng(0)
+    wav = (rng.normal(size=(2, 2000)) * 0.3).astype(np.float32)
+    lens = np.array([1.0, 0.7], np.float32)
+    if pad_noise:
+        # shorter noise than speech exercises the pad_noise looping
+        noise = rng.normal(size=(2, 1500)).astype(np.float32)
+        noise_rel = np.array([1.0, 0.8], np.float32)
+    else:
+        # NOTE: short noise + start_index > 0 + pad_noise=False CRASHES the
+        # reference (it right-pads only to max_length then slices past the
+        # end) — use covering noise, the regime the reference supports
+        noise = rng.normal(size=(2, 2500)).astype(np.float32)
+        noise_rel = np.array([1.0, 0.9], np.float32)
+
+    ref, ours = _fixed_snr_pair(noise, noise_rel, pad_noise=pad_noise,
+                                start_index=100)
+    with torch.no_grad():
+        ref_out = ref(torch.tensor(wav).clone(), torch.tensor(lens)).numpy()
+    our_out = np.asarray(ours(None, jnp.asarray(wav), jnp.asarray(lens),
+                              rng=jax.random.PRNGKey(0)))
+    np.testing.assert_allclose(our_out, ref_out, atol=1e-5)
+
+
+def test_normalize_clipping_matches_reference():
+    rng = np.random.default_rng(1)
+    wav = (rng.normal(size=(2, 1000)) * 2.0).astype(np.float32)
+    lens = np.ones(2, np.float32)
+    noise = (rng.normal(size=(2, 1000)) * 3.0).astype(np.float32)
+    noise_rel = np.ones(2, np.float32)
+    ref, ours = _fixed_snr_pair(noise, noise_rel, start_index=0,
+                                normalize=True)
+    with torch.no_grad():
+        ref_out = ref(torch.tensor(wav).clone(), torch.tensor(lens)).numpy()
+    our_out = np.asarray(ours(None, jnp.asarray(wav), jnp.asarray(lens),
+                              rng=jax.random.PRNGKey(0)))
+    np.testing.assert_allclose(our_out, ref_out, atol=1e-5)
+    assert np.abs(our_out).max() <= 1.0
+
+
+def test_white_noise_law_matches_reference():
+    """No corpus: the reference adds ``new_amp * randn`` UNnormalized.
+    RNGs differ across frameworks, so verify the law: the residual equals
+    new_noise_amplitude times the (recomputed) standard-normal draw."""
+    from svt_speechbrain_tpu.processing.signal_processing import (
+        compute_amplitude, dB_to_amplitude)
+
+    rng = np.random.default_rng(2)
+    wav = (rng.normal(size=(2, 1000)) * 0.3).astype(np.float32)
+    lens = np.ones(2, np.float32)
+    ours = AddNoise(snr_low=5, snr_high=5, mix_prob=1.0)
+    key = jax.random.PRNGKey(3)
+    out = np.asarray(ours(None, jnp.asarray(wav), jnp.asarray(lens), rng=key))
+
+    _, _, k_noise, _ = jax.random.split(key, 4)
+    draw = np.asarray(jax.random.normal(k_noise, wav.shape))
+    factor = 1 / (np.asarray(dB_to_amplitude(jnp.asarray(5.0))) + 1)
+    clean_amp = np.asarray(compute_amplitude(
+        jnp.asarray(wav), jnp.asarray(lens[:, None] * wav.shape[1])))
+    expected = wav * (1 - factor) + factor * clean_amp * draw
+    np.testing.assert_allclose(out, expected, atol=1e-5)
