@@ -91,6 +91,11 @@ class PaddedBatch:
     def __iter__(self):
         return iter((getattr(self, key) for key in self.__keys))
 
+    def at_position(self, pos):
+        """Fetch an item by its position in the batch (reference
+        ``batch.py:180``)."""
+        return getattr(self, self.__keys[pos])
+
     @property
     def batchsize(self):
         return self.__length

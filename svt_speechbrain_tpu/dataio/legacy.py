@@ -25,8 +25,8 @@ class ExtendedCSVDataset(DynamicItemDataset):
     ...     "u1, 1.0, hello, string, \\n"
     ...     "u2, 2.5, world, string, \\n")
     >>> ds = ExtendedCSVDataset(path, sorting="descending")
-    >>> [ds[i]["text_data"] for i in range(len(ds))], ds[0]["id"]
-    (['world', 'hello'], 'u2')
+    >>> [ds[i]["text_data"] for i in range(len(ds))]
+    ['world', 'hello']
     """
 
     def __init__(self, csvpath, replacements={}, sorting="original",
@@ -45,8 +45,10 @@ class ExtendedCSVDataset(DynamicItemDataset):
             key_max_value={"duration": max_duration},
             sort_key=sort_key, reverse=reverse)
         self.data_ids = filtered_ids
+        # default output keys = the data items only, like the reference
+        # (legacy.py:109) — so batch.at_position(0) is the first data column
         if not output_keys:
-            self.set_output_keys(["id"] + data_names)
+            self.set_output_keys(data_names)
 
 
 def load_sb_extended_csv(csv_path, replacements={}):

@@ -69,7 +69,7 @@ class AddNoise(Module):
         except StopIteration:
             self._noise_iter = iter(self._noise_loader)
             batch = next(self._noise_iter)
-        wavs, lens = batch.wav_data
+        wavs, lens = batch.at_position(0)
         return np.asarray(wavs), np.asarray(lens)
 
     def _load_noise_batch_of_size(self, batch_size):
@@ -156,24 +156,77 @@ class AddNoise(Module):
 
 
 class AddReverb(Module):
-    """Convolve with an impulse response (reference ``:279``). The RIR is
-    supplied by ``rir_funct`` (corpus loading is host-side)."""
+    """Convolve with an impulse response (reference ``:279``;
+    golden-tested in ``tests/test_addnoise_golden.py``): RIRs come from an
+    extended-CSV corpus (host-side loader looping like the reference) or a
+    ``rir_funct`` callable; ``rir_scale_factor`` compresses/dilates the RIR
+    with the reference's linear interpolation; one scalar ``reverb_prob``
+    draw gates the whole batch; ``reverberate(..., rescale_amp="avg")``."""
 
-    def __init__(self, csv_file=None, reverb_prob=1.0, rir_scale_factor=1.0,
-                 rir_funct=None):
+    def __init__(self, csv_file=None, sorting="random", reverb_prob=1.0,
+                 rir_scale_factor=1.0, replacements={}, rir_funct=None):
+        self.csv_file = csv_file
+        self.sorting = sorting
         self.reverb_prob = reverb_prob
         self.rir_scale_factor = rir_scale_factor
+        self.replacements = replacements
         self.rir_funct = rir_funct
+
+    def _load_rir(self):
+        """Next corpus RIR (host-side), looping at epoch end
+        (reference ``:372``)."""
+        if not hasattr(self, "_rir_iter"):
+            from svt_speechbrain_tpu.dataio.dataloader import make_dataloader
+            from svt_speechbrain_tpu.dataio.legacy import ExtendedCSVDataset
+
+            dataset = ExtendedCSVDataset(
+                csvpath=self.csv_file,
+                sorting=self.sorting if self.sorting != "random"
+                else "original", replacements=self.replacements)
+            self._rir_loader = make_dataloader(
+                dataset, shuffle=(self.sorting == "random"))
+            self._rir_iter = iter(self._rir_loader)
+        try:
+            batch = next(self._rir_iter)
+        except StopIteration:
+            self._rir_iter = iter(self._rir_loader)
+            batch = next(self._rir_iter)
+        rir, _ = batch.at_position(0)
+        return jnp.asarray(np.asarray(rir))
+
+    @staticmethod
+    def _interpolate_linear(rir, scale_factor):
+        """torch F.interpolate(mode="linear", align_corners=False) on the
+        time axis of (B, T) arrays."""
+        t_in = rir.shape[1]
+        t_out = int(np.floor(t_in * scale_factor))
+        # align_corners=False sampling grid
+        pos = (np.arange(t_out) + 0.5) / scale_factor - 0.5
+        pos = np.clip(pos, 0, t_in - 1)
+        left = np.floor(pos).astype(np.int64)
+        right = np.minimum(left + 1, t_in - 1)
+        frac = jnp.asarray(pos - left)
+        return rir[:, left] * (1 - frac) + rir[:, right] * frac
 
     def __call__(self, params, waveforms, lengths=None, rng=None):
         del params, lengths
-        if rng is None or self.rir_funct is None:
+        if rng is None:
             return waveforms
         k1, k2 = jax.random.split(rng)
-        rir = self.rir_funct(k1)
-        reverbed = reverberate(waveforms, rir)
-        keep = jax.random.uniform(k2, ()) > self.reverb_prob
-        return jnp.where(keep, waveforms, reverbed)
+        # one scalar draw for the whole batch, like the reference (:333)
+        if float(jax.random.uniform(k2, ())) > self.reverb_prob:
+            return waveforms
+        if self.rir_funct is not None:
+            rir = jnp.asarray(self.rir_funct(k1))
+        elif self.csv_file is not None:
+            rir = self._load_rir()
+        else:
+            return waveforms
+        if rir.ndim == 1:
+            rir = rir[None]
+        if self.rir_scale_factor != 1:
+            rir = self._interpolate_linear(rir, self.rir_scale_factor)
+        return reverberate(waveforms, rir, rescale_amp="avg")
 
 
 class SpeedPerturb(Module):

@@ -97,3 +97,35 @@ def test_white_noise_law_matches_reference():
         jnp.asarray(wav), jnp.asarray(lens[:, None] * wav.shape[1])))
     expected = wav * (1 - factor) + factor * clean_amp * draw
     np.testing.assert_allclose(out, expected, atol=1e-5)
+
+
+@pytest.mark.parametrize("scale", [1.0, 0.8, 1.3])
+def test_addreverb_matches_reference(scale):
+    """AddReverb with a pinned RIR: convolution, avg-amplitude rescale and
+    the rir_scale_factor linear interpolation all match the reference."""
+    import_reference_speechbrain()
+    from speechbrain.processing.speech_augmentation import (AddReverb
+                                                            as RefAddReverb)
+
+    from svt_speechbrain_tpu.processing.speech_augmentation import AddReverb
+
+    rng = np.random.default_rng(0)
+    wav = (rng.normal(size=(2, 2000)) * 0.3).astype(np.float32)
+    rir = np.zeros((1, 300), np.float32)
+    rir[0, 10] = 1.0
+    rir[0, 60] = 0.4
+    rir[0, 150] = 0.15
+
+    ref = RefAddReverb.__new__(RefAddReverb)
+    torch.nn.Module.__init__(ref)
+    ref.reverb_prob = 1.0
+    ref.rir_scale_factor = scale
+    ref._load_rir = lambda w: torch.tensor(rir)[..., None]
+    with torch.no_grad():
+        ref_out = ref(torch.tensor(wav).clone(), torch.ones(2)).numpy()
+
+    ours = AddReverb(rir_funct=lambda k: jnp.asarray(rir), reverb_prob=1.0,
+                     rir_scale_factor=scale)
+    our_out = np.asarray(ours(None, jnp.asarray(wav), jnp.ones(2),
+                              rng=jax.random.PRNGKey(0)))
+    np.testing.assert_allclose(our_out, ref_out, atol=1e-5)
