@@ -140,26 +140,31 @@ def reverberate(waveforms, rir_waveform, rescale_amp="avg"):
 
 
 def notch_filter(notch_freq, filter_width=101, notch_width=0.05):
-    """FIR band-rejection filter kernel (1, width, 1) (reference ``:372-427``)."""
+    """FIR band-rejection filter kernel (1, width, 1) — reference-exact
+    (``:372-427``): raw ``sin(x)/x`` sinc at ``3·f·n``, the PERIODIC
+    Blackman window (torch's default), low-pass + spectrally-inverted
+    high-pass summed into the notch."""
+    assert 0 < notch_freq <= 1
+    assert filter_width % 2 != 0
     pad = filter_width // 2
-    inputs = np.arange(filter_width) - pad
+    inputs = (np.arange(filter_width) - pad).astype(np.float64)
     notch_freq += notch_width
 
-    def hlpf(freq):
-        nwin = np.sin(np.pi / (filter_width - 1) * np.arange(filter_width))
-        kernel = np.sinc(freq * inputs) * nwin
-        return kernel / np.sum(kernel)
+    def sinc(x):
+        out = np.ones_like(x)
+        nz = x != 0
+        out[nz] = np.sin(x[nz]) / x[nz]
+        return out
 
-    def hhpf(freq):
-        nwin = np.sin(np.pi / (filter_width - 1) * np.arange(filter_width))
-        kernel = np.sinc(freq * inputs) * nwin
-        kernel = -kernel / np.sum(kernel)
-        kernel[pad] += 1
-        return kernel
+    # torch.blackman_window defaults to periodic: symmetric N+1, drop last
+    blackman = np.blackman(filter_width + 1)[:-1]
 
-    hlpf_k = hlpf(notch_freq - notch_width)
-    hhpf_k = hhpf(notch_freq + notch_width)
-    return jnp.asarray((hlpf_k + hhpf_k)[None, :, None], jnp.float32)
+    hlpf = sinc(3 * (notch_freq - notch_width) * inputs) * blackman
+    hlpf /= hlpf.sum()
+    hhpf = sinc(3 * (notch_freq + notch_width) * inputs) * blackman
+    hhpf /= -hhpf.sum()
+    hhpf[pad] += 1
+    return jnp.asarray((hlpf + hhpf)[None, :, None], jnp.float32)
 
 
 def overlap_and_add(signal, frame_step):

@@ -129,3 +129,45 @@ def test_addreverb_matches_reference(scale):
     our_out = np.asarray(ours(None, jnp.asarray(wav), jnp.ones(2),
                               rng=jax.random.PRNGKey(0)))
     np.testing.assert_allclose(our_out, ref_out, atol=1e-5)
+
+
+def test_signal_primitives_match_reference():
+    """notch_filter (Blackman-windowed sinc pair), convolve1d (direct and
+    fft/rotated), compute_amplitude and rescale vs the reference."""
+    import_reference_speechbrain()
+    from speechbrain.processing import signal_processing as rsp
+
+    from svt_speechbrain_tpu.processing import signal_processing as osp
+
+    for freq, width, nwidth in ((0.2, 101, 0.05), (0.35, 75, 0.1),
+                                (0.6, 51, 0.02)):
+        r = rsp.notch_filter(freq, width, nwidth).numpy()
+        o = np.asarray(osp.notch_filter(freq, width, nwidth))
+        np.testing.assert_allclose(o, r, atol=1e-6)
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(2, 500, 1)).astype(np.float32)
+    k = rng.normal(size=(1, 31, 1)).astype(np.float32)
+    r = rsp.convolve1d(torch.tensor(x), torch.tensor(k), padding=15).numpy()
+    o = np.asarray(osp.convolve1d(jnp.asarray(x), jnp.asarray(k), padding=15))
+    np.testing.assert_allclose(o, r, atol=1e-5)
+    r = rsp.convolve1d(torch.tensor(x), torch.tensor(k), use_fft=True,
+                       rotation_index=5).numpy()
+    o = np.asarray(osp.convolve1d(jnp.asarray(x), jnp.asarray(k),
+                                  use_fft=True, rotation_index=5))
+    np.testing.assert_allclose(o, r, atol=1e-5)
+
+    x2 = rng.normal(size=(2, 500)).astype(np.float32)
+    lens = np.array([[400.0], [500.0]], np.float32)
+    for amp_type in ("avg", "peak"):
+        r = rsp.compute_amplitude(torch.tensor(x2), torch.tensor(lens),
+                                  amp_type=amp_type).numpy()
+        o = np.asarray(osp.compute_amplitude(jnp.asarray(x2),
+                                             jnp.asarray(lens),
+                                             amp_type=amp_type))
+        np.testing.assert_allclose(o, r, atol=1e-6)
+    r = rsp.rescale(torch.tensor(x2), torch.tensor(lens), 0.5,
+                    amp_type="avg").numpy()
+    o = np.asarray(osp.rescale(jnp.asarray(x2), jnp.asarray(lens), 0.5,
+                               amp_type="avg"))
+    np.testing.assert_allclose(o, r, atol=1e-6)
