@@ -407,34 +407,45 @@ class DropFreq(Module):
         if rng is None:
             return waveforms
         keys = jax.random.split(rng, self.drop_count_high + 2)
+        # one scalar draw per batch, like the reference (:906)
+        if float(jax.random.uniform(keys[-1], ())) > self.drop_prob:
+            return waveforms
         dropped = waveforms[..., None] if waveforms.ndim == 2 else waveforms
         drop_count = jax.random.randint(
             keys[0], (), self.drop_count_low, self.drop_count_high + 1)
         filter_length = 101
-        out = dropped
+        pad = filter_length // 2
+        inputs = jnp.arange(filter_length, dtype=jnp.float32) - pad
+        # torch.blackman_window default = periodic
+        blackman = jnp.asarray(np.blackman(filter_length + 1)[:-1],
+                               jnp.float32)
+        drop_w = self.drop_width
+
+        def raw_sinc(x):
+            return jnp.where(x == 0, 1.0, jnp.sin(x) / jnp.where(x == 0, 1.0,
+                                                                 x))
+
+        def notch_kernel(freq):
+            # reference notch_filter math at a TRACED frequency (:372-427)
+            freq = freq + drop_w
+            lo = raw_sinc(3 * (freq - drop_w) * inputs) * blackman
+            lo = lo / jnp.sum(lo)
+            hi = raw_sinc(3 * (freq + drop_w) * inputs) * blackman
+            hi = (-(hi / jnp.sum(hi))).at[pad].add(1.0)
+            return (lo + hi)[None, :, None]
+
+        # compose ALL notches into one truncated filter on a delta, then
+        # apply once — the reference's structure (:928-941)
+        drop_filter = jnp.zeros((1, filter_length, 1)).at[0, pad, 0].set(1.0)
         for i in range(self.drop_count_high):
             freq = jax.random.uniform(keys[i + 1], (),
                                       minval=self.drop_freq_low,
                                       maxval=self.drop_freq_high)
-            # static-shape notch at a traced frequency: synthesize the kernel
-            pad = filter_length // 2
-            inputs = jnp.arange(filter_length) - pad
-            nwin = jnp.sin(jnp.pi / (filter_length - 1) * jnp.arange(filter_length))
-            drop_w = self.drop_width
-
-            def sinc(x):
-                return jnp.where(x == 0, 1.0, jnp.sin(jnp.pi * x) / (jnp.pi * x))
-
-            lowk = sinc((freq - drop_w) * inputs) * nwin
-            lowk = lowk / jnp.sum(lowk)
-            s = sinc((freq + drop_w) * inputs) * nwin
-            highk = (-(s / jnp.sum(s))).at[pad].add(1.0)
-            kernel = (lowk + highk)[None, :, None]
-            filtered = convolve1d(out, kernel, padding=pad)
-            out = jnp.where(i < drop_count, filtered, out)
-        out = out[..., 0] if waveforms.ndim == 2 else out
-        keep = jax.random.uniform(keys[-1], ()) > self.drop_prob
-        return jnp.where(keep, waveforms, out)
+            composed = convolve1d(drop_filter, notch_kernel(freq),
+                                  padding=pad)
+            drop_filter = jnp.where(i < drop_count, composed, drop_filter)
+        out = convolve1d(dropped, drop_filter, padding=pad)
+        return out[..., 0] if waveforms.ndim == 2 else out
 
 
 class DropChunk(Module):

@@ -171,3 +171,40 @@ def test_signal_primitives_match_reference():
     o = np.asarray(osp.rescale(jnp.asarray(x2), jnp.asarray(lens), 0.5,
                                amp_type="avg"))
     np.testing.assert_allclose(o, r, atol=1e-6)
+
+
+@pytest.mark.parametrize("freq,count", [(0.3, 1), (0.5, 1), (0.4, 2)])
+def test_dropfreq_pinned_matches_reference(freq, count):
+    """DropFreq with pinned frequency/count: composed notch filters applied
+    once, like the reference."""
+    import_reference_speechbrain()
+    from speechbrain.processing.speech_augmentation import (DropFreq
+                                                            as RefDropFreq)
+
+    from svt_speechbrain_tpu.processing.speech_augmentation import DropFreq
+
+    rng = np.random.default_rng(0)
+    wav = (rng.normal(size=(2, 4000)) * 0.5).astype(np.float32)
+    kw = dict(drop_freq_low=freq, drop_freq_high=freq, drop_count_low=count,
+              drop_count_high=count, drop_width=0.05, drop_prob=1.0)
+    with torch.no_grad():
+        ref_out = RefDropFreq(**kw)(torch.tensor(wav).clone()).numpy()
+    our_out = np.asarray(DropFreq(**kw)(None, jnp.asarray(wav),
+                                        rng=jax.random.PRNGKey(0)))
+    np.testing.assert_allclose(our_out, ref_out, atol=1e-5)
+
+
+def test_doclip_pinned_matches_reference():
+    import_reference_speechbrain()
+    from speechbrain.processing.speech_augmentation import DoClip as RefClip
+
+    from svt_speechbrain_tpu.processing.speech_augmentation import DoClip
+
+    rng = np.random.default_rng(1)
+    wav = (rng.normal(size=(2, 1000)) * 0.8).astype(np.float32)
+    with torch.no_grad():
+        ref_out = RefClip(clip_low=0.3, clip_high=0.3, clip_prob=1.0)(
+            torch.tensor(wav).clone()).numpy()
+    our_out = np.asarray(DoClip(clip_low=0.3, clip_high=0.3, clip_prob=1.0)(
+        None, jnp.asarray(wav), rng=jax.random.PRNGKey(0)))
+    np.testing.assert_allclose(our_out, ref_out, atol=1e-6)
