@@ -208,3 +208,39 @@ def test_doclip_pinned_matches_reference():
     our_out = np.asarray(DoClip(clip_low=0.3, clip_high=0.3, clip_prob=1.0)(
         None, jnp.asarray(wav), rng=jax.random.PRNGKey(0)))
     np.testing.assert_allclose(our_out, ref_out, atol=1e-6)
+
+
+def test_dropchunk_pinned_matches_reference():
+    """DropChunk with pinned length/count/window: identical zeroing; the
+    noise_factor fill obeys the same amplitude law (draws differ)."""
+    import_reference_speechbrain()
+    from speechbrain.processing.speech_augmentation import (DropChunk
+                                                            as RefDropChunk)
+
+    from svt_speechbrain_tpu.processing.speech_augmentation import DropChunk
+
+    rng = np.random.default_rng(0)
+    wav = (rng.normal(size=(2, 4000)) * 0.5).astype(np.float32)
+    lens = np.ones(2, np.float32)
+    kw = dict(drop_length_low=300, drop_length_high=300, drop_count_low=1,
+              drop_count_high=1, drop_start=500, drop_end=800, drop_prob=1.0)
+    with torch.no_grad():
+        ref_out = RefDropChunk(**kw)(torch.tensor(wav).clone(),
+                                     torch.tensor(lens)).numpy()
+    our_out = np.asarray(DropChunk(**kw)(None, jnp.asarray(wav),
+                                         jnp.asarray(lens),
+                                         rng=jax.random.PRNGKey(0)))
+    np.testing.assert_allclose(our_out, ref_out, atol=1e-6)
+
+    kw["noise_factor"] = 0.5
+    with torch.no_grad():
+        ref_n = RefDropChunk(**kw)(torch.tensor(wav).clone(),
+                                   torch.tensor(lens)).numpy()
+    our_n = np.asarray(DropChunk(**kw)(None, jnp.asarray(wav),
+                                       jnp.asarray(lens),
+                                       rng=jax.random.PRNGKey(0)))
+    # outside the chunk: identical; inside: same mean-amplitude law
+    np.testing.assert_allclose(our_n[:, :500], ref_n[:, :500], atol=1e-6)
+    np.testing.assert_allclose(our_n[:, 800:], ref_n[:, 800:], atol=1e-6)
+    assert np.isclose(np.abs(our_n[:, 500:800]).mean(),
+                      np.abs(ref_n[:, 500:800]).mean(), rtol=0.2)
