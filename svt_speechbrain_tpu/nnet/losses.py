@@ -92,8 +92,10 @@ def compute_masked_loss(loss_fn, predictions, targets, length=None,
 
     if label_smoothing == 0:
         return out
-    # NLL-style smoothing regularizer (reference ``losses.py:672-684``)
-    loss_reg = jnp.mean(predictions, axis=1) * mask
+    # NLL-style smoothing regularizer (reference ``losses.py:672-684``):
+    # mean over the CLASS axis (the reference holds (B, C, T)-transposed
+    # predictions, so its dim=1 is the class axis; ours are (B, ..., C))
+    loss_reg = jnp.mean(predictions, axis=-1) * mask
     if reduction == "mean":
         loss_reg = jnp.sum(loss_reg) / jnp.sum(mask)
     elif reduction == "batchmean":
