@@ -60,42 +60,78 @@ class SpecAugment(Module):
         return x
 
     def time_warp(self, x, rng):
-        """Shift the spectrogram center by ±window frames with linear
-        interpolation (reference ``augment.py:100``)."""
-        b, t = x.shape[0], x.shape[1]
+        """Warp the time axis around a random center — the reference's
+        bicubic align_corners=True segment resizes (``augment.py:118``),
+        expressed as one static-shape piecewise cubic gather (jittable
+        with traced c/w)."""
+        t = x.shape[1]
         window = self.time_warp_window
         if t - window <= window:
             return x
         k1, k2 = jax.random.split(rng)
         c = jax.random.randint(k1, (), window, t - window)
         w = jax.random.randint(k2, (), c - window, c + window) + 1
-        # piecewise-linear index map: [0, c] → [0, w], [c, t) → [w, t)
-        pos = jnp.arange(t, dtype=jnp.float32)
-        left = pos * (w.astype(jnp.float32) / jnp.maximum(c, 1))
-        right = w + (pos - c) * ((t - 1 - w).astype(jnp.float32)
-                                 / jnp.maximum(t - 1 - c, 1))
-        src = jnp.where(pos <= c, left, right)
-        lo = jnp.clip(jnp.floor(src).astype(jnp.int32), 0, t - 1)
-        hi = jnp.clip(lo + 1, 0, t - 1)
-        frac = (src - lo).reshape((1, t) + (1,) * (x.ndim - 2))
-        return x[:, lo] * (1 - frac) + x[:, hi] * frac
+        return self._time_warp_cw(x, c, w)
+
+    def _time_warp_cw(self, x, c, w):
+        """Deterministic warp core: resize x[:, :c] to length w and
+        x[:, c:] to length t-w with torch's bicubic align_corners=True,
+        taps clamped within each segment."""
+        t = x.shape[1]
+        c = jnp.asarray(c)
+        w = jnp.asarray(w)
+        i = jnp.arange(t, dtype=jnp.float32)
+        cf = c.astype(jnp.float32)
+        wf = w.astype(jnp.float32)
+        # align_corners grids per segment (guard 1-length outputs)
+        left_src = i * (cf - 1) / jnp.maximum(wf - 1, 1)
+        right_src = cf + (i - wf) * (t - cf - 1) / jnp.maximum(t - wf - 1, 1)
+        in_left = i < wf
+        src = jnp.where(in_left, left_src, right_src)
+        lo_bound = jnp.where(in_left, 0, c)
+        hi_bound = jnp.where(in_left, c - 1, t - 1)
+
+        def cubic_kernel(d, a=-0.75):
+            d = jnp.abs(d)
+            return jnp.where(
+                d <= 1, ((a + 2) * d - (a + 3)) * d * d + 1,
+                jnp.where(d < 2, (((d - 5) * d + 8) * d - 4) * a, 0.0))
+
+        x0 = jnp.floor(src)
+        out = jnp.zeros_like(x)
+        extra = (1,) * (x.ndim - 2)
+        for k in (-1, 0, 1, 2):
+            idx = jnp.clip((x0 + k).astype(jnp.int32), lo_bound, hi_bound)
+            wgt = cubic_kernel(src - (x0 + k)).reshape((1, t) + extra)
+            out = out + x[:, idx] * wgt
+        return out
 
     def mask_along_axis(self, x, rng, dim, n_masks, width_range):
+        """Reference draw semantics (``augment.py:149``): per-row
+        (batch, n_mask) lengths in ``width_range``, positions bounded by
+        ``D - max(drawn lengths)``, all masks OR-combined, filled with 0 or
+        the input mean."""
         b = x.shape[0]
         size = x.shape[dim]
-        ar = jnp.arange(size)
+        k_len, k_pos = jax.random.split(rng)
+        mask_len = jax.random.randint(k_len, (b, n_masks), width_range[0],
+                                      width_range[1])
+        mask_pos = jax.random.randint(
+            k_pos, (b, n_masks), 0, jnp.maximum(1, size - mask_len.max()))
+        return self._mask(x, mask_pos, mask_len, dim)
+
+    def _mask(self, x, mask_pos, mask_len, dim):
+        """Deterministic masking core for given (batch, n_mask) draws."""
+        size = x.shape[dim]
+        ar = jnp.arange(size)[None, None, :]
+        span = ((jnp.asarray(mask_pos)[:, :, None] <= ar)
+                & (ar < (jnp.asarray(mask_pos)
+                         + jnp.asarray(mask_len))[:, :, None]))
+        span = span.any(axis=1)                      # (B, size)
         mask_value = 0.0 if self.replace_with_zero else jnp.mean(x)
-        out = x
-        for i in range(n_masks):
-            k_len, k_pos = jax.random.split(jax.random.fold_in(rng, i))
-            length = jax.random.randint(k_len, (b,), width_range[0], width_range[1])
-            start = jax.random.randint(k_pos, (b,), 0,
-                                       jnp.maximum(size - width_range[1], 1))
-            span = (ar[None, :] >= start[:, None]) & (ar[None, :] < (start + length)[:, None])
-            shape = [b] + [1] * (x.ndim - 1)
-            shape[dim] = size
-            out = jnp.where(span.reshape(shape), mask_value, out)
-        return out
+        shape = [x.shape[0]] + [1] * (x.ndim - 1)
+        shape[dim] = size
+        return jnp.where(span.reshape(shape), mask_value, x)
 
 
 class TimeDomainSpecAugment(Module):

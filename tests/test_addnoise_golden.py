@@ -244,3 +244,49 @@ def test_dropchunk_pinned_matches_reference():
     np.testing.assert_allclose(our_n[:, 800:], ref_n[:, 800:], atol=1e-6)
     assert np.isclose(np.abs(our_n[:, 500:800]).mean(),
                       np.abs(ref_n[:, 500:800]).mean(), rtol=0.2)
+
+
+def test_specaugment_cores_match_reference():
+    """SpecAugment's deterministic cores vs the reference lobes: the
+    bicubic align_corners=True time warp at pinned (center, width), and
+    per-row OR-combined masks with zero and mean fills."""
+    import_reference_speechbrain()
+    from speechbrain.lobes.augment import SpecAugment as RefSpecAugment
+
+    from svt_speechbrain_tpu.models.augment import SpecAugment
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(3, 60, 20)).astype(np.float32)
+
+    ref = RefSpecAugment(time_warp=True, freq_mask=False, time_mask=False)
+    ours = SpecAugment(time_warp=True)
+    for (c, w) in ((25, 28), (30, 26), (10, 14)):
+        seq = iter([torch.tensor([c]), torch.tensor([w - 1])])
+        orig_randint = torch.randint
+        torch.randint = lambda *a, **k: next(seq)
+        try:
+            with torch.no_grad():
+                r = ref.time_warp(torch.tensor(x).clone()).numpy()
+        finally:
+            torch.randint = orig_randint
+        o = np.asarray(ours._time_warp_cw(jnp.asarray(x), c, w))
+        np.testing.assert_allclose(o, r, atol=1e-4)
+
+    lens = np.array([[3, 5], [2, 7], [0, 4]])
+    poss = np.array([[1, 10], [4, 2], [0, 11]])
+    for zero in (True, False):
+        ref2 = RefSpecAugment(time_warp=False, freq_mask=True,
+                              time_mask=False, freq_mask_width=(0, 8),
+                              n_freq_mask=2, replace_with_zero=zero)
+        seq = iter([torch.tensor(lens), torch.tensor(poss)])
+        orig_randint = torch.randint
+        torch.randint = lambda *a, **k: next(seq)
+        try:
+            with torch.no_grad():
+                r = ref2.mask_along_axis(torch.tensor(x).clone(),
+                                         dim=2).numpy()
+        finally:
+            torch.randint = orig_randint
+        ours2 = SpecAugment(time_warp=False, replace_with_zero=zero)
+        o = np.asarray(ours2._mask(jnp.asarray(x), poss, lens, dim=2))
+        np.testing.assert_allclose(o, r, atol=1e-6)
