@@ -172,16 +172,23 @@ class EnvCorrupt(Module):
 
     def __init__(self, reverb_prob=1.0, babble_prob=1.0, noise_prob=1.0,
                  noise_snr_low=0, noise_snr_high=0, babble_speaker_count=0,
-                 babble_snr_low=0, babble_snr_high=0, rir_funct=None,
-                 noise_funct=None, **unused):
-        self.add_reverb = AddReverb(reverb_prob=reverb_prob, rir_funct=rir_funct)
+                 babble_snr_low=0, babble_snr_high=0, reverb_csv=None,
+                 noise_csv=None, rir_scale_factor=1.0, pad_noise=False,
+                 rir_funct=None, noise_funct=None, **unused):
+        self.add_reverb = AddReverb(csv_file=reverb_csv,
+                                    reverb_prob=reverb_prob,
+                                    rir_scale_factor=rir_scale_factor,
+                                    rir_funct=rir_funct)
         self.babble_speaker_count = babble_speaker_count
         if babble_speaker_count > 0:
             self.add_babble = AddBabble(
                 mix_prob=babble_prob, speaker_count=babble_speaker_count,
                 snr_low=babble_snr_low, snr_high=babble_snr_high)
-        self.add_noise = AddNoise(mix_prob=noise_prob, snr_low=noise_snr_low,
-                                  snr_high=noise_snr_high, noise_funct=noise_funct)
+        self.add_noise = AddNoise(csv_file=noise_csv, mix_prob=noise_prob,
+                                  snr_low=noise_snr_low,
+                                  snr_high=noise_snr_high,
+                                  pad_noise=pad_noise,
+                                  noise_funct=noise_funct)
 
     def __call__(self, params, waveforms, lengths=None, rng=None):
         del params
