@@ -287,17 +287,25 @@ class ContextWindow(Module):
         self.right_frames = right_frames
 
     def __call__(self, params, x):
+        """Reference-exact layout (``features.py:895``): per input feature f
+        the context copies are CONSECUTIVE output channels
+        ``out[..., f*CL + j] = x[t + j - left]`` with ZERO padding outside
+        the sequence (the reference's grouped identity conv)."""
         del params
+        x = jnp.asarray(x)
         orig_ndim = x.ndim
         if orig_ndim == 4:
             b, t, f, c = x.shape
             x = x.transpose(0, 3, 1, 2).reshape(b * c, t, f)
         t = x.shape[1]
+        pad = max(self.left_frames, self.right_frames)
+        xp = jnp.pad(x, ((0, 0), (pad, pad), (0, 0)))
         pieces = []
-        for shift in range(-self.left_frames, self.right_frames + 1):
-            idx = np.clip(np.arange(t) + shift, 0, t - 1)
-            pieces.append(x[:, idx])
-        out = jnp.concatenate(pieces, axis=-1)
+        for j in range(self.left_frames + self.right_frames + 1):
+            shift = j - self.left_frames
+            pieces.append(xp[:, pad + shift: pad + shift + t])
+        out = jnp.stack(pieces, axis=-1)              # (B, T, F, CL)
+        out = out.reshape(out.shape[0], t, -1)        # feature-major F*CL
         if orig_ndim == 4:
             out = out.reshape(b, c, t, -1).transpose(0, 2, 3, 1)
         return out

@@ -173,3 +173,67 @@ def test_mfcc_matches_reference_torch():
     got = np.asarray(mine(None, jnp.asarray(wav)))
     assert got.shape == want.shape, (got.shape, want.shape)
     np.testing.assert_allclose(got, want, atol=5e-3, rtol=1e-2)
+
+
+def test_context_window_matches_reference():
+    """ContextWindow layout is the reference's feature-major interleave with
+    ZERO padding (grouped identity conv), bit-exact."""
+    import torch
+
+    from tests.conftest import import_reference_speechbrain, reference_available
+    if not reference_available():
+        pytest.skip("reference checkout not present")
+    import_reference_speechbrain()
+    from speechbrain.processing.features import ContextWindow as RefCW
+
+    from svt_speechbrain_tpu.processing.features import ContextWindow
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(2, 30, 5)).astype(np.float32)
+    for left, right in ((5, 5), (3, 1), (0, 4), (2, 0)):
+        with torch.no_grad():
+            ref = RefCW(left_frames=left, right_frames=right)(
+                torch.tensor(x)).numpy()
+        ours = np.asarray(ContextWindow(left_frames=left, right_frames=right)(
+            None, jnp.asarray(x)))
+        np.testing.assert_allclose(ours, ref, atol=1e-6)
+
+
+def test_fbank_context_deltas_matches_reference():
+    """Full Fbank with context and deltas enabled (the reference recipes'
+    default feature stack) matches end to end."""
+    import torch
+
+    from tests.conftest import import_reference_speechbrain, reference_available
+    if not reference_available():
+        pytest.skip("reference checkout not present")
+    import_reference_speechbrain()
+    from speechbrain.processing import features as rfeat
+
+    orig = rfeat.Deltas.__init__
+
+    def patched(self, *a, **k):
+        cuda = torch.Tensor.cuda
+        torch.Tensor.cuda = lambda self_, *aa, **kk: self_
+        try:
+            orig(self, *a, **k)
+        finally:
+            torch.Tensor.cuda = cuda
+
+    rfeat.Deltas.__init__ = patched
+    try:
+        from speechbrain.lobes.features import Fbank as RefFbank
+
+        from svt_speechbrain_tpu.models.features import Fbank
+
+        rng = np.random.default_rng(1)
+        wav = (rng.normal(size=(2, 16000)) * 0.1).astype(np.float32)
+        for ctx, deltas in ((True, True), (True, False)):
+            with torch.no_grad():
+                ref = RefFbank(n_mels=24, context=ctx, deltas=deltas)(
+                    torch.tensor(wav)).numpy()
+            ours = np.asarray(Fbank(n_mels=24, context=ctx, deltas=deltas)(
+                None, jnp.asarray(wav)))
+            np.testing.assert_allclose(ours, ref, atol=2e-4)
+    finally:
+        rfeat.Deltas.__init__ = orig
