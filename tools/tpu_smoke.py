@@ -248,6 +248,40 @@ def smoke_inference_pipeline():
     assert len(got) == len(want), (got, want)
 
 
+def smoke_resample_and_specaugment():
+    """The round-3 jitted augmentation ops: the kaldi LinearResample
+    (static gather + einsum) and SpecAugment's piecewise-cubic time warp —
+    XLA-only, but big-gather lowering on TPU deserves a real-chip check."""
+    import numpy as np
+
+    from svt_speechbrain_tpu.models.augment import SpecAugment
+    from svt_speechbrain_tpu.processing.speech_augmentation import (
+        Resample, SpeedPerturb)
+
+    rng = np.random.default_rng(0)
+    wav = jnp.asarray((rng.normal(size=(2, 16000)) * 0.2).astype(np.float32))
+    down = jax.jit(lambda w: Resample(16000, 8000)(None, w))(wav)
+    up = jax.jit(lambda w: Resample(8000, 16000)(None, w))(down)
+    n = min(wav.shape[1], up.shape[1])
+    err = float(np.abs(np.asarray(up)[:, 200:n - 200]
+                       - np.asarray(wav)[:, 200:n - 200]).mean())
+    assert np.isfinite(np.asarray(up)).all()
+
+    sp = SpeedPerturb(orig_freq=16000, speeds=[90, 100, 110])
+    out = jax.jit(lambda w, k: sp(None, w, rng=k))(wav, jax.random.PRNGKey(0))
+    assert out.shape == wav.shape
+    assert np.isfinite(np.asarray(out)).all()
+
+    aug = SpecAugment(time_warp=True, freq_mask_width=(0, 6),
+                      time_mask_width=(0, 10))
+    feats = jnp.asarray(rng.normal(size=(2, 101, 24)).astype(np.float32))
+    masked = jax.jit(lambda x, k: aug(None, x, rng=k))(feats,
+                                                       jax.random.PRNGKey(1))
+    assert masked.shape == feats.shape
+    assert np.isfinite(np.asarray(masked)).all()
+    assert (np.asarray(masked) == 0).any()
+
+
 def smoke_flagship_forward():
     from __graft_entry__ import entry
 
@@ -274,6 +308,8 @@ def main():
     check("transducer lattice (scan + pallas vs autodiff)",
           smoke_transducer_lattice)
     check("batched + streaming inference pipeline", smoke_inference_pipeline)
+    check("resample + speed perturb + specaugment (jitted)",
+          smoke_resample_and_specaugment)
     if not fast:
         check("flagship wav2vec2-large forward", smoke_flagship_forward)
     print("ALL SMOKE CHECKS PASSED")
