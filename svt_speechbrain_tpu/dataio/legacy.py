@@ -39,7 +39,11 @@ class ExtendedCSVDataset(DynamicItemDataset):
         for di in di_to_add:
             self.add_dynamic_item(**di)
         reverse = sorting == "descending"
-        sort_key = None if sorting == "original" else "duration"
+        # The reference's ``if sorting == "ascending" or "descending":``
+        # (legacy.py:97) is always truthy, so it ALWAYS sorts by duration —
+        # even for sorting="original". Mirrored: corpus order feeds
+        # AddNoise/AddReverb noise/RIR pairing.
+        sort_key = "duration"
         filtered_ids = self._filtered_sorted_ids(
             key_min_value={"duration": min_duration},
             key_max_value={"duration": max_duration},

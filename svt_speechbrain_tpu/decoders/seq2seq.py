@@ -212,7 +212,11 @@ class S2SBeamSearcher(S2SBaseSearcher):
             if self.using_eos_threshold:
                 max_probs = log_probs.max(axis=-1)
                 thresh = self.eos_threshold * max_probs
-                bad_eos = log_probs[:, self.eos_index] < thresh
+                # reference keeps eos only when STRICTLY above threshold
+                # (seq2seq.py:447 ``eos_probs > thresh``) — mask at <=,
+                # which matters when attention log-probs are identically
+                # zero (pure-CTC joint decoding).
+                bad_eos = log_probs[:, self.eos_index] <= thresh
                 log_probs[bad_eos, self.eos_index] = self.minus_inf
 
             if self.lm_weight > 0:

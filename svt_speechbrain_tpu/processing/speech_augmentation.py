@@ -91,11 +91,12 @@ class AddNoise(Module):
         return noise_batch[:batch_size], noise_lens[:batch_size]
 
     def _load_noise(self, lengths_abs, max_length, key):
-        """Reference ``:393``: batch of corpus noise covering the speech."""
+        """Reference ``:164``: batch of corpus noise covering the speech."""
         batch_size = len(lengths_abs)
         self._noise_batch_size = batch_size
         noise_batch, noise_rel = self._load_noise_batch_of_size(batch_size)
-        noise_len = np.round(noise_rel * noise_batch.shape[1]).astype(np.int64)
+        # reference ``:198`` TRUNCATES (.long()), not rounds
+        noise_len = (noise_rel * noise_batch.shape[1]).astype(np.int64)
         if self.pad_noise:
             while np.any(noise_len < lengths_abs):
                 min_len = int(noise_len.min())
@@ -143,7 +144,8 @@ class AddNoise(Module):
             noisy = noisy + new_noise_amplitude \
                 * jax.random.normal(k_noise, waveforms.shape)
         else:
-            lengths_abs = np.round(np.asarray(lengths) * t).astype(np.int64)
+            # reference ``:166`` TRUNCATES (.long()), not rounds
+            lengths_abs = (np.asarray(lengths) * t).astype(np.int64)
             noise_batch, noise_len = self._load_noise(lengths_abs, t, k_start)
             noise_amplitude = compute_amplitude(noise_batch, noise_len)
             noisy = noisy + noise_batch * (new_noise_amplitude

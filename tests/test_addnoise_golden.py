@@ -60,6 +60,26 @@ def test_corpus_noise_matches_reference(pad_noise):
     np.testing.assert_allclose(our_out, ref_out, atol=1e-5)
 
 
+def test_corpus_noise_truncated_lengths_match_reference():
+    """Length conversion truncates (.long()), never rounds: noise/speech
+    relative lengths are chosen so ``rel * T`` lands at ``x.9`` in float32
+    — rounding would shift the pad_noise loop, the start_index range, and
+    the per-noise amplitude by one sample (reference ``:166``/``:198``)."""
+    rng = np.random.default_rng(7)
+    wav = (rng.normal(size=(2, 2000)) * 0.3).astype(np.float32)
+    lens = np.array([1.0, 0.777], np.float32)          # 0.777*2000 = 1553.99994
+    noise = rng.normal(size=(2, 1000)).astype(np.float32)
+    noise_rel = np.array([0.8999, 0.7599], np.float32)  # *1000 -> 899.9, 759.9
+
+    ref, ours = _fixed_snr_pair(noise, noise_rel, pad_noise=True,
+                                start_index=50)
+    with torch.no_grad():
+        ref_out = ref(torch.tensor(wav).clone(), torch.tensor(lens)).numpy()
+    our_out = np.asarray(ours(None, jnp.asarray(wav), jnp.asarray(lens),
+                              rng=jax.random.PRNGKey(7)))
+    np.testing.assert_allclose(our_out, ref_out, atol=1e-5)
+
+
 def test_normalize_clipping_matches_reference():
     rng = np.random.default_rng(1)
     wav = (rng.normal(size=(2, 1000)) * 2.0).astype(np.float32)

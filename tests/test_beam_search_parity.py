@@ -178,6 +178,13 @@ def _my_joint_searcher(table, ctc_x, **kwargs):
     dict(beam_size=3, ctc_weight=0.25, ctc_score_mode="full",
          using_eos_threshold=True, eos_threshold=1.5,
          length_normalization=True),
+    # Pure CTC + eos threshold: attention log-probs are identically zero,
+    # so eos_probs == thresh every step — the reference's strict ``>``
+    # check (seq2seq.py:447) blocks eos until force-finalization. Guards
+    # the <= (not <) masking in our loop.
+    dict(beam_size=2, ctc_weight=1.0, ctc_score_mode="full",
+         using_eos_threshold=True, eos_threshold=1.5,
+         length_normalization=False),
 ])
 @pytest.mark.parametrize("seed", [0, 1])
 def test_joint_ctc_attention_beam_search_matches_reference(cfg, seed):

@@ -79,6 +79,31 @@ def test_wer_printing():
     assert "%WER" in text and "u1" in text and "<eps>" not in text.split("\n")[0]
 
 
+def test_extended_csv_sorting_matches_reference(tmp_path):
+    """The reference's ``if sorting == "ascending" or "descending":``
+    (legacy.py:97) is always truthy, so even sorting='original'
+    duration-sorts — and AddNoise/AddReverb corpus order inherits this."""
+    from tests.conftest import import_reference_speechbrain, \
+        reference_available
+    from svt_speechbrain_tpu.dataio.legacy import ExtendedCSVDataset
+
+    if not reference_available():
+        pytest.skip("reference checkout not present")
+    import_reference_speechbrain()
+    from speechbrain.dataio.legacy import ExtendedCSVDataset as RefDS
+
+    csv_path = tmp_path / "d.csv"
+    csv_path.write_text(
+        "ID, duration, text, text_format, text_opts\n"
+        "u1, 2.0, bb, string, \n"
+        "u2, 1.0, aa, string, \n"
+        "u3, 3.0, cc, string, \n")
+    for sorting in ("original", "ascending", "descending"):
+        ref = RefDS(str(csv_path), sorting=sorting)
+        ours = ExtendedCSVDataset(str(csv_path), sorting=sorting)
+        assert list(ours.data_ids) == list(ref.data_ids), sorting
+
+
 def test_extended_csv_dataset(tmp_path):
     from svt_speechbrain_tpu.dataio.dataio import write_audio
     from svt_speechbrain_tpu.dataio.legacy import ExtendedCSVDataset
