@@ -1,4 +1,6 @@
-"""Accuracy computation (analogue of reference ``speechbrain/utils/Accuracy.py``)."""
+"""Accuracy computation — REFERENCE-EXACT
+(``speechbrain/utils/Accuracy.py``), golden-tested in
+``tests/test_metrics_golden.py``."""
 from __future__ import annotations
 
 import numpy as np
@@ -7,7 +9,7 @@ from svt_speechbrain_tpu.nnet.losses import length_to_mask
 
 
 class AccuracyStats:
-    """Accumulate masked token accuracy (reference ``Accuracy.py:42``).
+    """Accumulate masked token accuracy (reference ``Accuracy.py:50``).
 
     Example
     -------
@@ -30,20 +32,27 @@ class AccuracyStats:
         self.total += denominator
 
     def summarize(self):
-        return self.correct / max(self.total, 1.0)
+        return self.correct / self.total
 
 
 def Accuracy(log_probabilities, targets, length=None):
-    """(num correct, num total) over non-padding positions
-    (reference ``Accuracy.py:7``)."""
+    """(num correct, num total) as floats (reference ``Accuracy.py:10``):
+    masked positions are dropped when ``length`` is given (the (B, T) mask
+    is repeated across the feature axis for 3-D targets); without
+    ``length`` the denominator is ``batch * time`` even for 3-D targets —
+    a reference quirk, mirrored."""
     log_probabilities = np.asarray(log_probabilities)
     targets = np.asarray(targets)
+    padded_pred = log_probabilities.argmax(-1)
     if length is not None:
         mask = np.asarray(length_to_mask(
-            np.asarray(length) * targets.shape[1], max_len=targets.shape[1]))
+            np.asarray(length) * targets.shape[1],
+            max_len=targets.shape[1])) > 0
+        if targets.ndim == 3:
+            mask = np.repeat(mask[:, :, None], targets.shape[2], axis=2)
+        numerator = float((padded_pred[mask] == targets[mask]).sum())
+        denominator = float(mask.sum())
     else:
-        mask = np.ones_like(targets, dtype=np.float64)
-    padded_pred = log_probabilities.argmax(-1)
-    numerator = float(((padded_pred == targets) * mask).sum())
-    denominator = float(mask.sum())
+        numerator = float((padded_pred == targets).sum())
+        denominator = float(targets.shape[0] * targets.shape[1])
     return numerator, denominator

@@ -1,12 +1,28 @@
-"""BLEU scoring (analogue of reference ``speechbrain/utils/bleu.py``).
+"""BLEU scoring — REFERENCE-EXACT (``speechbrain/utils/bleu.py``).
 
-The reference wraps sacrebleu; this is a self-contained corpus BLEU with the
-standard brevity penalty and up-to-4-gram clipped precision.
+The reference wraps sacrebleu; so do we when it is importable (golden-tested
+in ``tests/test_metrics_golden.py``), with the same append contract
+(``ind2lab`` mapping, word merging into sentence strings, per-reference-
+stream target accumulation) and the same summary fields (``BLEU``, ``BP``,
+``ratio``, ``hyp_len``, ``ref_len``, ``precisions``, ``bleu_score``).
+Without sacrebleu, a self-contained corpus BLEU (standard clipped
+up-to-4-gram precision + brevity penalty, no smoothing) fills in ``BLEU``.
 """
 from __future__ import annotations
 
 import collections
 import math
+
+
+def merge_words(sequences):
+    """Word lists -> space-joined phrases (reference ``bleu.py:4``).
+
+    Example
+    -------
+    >>> merge_words([["hello", "world"]])
+    ['hello world']
+    """
+    return [" ".join(seq) for seq in sequences]
 
 
 def _ngrams(tokens, n):
@@ -15,8 +31,8 @@ def _ngrams(tokens, n):
 
 
 def corpus_bleu(hypotheses, references, max_n=4):
-    """hypotheses: list of token lists; references: list of lists of token
-    lists (multiple references per hypothesis). Returns BLEU in [0, 100].
+    """Self-contained corpus BLEU over token lists (fallback scorer);
+    references: list of lists of token lists. Returns BLEU in [0, 100].
 
     Example
     -------
@@ -54,7 +70,28 @@ def corpus_bleu(hypotheses, references, max_n=4):
 
 
 class BLEUStats:
-    """Accumulate translations and score (reference ``bleu.py`` BLEUStats)."""
+    """Accumulate translations and score (reference ``bleu.py:22``).
+
+    ``targets`` is a list of REFERENCE STREAMS (each a batch of word
+    sequences) — one stream per alternative translation, all streams the
+    same batch length; sentences accumulate per stream across ``append``
+    calls exactly as in the reference.
+
+    Example
+    -------
+    >>> bleu = BLEUStats()
+    >>> i2l = {0: 'a', 1: 'b'}
+    >>> bleu.append(
+    ...     ids=['utterance1'],
+    ...     predict=[[0, 1, 1]],
+    ...     targets=[[[0, 1, 0]], [[0, 1, 1]], [[1, 1, 0]]],
+    ...     ind2lab=lambda batch: [[i2l[int(x)] for x in seq]
+    ...                            for seq in batch],
+    ... )
+    >>> stats = bleu.summarize()
+    >>> stats['BLEU']
+    0.0
+    """
 
     def __init__(self, lang="en", merge_words=True):
         self.merge_words = merge_words
@@ -64,31 +101,55 @@ class BLEUStats:
         self.ids = []
         self.predicts = []
         self.targets = None
+        self.scores = None
         self.summary = {}
 
-    def append(self, ids, predict, targets):
+    def append(self, ids, predict, targets, ind2lab=None):
         self.ids.extend(ids)
+        if ind2lab is not None:
+            predict = ind2lab(predict)
+            targets = [ind2lab(t) for t in targets]
         if self.merge_words:
-            predict = [p.split() if isinstance(p, str) else p for p in predict]
-            targets = [[t.split() if isinstance(t, str) else t for t in ref]
-                       for ref in targets]
+            predict = merge_words(predict)
+            targets = [merge_words(t) for t in targets]
         self.predicts.extend(predict)
         if self.targets is None:
-            self.targets = [list(ref) for ref in targets]
+            self.targets = targets
         else:
-            for i, ref in enumerate(targets):
-                self.targets[i].extend(ref)
+            assert len(self.targets) == len(targets)
+            for i in range(len(self.targets)):
+                self.targets[i].extend(targets[i])
 
     def summarize(self, field=None):
-        # self.targets: list over reference streams; transpose to per-hyp refs
-        refs_per_hyp = list(zip(*self.targets)) if self.targets else []
-        score = corpus_bleu(self.predicts, refs_per_hyp)
-        self.summary = {"BLEU": score, "bleu_score": score}
+        try:
+            import sacrebleu
+        except ImportError:
+            sacrebleu = None
+        if sacrebleu is not None:
+            scores = sacrebleu.corpus_bleu(self.predicts, self.targets)
+            details = {
+                "BLEU": scores.score,
+                "BP": scores.bp,
+                "ratio": scores.sys_len / scores.ref_len,
+                "hyp_len": scores.sys_len,
+                "ref_len": scores.ref_len,
+                "precisions": scores.precisions,
+            }
+            self.scores = scores
+        else:
+            hyps = [p.split() if isinstance(p, str) else p
+                    for p in self.predicts]
+            refs = [[t.split() if isinstance(t, str) else t for t in ref]
+                    for ref in zip(*self.targets)] if self.targets else []
+            details = {"BLEU": corpus_bleu(hyps, refs)}
+            self.scores = details["BLEU"]
+        self.summary = details
+        self.summary["bleu_score"] = self.summary["BLEU"]
         if field is not None:
             return self.summary[field]
         return self.summary
 
-
-def merge_words(sequences):
-    """Word lists → space-joined phrases (reference ``bleu.py:4``)."""
-    return [" ".join(seq) for seq in sequences]
+    def write_stats(self, filestream):
+        if not self.summary:
+            self.summarize()
+        print(self.scores, file=filestream)

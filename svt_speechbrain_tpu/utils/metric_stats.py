@@ -89,18 +89,26 @@ class BinaryMetricStats:
         self.labels.extend(np.asarray(labels).reshape(-1).tolist())
 
     def summarize(self, field=None, threshold=None, max_samples=None, beta=1, eps=1e-8):
-        scores = np.asarray(self.scores, dtype=np.float64)
-        labels = np.asarray(self.labels, dtype=np.float64)
+        """Reference-exact summary (``metric_stats.py:347``): ``>=``
+        thresholding, sorted strided subsampling under ``max_samples``,
+        the reference's F-score formula, and eps INSIDE the MCC sqrt."""
+        scores = np.asarray(self.scores, dtype=np.float32)
+        labels = np.asarray(self.labels, dtype=np.float32)
+
+        def subsample(v):
+            # reference ``:399``: sort, then take every int(len/max)th
+            if max_samples is not None and len(v) > max_samples:
+                v = np.sort(v)
+                v = v[list(range(0, len(v), int(len(v) / max_samples)))]
+            return v
+
         if threshold is None:
-            positive_scores = scores[labels == 1]
-            negative_scores = scores[labels == 0]
-            if max_samples is not None:
-                positive_scores = positive_scores[:max_samples]
-                negative_scores = negative_scores[:max_samples]
+            positive_scores = subsample(scores[labels == 1])
+            negative_scores = subsample(scores[labels == 0])
             eer, threshold = eer_threshold(positive_scores, negative_scores)
 
-        pred = (scores > threshold).astype(np.float64)
-        true = labels
+        pred = (scores >= threshold).astype(np.float64)
+        true = labels.astype(np.float64)
         tp = float(np.sum(pred * true))
         tn = float(np.sum((1 - pred) * (1 - true)))
         fp = float(np.sum(pred * (1 - true)))
@@ -112,11 +120,11 @@ class BinaryMetricStats:
             "DER": (fp + fn) / (tp + tn + eps),
             "precision": tp / (tp + fp + eps),
             "recall": tp / (tp + fn + eps),
+            "F-score": (1.0 + beta ** 2.0) * tp
+            / ((1.0 + beta ** 2.0) * tp + beta ** 2.0 * fn + fp),
+            "MCC": (tp * tn - fp * fn)
+            / ((tp + fp) * (tp + fn) * (tn + fp) * (tn + fn) + eps) ** 0.5,
         }
-        p, r = self.summary["precision"], self.summary["recall"]
-        self.summary["F-score"] = (1 + beta ** 2) * p * r / ((beta ** 2) * p + r + eps)
-        self.summary["MCC"] = (tp * tn - fp * fn) / (
-            np.sqrt((tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)) + eps)
         if field is not None:
             return self.summary[field]
         return self.summary
