@@ -16,7 +16,8 @@ import jax.numpy as jnp
 from svt_speechbrain_tpu.nnet.core import Module, split_rngs
 from svt_speechbrain_tpu.nnet.cnn import Conv1d, ConvTranspose1d
 from svt_speechbrain_tpu.nnet.linear import Linear
-from svt_speechbrain_tpu.nnet.normalization import LayerNorm, layer_norm
+from svt_speechbrain_tpu.nnet.activations import PReLU
+from svt_speechbrain_tpu.nnet.normalization import LayerNorm
 from svt_speechbrain_tpu.models.transformer import TransformerEncoder, PositionalEncoding
 
 
@@ -51,64 +52,153 @@ class TasNetDecoder(Module):
         return self.deconv(params["deconv"], h)[..., 0]
 
 
-class TemporalBlock(Module):
-    """TCN block: 1x1 conv → PReLU → norm → depthwise dilated conv → 1x1
-    with residual (reference ``conv_tasnet.py`` TemporalBlock)."""
+class ConvTasNetEncoder(Module):
+    """Conv-TasNet adaptive frontend (reference ``conv_tasnet.py:13``
+    Encoder): strided conv over the raw waveform + ReLU. Unlike the
+    dual-path :class:`TasNetEncoder` (valid padding), the reference uses
+    the sb-Conv1d default "same" reflect padding, so K ≈ 2T/L + 1."""
 
-    def __init__(self, channels, hidden, kernel_size, dilation):
-        self.conv_in = Conv1d(hidden, 1, channels, padding="valid")
-        self.dconv = Conv1d(hidden, kernel_size, hidden, dilation=dilation,
-                            padding="same", padding_mode="reflect", groups=hidden)
-        self.conv_out = Conv1d(channels, 1, hidden, padding="valid")
-        self.norm1 = LayerNorm(hidden)
-        self.norm2 = LayerNorm(hidden)
+    def __init__(self, L, N):
+        self.conv = Conv1d(N, L, 1, stride=L // 2, padding="same",
+                           padding_mode="reflect", bias=False)
 
     def init(self, rng):
-        k1, k2, k3 = split_rngs(rng, 3)
-        return {"conv_in": self.conv_in.init(k1), "dconv": self.dconv.init(k2),
-                "conv_out": self.conv_out.init(k3),
-                "norm1": self.norm1.init(None), "norm2": self.norm2.init(None)}
+        return {"conv": self.conv.init(rng)}
+
+    def __call__(self, params, mixture):
+        """(M, T) waveform → (M, K, N) nonnegative latent frames."""
+        return jax.nn.relu(self.conv(params["conv"], mixture[..., None]))
+
+
+class ConvTasNetDecoder(Module):
+    """Conv-TasNet decoder (reference ``conv_tasnet.py:62`` Decoder):
+    masked latent frames → linear basis signals → 50%-overlap-add."""
+
+    def __init__(self, L, N):
+        self.L = L
+        self.basis_signals = Linear(L, N, bias=False)
+
+    def init(self, rng):
+        return {"basis_signals": self.basis_signals.init(rng)}
+
+    def __call__(self, params, mixture_w, est_mask):
+        """mixture_w (M, K, N) × est_mask (M, K, C, N) → (M, T, C)."""
+        from svt_speechbrain_tpu.processing.signal_processing import \
+            overlap_and_add
+
+        source_w = mixture_w[:, :, None, :] * est_mask     # (M, K, C, N)
+        source_w = jnp.transpose(source_w, (0, 2, 1, 3))   # (M, C, K, N)
+        est_source = self.basis_signals(params["basis_signals"], source_w)
+        est_source = overlap_and_add(est_source, self.L // 2)  # (M, C, T)
+        return jnp.transpose(est_source, (0, 2, 1))
+
+
+class DepthwiseSeparableConv(Module):
+    """Depthwise dilated conv → PReLU → norm → pointwise conv, all
+    bias-free (reference ``conv_tasnet.py:375`` DepthwiseSeparableConv).
+
+    The reference's ``causal=True`` branch is broken in this checkout: it
+    constructs ``Chomp1d(padding)`` with the *string* ``"same"`` as the
+    chomp size (``conv_tasnet.py:437``), which crashes when sliced. We
+    implement the evident intent with a left-padded causal conv instead.
+    """
+
+    def __init__(self, in_channels, out_channels, kernel_size, stride=1,
+                 dilation=1, norm_type="gLN", causal=False):
+        self.dconv = Conv1d(in_channels, kernel_size, in_channels,
+                            stride=stride, dilation=dilation,
+                            padding="causal" if causal else "same",
+                            padding_mode="reflect", groups=in_channels,
+                            bias=False)
+        self.act = PReLU()
+        self.norm = choose_norm(norm_type, in_channels)
+        self.pconv = Conv1d(out_channels, 1, in_channels, bias=False)
+
+    def init(self, rng):
+        k1, k2 = split_rngs(rng, 2)
+        return {"dconv": self.dconv.init(k1), "act": self.act.init(None),
+                "norm": self.norm.init(None), "pconv": self.pconv.init(k2)}
 
     def __call__(self, params, x):
-        h = jax.nn.relu(self.conv_in(params["conv_in"], x))
-        h = self.norm1(params["norm1"], h)
-        h = jax.nn.relu(self.dconv(params["dconv"], h))
-        h = self.norm2(params["norm2"], h)
-        return x + self.conv_out(params["conv_out"], h)
+        h = self.dconv(params["dconv"], x)
+        h = self.norm(params["norm"], self.act(params["act"], h))
+        return self.pconv(params["pconv"], h)
+
+
+class TemporalBlock(Module):
+    """TCN block (reference ``conv_tasnet.py:284`` TemporalBlock):
+    bias-free 1x1 conv → PReLU → gLN/cLN → depthwise-separable conv,
+    with a residual connection around the whole block."""
+
+    def __init__(self, channels, hidden, kernel_size, dilation,
+                 norm_type="gLN", causal=False):
+        self.conv_in = Conv1d(hidden, 1, channels, bias=False)
+        self.act = PReLU()
+        self.norm = choose_norm(norm_type, hidden)
+        self.dsconv = DepthwiseSeparableConv(hidden, channels, kernel_size,
+                                             1, dilation, norm_type, causal)
+
+    def init(self, rng):
+        k1, k2 = split_rngs(rng, 2)
+        return {"conv_in": self.conv_in.init(k1), "act": self.act.init(None),
+                "norm": self.norm.init(None), "dsconv": self.dsconv.init(k2)}
+
+    def __call__(self, params, x):
+        h = self.conv_in(params["conv_in"], x)
+        h = self.norm(params["norm"], self.act(params["act"], h))
+        return x + self.dsconv(params["dsconv"], h)
 
 
 class MaskNet(Module):
-    """TCN mask estimation (reference ``conv_tasnet.py`` MaskNet): stacked
-    dilated blocks → per-source sigmoid masks."""
+    """TCN mask estimation (reference ``conv_tasnet.py:173`` MaskNet):
+    cLN → bias-free bottleneck 1x1 → R×X dilated TemporalBlocks →
+    bias-free mask 1x1 → relu (default) or channel-softmax masks.
+
+    Layout: the reference takes (M, N, K) channel-first and returns
+    (C, M, N, K); per this repo's channel-last convention ours takes the
+    encoder's (M, K, N) directly and returns (M, K, C, N) — the numerics
+    are weight-exact (``tests/test_conv_tasnet_golden.py``)."""
 
     def __init__(self, in_channels=256, bn_channels=128, hidden=512,
-                 kernel_size=3, n_blocks=8, n_repeats=3, n_sources=2):
+                 kernel_size=3, n_blocks=8, n_repeats=3, n_sources=2,
+                 norm_type="gLN", causal=False, mask_nonlinear="relu"):
+        if mask_nonlinear not in ("softmax", "relu"):
+            raise ValueError("Unsupported mask non-linear function")
         self.n_sources = n_sources
         self.in_channels = in_channels
-        self.bottleneck = Conv1d(bn_channels, 1, in_channels, padding="valid")
+        self.mask_nonlinear = mask_nonlinear
+        self.layer_norm = ChannelwiseLayerNorm(in_channels)
+        self.bottleneck = Conv1d(bn_channels, 1, in_channels, bias=False)
         self.blocks = []
         for _ in range(n_repeats):
             for b in range(n_blocks):
                 self.blocks.append(TemporalBlock(bn_channels, hidden,
-                                                 kernel_size, 2 ** b))
+                                                 kernel_size, 2 ** b,
+                                                 norm_type, causal))
         self.mask_conv = Conv1d(n_sources * in_channels, 1, bn_channels,
-                                padding="valid")
+                                bias=False)
 
     def init(self, rng):
         keys = split_rngs(rng, len(self.blocks) + 2)
-        params = {"bottleneck": self.bottleneck.init(keys[0]),
+        params = {"layer_norm": self.layer_norm.init(None),
+                  "bottleneck": self.bottleneck.init(keys[0]),
                   "mask_conv": self.mask_conv.init(keys[-1])}
         for i, blk in enumerate(self.blocks):
             params[f"block{i}"] = blk.init(keys[i + 1])
         return params
 
     def __call__(self, params, h):
-        x = self.bottleneck(params["bottleneck"], layer_norm(h))
+        """(M, K, N) latent frames → (M, K, C, N) masks."""
+        x = self.layer_norm(params["layer_norm"], h)
+        x = self.bottleneck(params["bottleneck"], x)
         for i in range(len(self.blocks)):
             x = self.blocks[i](params[f"block{i}"], x)
-        masks = jax.nn.sigmoid(self.mask_conv(params["mask_conv"], x))
-        b, t, _ = masks.shape
-        return masks.reshape(b, t, self.n_sources, self.in_channels)
+        score = self.mask_conv(params["mask_conv"], x)
+        b, t, _ = score.shape
+        score = score.reshape(b, t, self.n_sources, self.in_channels)
+        if self.mask_nonlinear == "softmax":
+            return jax.nn.softmax(score, axis=-1)
+        return jax.nn.relu(score)
 
 
 class ConvTasNet(Module):
@@ -121,15 +211,17 @@ class ConvTasNet(Module):
     ...                  hidden=32, n_blocks=2, n_repeats=1)
     >>> params = sep.init(jax.random.PRNGKey(0))
     >>> sep(params, jnp.ones((1, 800))).shape
-    (1, 2, 800)
+    (1, 2, 816)
     """
 
     def __init__(self, n_sources=2, enc_kernel=16, enc_channels=256,
-                 bn_channels=128, hidden=512, n_blocks=8, n_repeats=3):
-        self.encoder = TasNetEncoder(enc_kernel, enc_channels)
+                 bn_channels=128, hidden=512, n_blocks=8, n_repeats=3,
+                 norm_type="gLN", causal=False, mask_nonlinear="relu"):
+        self.encoder = ConvTasNetEncoder(enc_kernel, enc_channels)
         self.masknet = MaskNet(enc_channels, bn_channels, hidden, 3,
-                               n_blocks, n_repeats, n_sources)
-        self.decoder = TasNetDecoder(enc_kernel, enc_channels)
+                               n_blocks, n_repeats, n_sources,
+                               norm_type, causal, mask_nonlinear)
+        self.decoder = ConvTasNetDecoder(enc_kernel, enc_channels)
         self.n_sources = n_sources
 
     def init(self, rng):
@@ -138,12 +230,10 @@ class ConvTasNet(Module):
                 "decoder": self.decoder.init(k3)}
 
     def __call__(self, params, wav):
-        h = self.encoder(params["encoder"], wav)  # (B, T', C)
-        masks = self.masknet(params["masknet"], h)  # (B, T', S, C)
-        outs = []
-        for s in range(self.n_sources):
-            outs.append(self.decoder(params["decoder"], h * masks[:, :, s]))
-        return jnp.stack(outs, axis=1)
+        h = self.encoder(params["encoder"], wav)        # (B, K, N)
+        masks = self.masknet(params["masknet"], h)      # (B, K, S, N)
+        out = self.decoder(params["decoder"], h, masks)  # (B, T, S)
+        return jnp.transpose(out, (0, 2, 1))
 
 
 class DualComputationBlock(Module):
@@ -484,8 +574,9 @@ class TemporalBlocksSequential(Module):
     dilated TemporalBlocks."""
 
     def __init__(self, channels, hidden, kernel_size=3, n_blocks=8,
-                 n_repeats=3):
-        self.blocks = [TemporalBlock(channels, hidden, kernel_size, 2 ** b)
+                 n_repeats=3, norm_type="gLN", causal=False):
+        self.blocks = [TemporalBlock(channels, hidden, kernel_size, 2 ** b,
+                                     norm_type, causal)
                        for _ in range(n_repeats) for b in range(n_blocks)]
 
     def init(self, rng):
@@ -581,5 +672,3 @@ class Dual_Computation_Block(Module):
 select_norm = choose_norm
 PytorchTransformerBlock = SBTransformerBlock
 PyTorchPositionalEncoding = PositionalEncoding
-
-from svt_speechbrain_tpu.nnet.cnn import DepthwiseSeparableConv1d as DepthwiseSeparableConv  # noqa: E402,F401

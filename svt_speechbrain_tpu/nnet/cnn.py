@@ -29,7 +29,12 @@ def conv_output_length(length, kernel, stride, padding="valid", dilation=1):
     arithmetic, e.g. the wav2vec2 49.8 Hz frontend)."""
     eff_k = dilation * (kernel - 1) + 1
     if padding == "same":
-        return -(-length // stride)
+        # mirror the reference's get_padding_elem (CNN.py:1105): strided
+        # convs pad floor(k/2) per side (dilation ignored), stride-1 convs
+        # pad floor(d*(k-1)/2) per side — so even kernels SHRINK by one.
+        pad = kernel // 2 if stride > 1 else (dilation * (kernel - 1)) // 2
+        length = length + 2 * pad
+        return (length - eff_k) // stride + 1
     if padding == "causal":
         length = length + eff_k - 1
     return (length - eff_k) // stride + 1
@@ -89,10 +94,16 @@ class _ConvNd(Module):
         for i in range(n):
             eff_k = self.dilation[i] * (self.kernel_size[i] - 1) + 1
             if self.padding == "same":
-                # torch-style symmetric same-padding (stride-aware like the
-                # reference's manual padding, CNN.py "same" mode)
-                total = eff_k - 1
-                pads.append((total // 2, total - total // 2))
+                # reference-exact (CNN.py get_padding_elem:1105): strided
+                # convs pad floor(k/2) per side IGNORING dilation; stride-1
+                # convs pad floor(d*(k-1)/2) symmetric — for even kernels
+                # the output is one frame SHORTER than the input, exactly
+                # like the reference.
+                if self.stride[i] > 1:
+                    pad = self.kernel_size[i] // 2
+                else:
+                    pad = (eff_k - 1) // 2
+                pads.append((pad, pad))
             elif self.padding == "causal":
                 pads.append((eff_k - 1, 0))
             else:

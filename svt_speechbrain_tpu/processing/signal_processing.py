@@ -180,7 +180,10 @@ def overlap_and_add(signal, frame_step):
     output_subframes = output_size // subframe_length
 
     subframe_signal = signal.reshape(*outer, -1, subframe_length)
-    frame_idx = np.arange(0, output_subframes, subframe_step)
+    # one index row per FRAME (the reference unfolds output_subframes into
+    # `frames` windows) — arange over output_subframes over-counted by
+    # (frame_length/step - 1) rows for overlapping frames
+    frame_idx = np.arange(frames) * subframe_step
     idx = (frame_idx[:, None] + np.arange(subframes_per_frame)[None, :]).reshape(-1)
     result = jnp.zeros((*outer, output_subframes, subframe_length), signal.dtype)
     result = result.at[..., idx, :].add(subframe_signal)
