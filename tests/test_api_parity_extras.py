@@ -248,9 +248,18 @@ def test_complex_quaternion_2d_and_rnn_variants():
     for cls, width in ((CLSTM, 2), (CLiGRU, 2), (QLSTM, 4), (QLiGRU, 4)):
         m = cls(4, input_size=8, num_layers=2, bidirectional=True)
         p = m.init(jax.random.PRNGKey(2))
-        out = m(p, seq)
+
+        def fwd(pp, m=m):
+            if hasattr(m, "init_state"):  # stateful batchnorm'd LiGRUs
+                res, _ = m(pp, m.init_state(), seq)
+            else:
+                res = m(pp, seq)
+            # quaternion recurrences always return (out, h)
+            return res[0] if isinstance(res, tuple) else res
+
+        out = fwd(p)
         assert out.shape == (2, 7, 2 * width * 4)
-        g = jax.grad(lambda pp: jnp.sum(jnp.square(m(pp, seq))))(p)
+        g = jax.grad(lambda pp: jnp.sum(jnp.square(fwd(pp))))(p)
         gn = max(float(jnp.abs(l).max()) for l in jax.tree_util.tree_leaves(g))
         assert np.isfinite(gn) and gn > 0
 

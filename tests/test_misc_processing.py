@@ -48,6 +48,8 @@ def test_complex_quaternion_rnn_conv():
                        (QRNN(2, input_size=8), 8)]:
         params = mod.init(jax.random.PRNGKey(0))
         out = mod(params, x)
+        if isinstance(out, tuple):  # QRNN returns (out, h) like the reference
+            out = out[0]
         assert out.shape == (2, 10, width)
         assert np.isfinite(np.asarray(out)).all()
 
