@@ -71,24 +71,19 @@ class S2SRNNGreedySearcher(S2SGreedySearcher):
         self.params = params  # {"emb":..., "dec":..., "fc":...}
 
     def reset_mem(self, batch_size):
-        return {"hs": None,
-                "c": jnp.zeros((batch_size, self.dec.enc_proj.input_size
-                                if hasattr(self.dec.enc_proj, "input_size") else 0))}
-
-    def __call__(self, enc_states, enc_lens):
-        self._enc_dim = enc_states.shape[-1]
-        return super().__call__(enc_states, enc_lens)
+        return {"hs": None, "attn_state": None,
+                "c": jnp.zeros((batch_size, self.dec.attn_dim))}
 
     def forward_step(self, inp_tokens, memory, enc_states, enc_lens):
         e = self.emb(self.params["emb"], inp_tokens)
-        hs = memory["hs"]
-        c = memory["c"]
-        if c.shape[-1] != enc_states.shape[-1]:
-            c = jnp.zeros((inp_tokens.shape[0], enc_states.shape[-1]))
-        dec_out, hs, c, w = self.dec.forward_step(
-            self.params["dec"], e, hs, c, enc_states, enc_lens)
+        # the reference converts relative wav_len to frames at the searcher
+        # top (seq2seq.py:158); our searcher passes relative lengths through
+        enc_len = jnp.round(enc_states.shape[1] * jnp.asarray(enc_lens))
+        dec_out, hs, c, w, attn_state = self.dec.forward_step(
+            self.params["dec"], e, memory["hs"], memory["c"], enc_states,
+            enc_len, memory["attn_state"])
         log_probs = jax.nn.log_softmax(self.fc(self.params["fc"], dec_out), axis=-1)
-        return log_probs, {"hs": hs, "c": c}, w
+        return log_probs, {"hs": hs, "c": c, "attn_state": attn_state}, w
 
 
 class S2SBeamSearcher(S2SBaseSearcher):
@@ -368,18 +363,22 @@ class S2SRNNBeamSearcher(S2SBeamSearcher):
         return jax.nn.log_softmax(logits, axis=-1)
 
     def reset_mem(self, batch_size):
-        return {"hs": None, "c": None, "batch_size": batch_size}
+        return {"hs": None, "c": None, "attn_state": None,
+                "batch_size": batch_size}
 
     def forward_step(self, inp_tokens, memory, enc_states, enc_lens):
         e = self.emb(self.params["emb"], inp_tokens)
         c = memory["c"]
         if c is None:
-            c = jnp.zeros((inp_tokens.shape[0], enc_states.shape[-1]))
-        dec_out, hs, c, w = self.dec.forward_step(
-            self.params["dec"], e, memory["hs"], c, enc_states, enc_lens)
+            c = jnp.zeros((inp_tokens.shape[0], self.dec.attn_dim))
+        enc_len = jnp.round(enc_states.shape[1] * jnp.asarray(enc_lens))
+        dec_out, hs, c, w, attn_state = self.dec.forward_step(
+            self.params["dec"], e, memory["hs"], c, enc_states, enc_len,
+            memory["attn_state"])
         log_probs = jax.nn.log_softmax(
             self.fc(self.params["fc"], dec_out) / self.temperature, axis=-1)
-        return log_probs, {"hs": hs, "c": c, "batch_size": memory["batch_size"]}, w
+        return log_probs, {"hs": hs, "c": c, "attn_state": attn_state,
+                           "batch_size": memory["batch_size"]}, w
 
     def permute_mem(self, memory, index):
         hs = memory["hs"]
@@ -391,7 +390,10 @@ class S2SRNNBeamSearcher(S2SBeamSearcher):
 
             hs = [sel(s) for s in hs]
         c = memory["c"][index] if memory["c"] is not None else None
-        return {"hs": hs, "c": c, "batch_size": memory["batch_size"]}
+        attn_state = (memory["attn_state"][index]
+                      if memory["attn_state"] is not None else None)
+        return {"hs": hs, "c": c, "attn_state": attn_state,
+                "batch_size": memory["batch_size"]}
 
 
 def filter_seq2seq_output(string_pred, eos_id=-1):

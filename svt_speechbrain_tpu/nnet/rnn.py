@@ -404,82 +404,117 @@ class QuasiRNN(Module):
 
 
 class AttentionalRNNDecoder(Module):
-    """GRU/LSTM decoder with content-based attention over encoder states
-    (reference ``RNN.py:1399``). Step-wise API for beam search:
-    ``forward_step(params, inp_t, hs, c, enc_states, enc_len)``."""
+    """RNN/GRU/LSTM decoder with content / location-aware / key-value
+    attention, reference-exact (reference ``RNN.py:713``): the attention
+    emits an ``attn_dim``-wide context through its output projection, the
+    cell consumes ``input_size + attn_dim``, and the decoder output is
+    ``proj(cat([c, cell_out]))``.
+
+    Step-wise API for beam search:
+    ``forward_step(params, inp_t, hs, c, enc_states, enc_len, attn_state)``
+    → ``(dec_out, hs, c, w, attn_state)`` — ``attn_state`` threads the
+    location-aware attention's previous weights (the reference keeps them
+    as module state); it is None for the other attention types.
+
+    Example
+    -------
+    >>> import jax, jax.numpy as jnp
+    >>> dec = AttentionalRNNDecoder("gru", "content", hidden_size=7,
+    ...                             attn_dim=5, num_layers=1, enc_dim=10,
+    ...                             input_size=6)
+    >>> params = dec.init(jax.random.PRNGKey(0))
+    >>> out, w = dec(params, jnp.ones((2, 4, 6)), jnp.ones((2, 9, 10)),
+    ...              jnp.ones((2,)))
+    >>> out.shape
+    (2, 4, 7)
+    """
 
     def __init__(self, rnn_type, attn_type, hidden_size, attn_dim, num_layers,
                  enc_dim, input_size, nonlinearity="relu", re_init=True,
                  normalization="batchnorm", scaling=1.0, channels=None,
                  kernel_size=None, bias=True, dropout=0.0):
-        self.rnn_type = rnn_type
+        from svt_speechbrain_tpu.nnet.attention import (
+            ContentBasedAttention, KeyValueAttention, LocationAwareAttention)
+
+        self.rnn_type = rnn_type.lower()
+        self.attn_type = attn_type.lower()
         self.hidden_size = hidden_size
+        self.attn_dim = attn_dim
         self.num_layers = num_layers
-        cell_cls = {"gru": GRU, "lstm": LSTM, "rnn": RNN}[rnn_type]
-        self.rnn = cell_cls(hidden_size, input_size=input_size + enc_dim,
-                            num_layers=num_layers)
-        self.enc_proj = Linear(attn_dim, enc_dim)
-        self.dec_proj = Linear(attn_dim, hidden_size)
-        self.attn_v = Linear(1, attn_dim, bias=False)
-        self.out_proj = Linear(hidden_size, hidden_size + enc_dim)
-        self.scaling = scaling
+        self.dropout = dropout
+        # reference RNN.py:815: proj(cat([c, cell_out])) → hidden
+        self.proj = Linear(hidden_size, hidden_size + attn_dim, bias=True)
+        if self.attn_type == "content":
+            self.attn = ContentBasedAttention(
+                enc_dim=enc_dim, dec_dim=hidden_size, attn_dim=attn_dim,
+                output_dim=attn_dim, scaling=scaling)
+        elif self.attn_type == "location":
+            self.attn = LocationAwareAttention(
+                enc_dim=enc_dim, dec_dim=hidden_size, attn_dim=attn_dim,
+                output_dim=attn_dim, conv_channels=channels,
+                kernel_size=kernel_size, scaling=scaling)
+        elif self.attn_type == "keyvalue":
+            self.attn = KeyValueAttention(
+                enc_dim=enc_dim, dec_dim=hidden_size, attn_dim=attn_dim,
+                output_dim=attn_dim)
+        else:
+            raise ValueError(f"{self.attn_type} is not implemented.")
+        cell_cls = {"rnn": RNNCell, "gru": GRUCell, "lstm": LSTMCell}[
+            self.rnn_type]
+        kwargs = dict(hidden_size=hidden_size,
+                      input_size=input_size + attn_dim,
+                      num_layers=num_layers, bias=bias,
+                      dropout=0.0 if num_layers == 1 else dropout)
+        if self.rnn_type == "rnn":
+            kwargs["nonlinearity"] = nonlinearity
+        self.rnn = cell_cls(**kwargs)
 
     def init(self, rng):
-        k1, k2, k3, k4, k5 = split_rngs(rng, 5)
-        return {"rnn": self.rnn.init(k1), "enc_proj": self.enc_proj.init(k2),
-                "dec_proj": self.dec_proj.init(k3), "attn_v": self.attn_v.init(k4),
-                "out_proj": self.out_proj.init(k5)}
+        k1, k2, k3 = split_rngs(rng, 3)
+        return {"rnn": self.rnn.init(k1), "attn": self.attn.init(k2),
+                "proj": self.proj.init(k3)}
 
-    def _attend(self, params, enc_states, enc_len, dec_state):
-        """Content-based additive attention (reference ``attention.py:23``)."""
-        keys = self.enc_proj(params["enc_proj"], enc_states)  # (B, T, A)
-        query = self.dec_proj(params["dec_proj"], dec_state)[:, None]  # (B, 1, A)
-        scores = self.attn_v(params["attn_v"], jnp.tanh(keys + query))[..., 0]
-        if enc_len is not None:
-            t = enc_states.shape[1]
-            mask = jnp.arange(t)[None, :] < (jnp.asarray(enc_len) * t)[:, None]
-            scores = jnp.where(mask, scores, -1e30)
-        w = jax.nn.softmax(scores * self.scaling, axis=-1)
-        context = jnp.einsum("bt,btf->bf", w, enc_states)
-        return context, w
+    def _attend(self, params, enc_states, enc_len, dec_state, attn_state):
+        if self.attn_type == "location":
+            c, w = self.attn(params["attn"], enc_states, enc_len, dec_state,
+                             prev_attn=attn_state)
+            return c, w, w  # new attn weights are the next prev_attn
+        c, w = self.attn(params["attn"], enc_states, enc_len, dec_state)
+        return c, w, None
 
-    def forward_step(self, params, inp_t, hs, context, enc_states, enc_len):
-        """One decode step: input embedding (B, E) + previous context."""
-        b = inp_t.shape[0]
+    def forward_step(self, params, inp_t, hs, context, enc_states, enc_len,
+                     attn_state=None, train=False, rng=None):
+        """One decode step: input embedding (B, E) + previous context
+        (B, attn_dim) (reference ``RNN.py:877`` forward_step)."""
         if hs is None:
-            hs = [self.rnn._init_state(b) for _ in range(self.num_layers)]
-        cell_in = jnp.concatenate([inp_t, context], axis=-1)[:, None]
-        out, hs = self._rnn_step(params, cell_in, hs)
-        dec_out = out[:, 0]
-        context, w = self._attend(params, enc_states, enc_len, dec_out)
-        combined = jnp.concatenate([dec_out, context], axis=-1)
-        return self.out_proj(params["out_proj"], combined), hs, context, w
+            hs = self.rnn.init_states(inp_t.shape[0])
+        cell_inp = jnp.concatenate([inp_t, context], axis=-1)
+        if train and self.dropout > 0.0 and rng is not None:
+            keep = 1.0 - self.dropout
+            mask = jax.random.bernoulli(rng, keep, cell_inp.shape)
+            cell_inp = cell_inp * mask.astype(cell_inp.dtype) / keep
+        cell_out, hs = self.rnn(params["rnn"], cell_inp, hs)
+        context, w, attn_state = self._attend(params, enc_states, enc_len,
+                                              cell_out, attn_state)
+        dec_out = jnp.concatenate([context, cell_out], axis=1)
+        dec_out = self.proj(params["proj"], dec_out)
+        return dec_out, hs, context, w, attn_state
 
-    def _rnn_step(self, params, x, hs):
-        outs = []
-        new_hs = []
-        h = x
-        for layer in range(self.num_layers):
-            p = params["rnn"][f"l{layer}"]
-            state = hs[layer]
-            new_state = self.rnn._cell(p, h[:, 0], state)
-            out = new_state[0] if isinstance(new_state, tuple) else new_state
-            h = out[:, None]
-            new_hs.append(new_state)
-        return h, new_hs
-
-    def __call__(self, params, inp, enc_states, enc_len=None):
-        """Teacher-forced full-sequence decode: inp (B, U, E)."""
-        b = inp.shape[0]
-        context0 = jnp.zeros((b, enc_states.shape[-1]))
-
-        hs = None
-        outs = []
-        attns = []
-        context = context0
-        for u in range(inp.shape[1]):  # U is small (labels); python loop unrolls
-            out, hs, context, w = self.forward_step(
-                params, inp[:, u], hs, context, enc_states, enc_len)
+    def __call__(self, params, inp, enc_states, wav_len, train=False,
+                 rng=None):
+        """Teacher-forced full-sequence decode: inp (B, U, E); ``wav_len``
+        is the RELATIVE length, rounded to frames like the reference
+        (``RNN.py:933``)."""
+        enc_len = jnp.round(
+            enc_states.shape[1] * jnp.asarray(wav_len)).astype(jnp.int32)
+        context = jnp.zeros((inp.shape[0], self.attn_dim))
+        hs, attn_state = None, None
+        outs, attns = [], []
+        for u in range(inp.shape[1]):  # U is small (labels); unrolls
+            ukey = None if rng is None else jax.random.fold_in(rng, u)
+            out, hs, context, w, attn_state = self.forward_step(
+                params, inp[:, u], hs, context, enc_states, enc_len,
+                attn_state, train=train, rng=ukey)
             outs.append(out)
             attns.append(w)
         return jnp.stack(outs, axis=1), jnp.stack(attns, axis=1)
@@ -493,12 +528,12 @@ class _CellBase(Module):
     INNER = None
 
     def __init__(self, hidden_size, input_size, num_layers=1, bias=True,
-                 dropout=0.0, re_init=True):
+                 dropout=0.0, re_init=True, **inner_kwargs):
         self.hidden_size = hidden_size
         self.num_layers = num_layers
         self.inner = self.INNER(hidden_size, input_size=input_size,
                                 num_layers=num_layers, bias=bias,
-                                dropout=dropout)
+                                dropout=dropout, **inner_kwargs)
 
     def init(self, rng):
         return self.inner.init(rng)
