@@ -1,27 +1,33 @@
 """Categorical/text label encoders (analogue of reference
 ``speechbrain/dataio/encoder.py``).
 
-Reference-exact (golden-tested in ``tests/test_encoder_golden.py``),
+Reference-exact behavior (golden-tested in ``tests/test_encoder_golden.py``),
 including the on-disk literal format — files saved by the reference load
 here and vice versa (labels as ``repr => int`` lines, then the extras
 separator, then ``repr(key) => repr(value)`` extras incl.
-``starting_index``). Special labels use the reference's ``hasattr``
-convention so ``None`` is a legal unk/bos/eos/blank label. The
-``*_torch`` method variants operate on plain lists/arrays here (no torch
-dependency on the encode path)."""
+``starting_index``). The design differs from the reference's: special
+labels (unk/bos/eos/blank) are one generic slot mechanism
+(``_special_slots``) instead of per-class boilerplate, and the text
+subclass flips a single class attribute to make sequence input the
+default rather than re-declaring every update method. Special labels use
+the ``hasattr`` convention so ``None`` is a legal unk/bos/eos/blank
+label. The ``*_torch`` method variants operate on plain lists/arrays
+here (no torch dependency on the encode path)."""
 from __future__ import annotations
 
-import ast
-import collections
-import itertools
-import logging
+from ast import literal_eval
+from collections import Counter
+from itertools import chain
+from logging import getLogger
 
-logger = logging.getLogger(__name__)
+_LOG = getLogger(__name__)
 
 DEFAULT_UNK = "<unk>"
 DEFAULT_BOS = "<bos>"
 DEFAULT_EOS = "<eos>"
 DEFAULT_BLANK = "<blank>"
+
+_MISSING = object()
 
 
 class CategoricalEncoder:
@@ -42,65 +48,70 @@ class CategoricalEncoder:
     VALUE_SEPARATOR = " => "
     EXTRAS_SEPARATOR = "================\n"
 
+    # Special-label slots this class persists, in on-disk extras order.
+    # Each slot is an attribute that may be entirely absent (hasattr
+    # convention — None is a legal special label).
+    _special_slots = ("unk_label",)
+    # Whether iterables fed to update_* hold sequences of labels by
+    # default (text subclasses flip this).
+    _iterables_hold_sequences = False
+
     def __init__(self, starting_index=0, **special_labels):
-        self.lab2ind = {}
-        self.ind2lab = {}
+        self.lab2ind, self.ind2lab = {}, {}
         self.starting_index = starting_index
-        # NOTE: unk_label is not necessarily set at all (None is a valid
-        # unk label, so the test is hasattr, like the reference)
         self.handle_special_labels(special_labels)
 
     def handle_special_labels(self, special_labels):
-        """Add a ``unk_label`` passed through the constructor."""
-        if "unk_label" in special_labels:
-            self.add_unk(special_labels["unk_label"])
+        """Apply constructor-passed special labels (here: ``unk_label``)."""
+        unk = special_labels.get("unk_label", _MISSING)
+        if unk is not _MISSING:
+            self.add_unk(unk)
 
     def __len__(self):
-        return len(self.lab2ind)
+        return len(self.ind2lab)
 
     @classmethod
     def from_saved(cls, path):
         """Recreate a previously saved encoder directly (reference ``:153``)."""
-        obj = cls()
-        obj.load(path)
-        return obj
+        fresh = cls()
+        fresh.load(path)
+        return fresh
 
-    def update_from_iterable(self, iterable, sequence_input=False):
+    def _resolve_sequence_flag(self, sequence_input):
+        if sequence_input is None:
+            return self._iterables_hold_sequences
+        return sequence_input
+
+    def update_from_iterable(self, iterable, sequence_input=None):
         """Collect labels (reference ``:160``)."""
-        if sequence_input:
-            label_iterator = itertools.chain.from_iterable(iterable)
-        else:
-            label_iterator = iter(iterable)
-        for label in label_iterator:
-            self.ensure_label(label)
+        flat = (chain.from_iterable(iterable)
+                if self._resolve_sequence_flag(sequence_input) else iterable)
+        for lab in flat:
+            self.ensure_label(lab)
 
     def update_from_didataset(self, didataset, output_key,
-                              sequence_input=False):
+                              sequence_input=None):
         """Collect labels from a DynamicItemDataset key (reference ``:178``)."""
         with didataset.output_keys_as([output_key]):
-            self.update_from_iterable(
-                (item[output_key] for item in
-                 (didataset[i] for i in range(len(didataset)))),
-                sequence_input=sequence_input)
+            values = (didataset[i][output_key]
+                      for i in range(len(didataset)))
+            self.update_from_iterable(values, sequence_input)
 
-    def limited_labelset_from_iterable(self, iterable, sequence_input=False,
+    def limited_labelset_from_iterable(self, iterable, sequence_input=None,
                                        n_most_common=None, min_count=1):
         """Count-limited label mapping (reference ``:199``): keep at most
         ``n_most_common`` labels appearing at least ``min_count`` times.
         Returns the (unfiltered) label Counter."""
         if self.lab2ind:
-            logger.info(
-                f"Limited_labelset_from_iterable called, but "
-                f"{self.__class__.__name__} is not empty; new labels add on.")
-        if sequence_input:
-            label_iterator = itertools.chain.from_iterable(iterable)
-        else:
-            label_iterator = iter(iterable)
-        counts = collections.Counter(label_iterator)
-        for label, count in counts.most_common(n_most_common):
-            if count < min_count:
+            _LOG.info("limited_labelset_from_iterable on a non-empty %s; "
+                        "new labels add on.", type(self).__name__)
+        flat = (chain.from_iterable(iterable)
+                if self._resolve_sequence_flag(sequence_input) else iterable)
+        counts = Counter(flat)
+        for lab, n in counts.most_common(n_most_common):
+            if n < min_count:
                 break
-            self.add_label(label)
+            self.add_label(lab)
         return counts
 
     def load_or_create(self, path, from_iterables=(), from_didatasets=(),
@@ -112,104 +123,95 @@ class CategoricalEncoder:
                                                               if_main_process)
 
         try:
-            if if_main_process():
-                if not self.load_if_possible(path):
-                    for iterable in from_iterables:
-                        self.update_from_iterable(iterable, sequence_input)
-                    for didataset in from_didatasets:
-                        if output_key is None:
-                            raise ValueError("Provide an output_key for "
-                                             "DynamicItemDataset")
-                        self.update_from_didataset(didataset, output_key,
-                                                   sequence_input)
-                    self.handle_special_labels(special_labels)
-                    self.save(path)
+            if if_main_process() and not self.load_if_possible(path):
+                for source in from_iterables:
+                    self.update_from_iterable(source, sequence_input)
+                if from_didatasets and output_key is None:
+                    raise ValueError("Provide an output_key for "
+                                     "DynamicItemDataset")
+                for ds in from_didatasets:
+                    self.update_from_didataset(ds, output_key,
+                                               sequence_input)
+                self.handle_special_labels(special_labels)
+                self.save(path)
         finally:
             ddp_barrier()
             self.load(path)
         return self
 
+    def _bind(self, lab, idx):
+        self.lab2ind[lab] = idx
+        self.ind2lab[idx] = lab
+
+    def _first_free_index(self):
+        idx = self.starting_index
+        while idx in self.ind2lab:
+            idx += 1
+        return idx
+
     def add_label(self, label):
         """Add a new label; raises if present (reference ``:280``)."""
-        if label in self.lab2ind:
+        if self.lab2ind.get(label, _MISSING) is not _MISSING:
             raise KeyError(f"Label already present: {label}")
-        index = self._next_index()
-        self.lab2ind[label] = index
-        self.ind2lab[index] = label
-        return index
+        idx = self._first_free_index()
+        self._bind(label, idx)
+        return idx
 
     def ensure_label(self, label):
         """Add a label only if it's absent (reference ``:303``)."""
-        if label in self.lab2ind:
-            return self.lab2ind[label]
-        return self.add_label(label)
+        got = self.lab2ind.get(label, _MISSING)
+        return self.add_label(label) if got is _MISSING else got
 
     def insert_label(self, label, index):
         """Add a new label at a forced index; raises if present
         (reference ``:323``)."""
-        if label in self.lab2ind:
-            raise KeyError(
-                f"Label already present in {self.__class__.__name__}")
-        self.enforce_label(label, index)
+        if self.lab2ind.get(label, _MISSING) is not _MISSING:
+            raise KeyError(f"Label already present in {type(self).__name__}")
+        return self.enforce_label(label, index)
 
     def enforce_label(self, label, index):
         """Ensure ``label`` encodes to ``index``, relocating any occupant to
         the next free slot (reference ``:344``)."""
-        index = int(index)
-        if label in self.lab2ind:
-            if index == self.lab2ind[label]:
+        at = int(index)
+        current = self.lab2ind.get(label, _MISSING)
+        if current is not _MISSING:
+            if current == at:
                 return
-            del self.ind2lab[self.lab2ind[label]]
-        if index in self.ind2lab:
-            saved_label = self.ind2lab[index]
-            moving_other = True
-        else:
-            moving_other = False
-        self.lab2ind[label] = index
-        self.ind2lab[index] = label
-        if moving_other:
-            logger.info(f"Moving label {saved_label!r} from index {index}, "
-                        f"because {label!r} was put at its place.")
-            new_index = self._next_index()
-            self.lab2ind[saved_label] = new_index
-            self.ind2lab[new_index] = saved_label
+            del self.ind2lab[current]
+        evicted = self.ind2lab.get(at, _MISSING)
+        self._bind(label, at)
+        if evicted is not _MISSING:
+            _LOG.info("Relocating label %r: %r now occupies its index %d.",
+                      evicted, label, at)
+            self._bind(evicted, self._first_free_index())
 
     def add_unk(self, unk_label=DEFAULT_UNK):
         """Add the out-of-vocab label (reference ``:379``); may be None."""
         self.unk_label = unk_label
-        return self.add_label(unk_label)
-
-    def _next_index(self):
-        index = self.starting_index
-        while index in self.ind2lab:
-            index += 1
-        return index
+        return self.add_label(self.unk_label)
 
     def is_continuous(self):
         """True when the index set has no gaps from ``starting_index``
         (reference ``:406``)."""
-        indices = sorted(self.ind2lab.keys())
-        return self.starting_index in indices and all(
-            j - i == 1 for i, j in zip(indices[:-1], indices[1:]))
+        taken = sorted(self.ind2lab)
+        span = range(self.starting_index, self.starting_index + len(taken))
+        return bool(taken) and taken == list(span)
 
     def encode_label(self, label, allow_unk=True):
         """Label → int with the reference's unk semantics (``:428``)."""
-        try:
-            return self.lab2ind[label]
-        except KeyError:
-            if hasattr(self, "unk_label") and allow_unk:
-                return self.lab2ind[self.unk_label]
-            if hasattr(self, "unk_label") and not allow_unk:
-                raise KeyError(
-                    f"Unknown label {label}, and explicitly disallowed the "
-                    "use of the existing unk-label")
+        got = self.lab2ind.get(label, _MISSING)
+        if got is not _MISSING:
+            return got
+        if hasattr(self, "unk_label"):
             if allow_unk:
-                raise KeyError(
-                    f"Cannot encode unknown label {label}. You have not "
-                    "called add_unk() to add a special unk-label for "
-                    "unknown labels.")
-            raise KeyError(
-                f"Couldn't and wouldn't encode unknown label {label}.")
+                return self.lab2ind.get(self.unk_label)
+            raise KeyError(f"Unknown label {label}, and explicitly "
+                           "disallowed the use of the existing unk-label")
+        if allow_unk:
+            raise KeyError(f"Cannot encode unknown label {label}. You have "
+                           "not called add_unk() to add a special unk-label "
+                           "for unknown labels.")
+        raise KeyError(f"Couldn't and wouldn't encode unknown label {label}.")
 
     def encode_label_torch(self, label, allow_unk=True):
         """Length-1 int array variant (array-based here)."""
@@ -218,7 +220,7 @@ class CategoricalEncoder:
         return np.asarray([self.encode_label(label, allow_unk)], np.int64)
 
     def encode_sequence(self, sequence, allow_unk=True):
-        return [self.encode_label(label, allow_unk) for label in sequence]
+        return [self.encode_label(lab, allow_unk) for lab in sequence]
 
     def encode_sequence_torch(self, sequence, allow_unk=True):
         """Int-array variant (array-based here)."""
@@ -233,22 +235,40 @@ class CategoricalEncoder:
     def decode_ndim(self, x):
         """Recursively decode arrays/lists of indices (reference ``:542``)."""
         try:
-            return [self.decode_ndim(sub) for sub in x]
+            subs = iter(x)
         except TypeError:
             return self.ind2lab[int(x)]
+        return [self.decode_ndim(sub) for sub in subs]
+
+    # --- persistence: the reference's exact literal on-disk format ------
 
     def save(self, path):
         """Write the literal format (reference ``:569``)."""
-        self._save_literal(path, self.lab2ind, self._get_extras())
+        sep = self.VALUE_SEPARATOR
+        lines = [f"{lab!r}{sep}{ind}\n" for lab, ind in self.lab2ind.items()]
+        lines.append(self.EXTRAS_SEPARATOR)
+        lines += [f"{k!r}{sep}{v!r}\n" for k, v in self._get_extras().items()]
+        with open(path, "w") as fo:
+            fo.writelines(lines)
+            fo.flush()
 
     def load(self, path):
         """Read the literal format, overwriting state (reference ``:583``)."""
         if self.lab2ind:
-            logger.info(f"Load called, but {self.__class__.__name__} is not "
-                        "empty; loaded data overwrites everything.")
-        lab2ind, ind2lab, extras = self._load_literal(path)
-        self.lab2ind = lab2ind
-        self.ind2lab = ind2lab
+            _LOG.info("load() on a non-empty %s; loaded data overwrites "
+                        "everything.", type(self).__name__)
+        self.lab2ind, self.ind2lab = {}, {}
+        in_extras, extras = False, {}
+        with open(path) as fi:
+            for line in fi:
+                if line == self.EXTRAS_SEPARATOR and not in_extras:
+                    in_extras = True
+                    continue
+                lhs, _, rhs = line.strip().partition(self.VALUE_SEPARATOR)
+                if in_extras:
+                    extras[literal_eval(lhs)] = literal_eval(rhs)
+                else:
+                    self._bind(literal_eval(lhs), int(rhs))
         self._set_extras(extras)
 
     def load_if_possible(self, path, end_of_epoch=False, device=None):
@@ -256,57 +276,28 @@ class CategoricalEncoder:
         del end_of_epoch, device
         try:
             self.load(path)
-        except FileNotFoundError:
-            return False
-        except (ValueError, SyntaxError):
+        except (FileNotFoundError, ValueError, SyntaxError):
             return False
         return True
 
     def _get_extras(self):
         extras = {"starting_index": self.starting_index}
-        if hasattr(self, "unk_label"):
-            extras["unk_label"] = self.unk_label
+        extras.update((slot, getattr(self, slot))
+                      for slot in self._special_slots if hasattr(self, slot))
         return extras
 
     def _set_extras(self, extras):
-        if "unk_label" in extras:
-            self.unk_label = extras["unk_label"]
+        for slot in self._special_slots:
+            if slot in extras:
+                setattr(self, slot, extras[slot])
         self.starting_index = extras["starting_index"]
 
-    @staticmethod
-    def _save_literal(path, lab2ind, extras):
-        """The reference's exact on-disk format (``:677``)."""
-        with open(path, "w") as f:
-            for label, ind in lab2ind.items():
-                f.write(repr(label) + CategoricalEncoder.VALUE_SEPARATOR
-                        + str(ind) + "\n")
-            f.write(CategoricalEncoder.EXTRAS_SEPARATOR)
-            for key, value in extras.items():
-                f.write(repr(key) + CategoricalEncoder.VALUE_SEPARATOR
-                        + repr(value) + "\n")
-            f.flush()
-
-    @staticmethod
-    def _load_literal(path):
-        lab2ind = {}
-        ind2lab = {}
-        extras = {}
-        with open(path) as f:
-            for line in f:
-                if line == CategoricalEncoder.EXTRAS_SEPARATOR:
-                    break
-                literal, ind = line.strip().split(
-                    CategoricalEncoder.VALUE_SEPARATOR, maxsplit=1)
-                ind = int(ind)
-                label = ast.literal_eval(literal)
-                lab2ind[label] = ind
-                ind2lab[ind] = label
-            for line in f:
-                literal_key, literal_value = line.strip().split(
-                    CategoricalEncoder.VALUE_SEPARATOR, maxsplit=1)
-                extras[ast.literal_eval(literal_key)] = ast.literal_eval(
-                    literal_value)
-        return lab2ind, ind2lab, extras
+    def _require_special(self, slot, exc_type, message):
+        """Fetch a special label or raise with the slot's idiom."""
+        got = getattr(self, slot, _MISSING)
+        if got is _MISSING:
+            raise exc_type(message)
+        return got
 
 
 class TextEncoder(CategoricalEncoder):
@@ -322,98 +313,63 @@ class TextEncoder(CategoricalEncoder):
     [4, 0]
     """
 
+    _special_slots = ("unk_label", "bos_label", "eos_label")
+    _iterables_hold_sequences = True
+
     def handle_special_labels(self, special_labels):
         super().handle_special_labels(special_labels)
-        if "bos_label" in special_labels and "eos_label" in special_labels:
-            self.insert_bos_eos(bos_label="<bos>", eos_label="<eos>",
-                                bos_index=special_labels["bos_label"],
-                                eos_index=special_labels["eos_label"])
-        elif "bos_label" in special_labels or "eos_label" in special_labels:
+        given = [k for k in ("bos_label", "eos_label") if k in special_labels]
+        if len(given) == 1:
             raise TypeError("Only BOS or EOS specified. Need both for init.")
-
-    def update_from_iterable(self, iterable, sequence_input=True):
-        return super().update_from_iterable(iterable, sequence_input)
-
-    def update_from_didataset(self, didataset, output_key,
-                              sequence_input=True):
-        return super().update_from_didataset(didataset, output_key,
-                                             sequence_input)
-
-    def limited_labelset_from_iterable(self, iterable, sequence_input=True,
-                                       n_most_common=None, min_count=1):
-        return super().limited_labelset_from_iterable(
-            iterable, sequence_input=sequence_input,
-            n_most_common=n_most_common, min_count=min_count)
+        if given:
+            # constructor quirk kept from the reference: the kwargs carry
+            # the INDEXES for the default "<bos>"/"<eos>" labels
+            self.insert_bos_eos(bos_index=special_labels["bos_label"],
+                                eos_index=special_labels["eos_label"])
 
     def add_bos_eos(self, bos_label=DEFAULT_BOS, eos_label=DEFAULT_EOS):
         """Append sentence boundaries to the label set; equal labels share
         one boundary symbol (reference ``:826``)."""
-        if bos_label == eos_label:
-            self.add_label(bos_label)
-        else:
-            self.add_label(bos_label)
-            self.add_label(eos_label)
-        self.bos_label = bos_label
-        self.eos_label = eos_label
+        for lab in dict.fromkeys((bos_label, eos_label)):
+            self.add_label(lab)
+        self.bos_label, self.eos_label = bos_label, eos_label
 
     def insert_bos_eos(self, bos_label=DEFAULT_BOS, eos_label=DEFAULT_EOS,
                        bos_index=0, eos_index=None):
         """Insert sentence boundaries at given indexes (reference ``:857``)."""
-        if bos_label == eos_label:
-            self.insert_label(bos_label, bos_index)
-        else:
-            self.insert_label(bos_label, bos_index)
-            if eos_index is None:
-                self.insert_label(eos_label, bos_index + 1)
-            else:
-                self.insert_label(eos_label, eos_index)
-        self.bos_label = bos_label
-        self.eos_label = eos_label
+        self.insert_label(bos_label, bos_index)
+        if eos_label != bos_label:
+            where = bos_index + 1 if eos_index is None else eos_index
+            self.insert_label(eos_label, where)
+        self.bos_label, self.eos_label = bos_label, eos_label
 
     def get_bos_index(self):
-        if not hasattr(self, "bos_label"):
-            raise RuntimeError("BOS label is not set!")
-        return self.encode_label(self.bos_label)
+        return self.encode_label(self._require_special(
+            "bos_label", RuntimeError, "BOS label is not set!"))
 
     def get_eos_index(self):
-        if not hasattr(self, "eos_label"):
-            raise RuntimeError("EOS label is not set!")
-        return self.encode_label(self.eos_label)
+        return self.encode_label(self._require_special(
+            "eos_label", RuntimeError, "EOS label is not set!"))
+
+    def _bos(self):
+        return self._require_special(
+            "bos_label", KeyError, "BOS label has not been added to label set!")
+
+    def _eos(self):
+        return self._require_special(
+            "eos_label", KeyError, "EOS label has not been added to label set!")
 
     def prepend_bos_label(self, x):
-        if not hasattr(self, "bos_label"):
-            raise KeyError("BOS label has not been added to label set!")
-        return [self.bos_label] + list(x)
+        return [self._bos()] + list(x)
 
     def prepend_bos_index(self, x):
-        if not hasattr(self, "bos_label"):
-            raise KeyError("BOS label has not been added to label set!")
-        return [self.lab2ind[self.bos_label]] + list(x)
+        return [self.lab2ind[self._bos()]] + list(x)
 
     def append_eos_label(self, x):
-        if not hasattr(self, "eos_label"):
-            raise KeyError("EOS label has not been added to label set!")
-        return list(x) + [self.eos_label]
+        return list(x) + [self._eos()]
 
     def append_eos_index(self, x):
-        if not hasattr(self, "eos_label"):
-            raise KeyError("EOS label has not been added to label set!")
-        return list(x) + [self.lab2ind[self.eos_label]]
-
-    def _get_extras(self):
-        extras = super()._get_extras()
-        if hasattr(self, "bos_label"):
-            extras["bos_label"] = self.bos_label
-        if hasattr(self, "eos_label"):
-            extras["eos_label"] = self.eos_label
-        return extras
-
-    def _set_extras(self, extras):
-        super()._set_extras(extras)
-        if "bos_label" in extras:
-            self.bos_label = extras["bos_label"]
-        if "eos_label" in extras:
-            self.eos_label = extras["eos_label"]
+        return list(x) + [self.lab2ind[self._eos()]]
 
 
 class CTCTextEncoder(TextEncoder):
@@ -430,62 +386,53 @@ class CTCTextEncoder(TextEncoder):
     ['a', 'b', 'c', 'd']
     """
 
+    _special_slots = ("unk_label", "bos_label", "eos_label", "blank_label")
+
     def handle_special_labels(self, special_labels):
-        if "blank_label" in special_labels:
-            self.insert_blank(index=special_labels["blank_label"])
+        # blank goes in FIRST so its forced index wins, like the reference
+        blank_at = special_labels.get("blank_label", _MISSING)
+        if blank_at is not _MISSING:
+            self.insert_blank(index=blank_at)
         super().handle_special_labels(special_labels)
 
     def add_blank(self, blank_label=DEFAULT_BLANK):
         self.add_label(blank_label)
-        self.blank_label = blank_label
+        self.blank_label = self.ind2lab[self.lab2ind[blank_label]]
 
     def insert_blank(self, blank_label=DEFAULT_BLANK, index=0):
         self.insert_label(blank_label, index)
         self.blank_label = blank_label
 
     def get_blank_index(self):
-        if not hasattr(self, "blank_label"):
-            raise RuntimeError("Blank label is not set!")
-        return self.encode_label(self.blank_label)
+        return self.encode_label(self._require_special(
+            "blank_label", RuntimeError, "Blank label is not set!"))
+
+    def _blank(self):
+        return self._require_special(
+            "blank_label", KeyError, "Blank label has not been added")
+
+    @staticmethod
+    def _merge_repeats(seq):
+        """Drop elements equal to their predecessor (one pass)."""
+        shifted = chain([_MISSING], seq)
+        return [v for v, prev in zip(seq, shifted) if v != prev]
 
     def collapse_labels(self, x, merge_repeats=True):
         """CTC collapsing on labels (reference ``:1024``);
         ``merge_repeats=False`` for RNN-T topology."""
-        if not hasattr(self, "blank_label"):
-            raise KeyError("Blank label has not been added")
-        if merge_repeats:
-            return [label for i, label in enumerate(x)
-                    if (i == 0 or label != x[i - 1])
-                    and label != self.blank_label]
-        return [label for label in x if label != self.blank_label]
+        blank = self._blank()
+        seq = self._merge_repeats(list(x)) if merge_repeats else list(x)
+        return [lab for lab in seq if lab != blank]
 
     def collapse_indices_ndim(self, x, merge_repeats=True):
         """CTC collapsing on (possibly nested) index sequences
         (reference ``:1056``)."""
-        if not hasattr(self, "blank_label"):
-            raise KeyError("Blank label has not been added")
-        collapsed = []
-        for subtensor in x:
-            try:
-                collapsed.append(
-                    self.collapse_indices_ndim(subtensor, merge_repeats))
-            except TypeError:
-                break
-        else:
-            return collapsed
-        blank_index = self.lab2ind[self.blank_label]
-        if merge_repeats:
-            return [index for i, index in enumerate(x)
-                    if (i == 0 or index != x[i - 1]) and index != blank_index]
-        return [index for index in x if index != blank_index]
-
-    def _get_extras(self):
-        extras = super()._get_extras()
-        if hasattr(self, "blank_label"):
-            extras["blank_label"] = self.blank_label
-        return extras
-
-    def _set_extras(self, extras):
-        super()._set_extras(extras)
-        if "blank_label" in extras:
-            self.blank_label = extras["blank_label"]
+        blank_index = self.lab2ind[self._blank()]
+        items = list(x)
+        try:
+            return [self.collapse_indices_ndim(sub, merge_repeats)
+                    for sub in items]
+        except TypeError:
+            pass
+        seq = self._merge_repeats(items) if merge_repeats else items
+        return [ind for ind in seq if ind != blank_index]

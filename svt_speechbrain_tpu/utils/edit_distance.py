@@ -7,13 +7,23 @@ including the Kaldi compute-wer tie-breaking (ties prefer insertion >
 deletion > substitution — so the op BREAKDOWN matches Kaldi, not just the
 total edit distance), the sparse ``count_ops`` counters, the per-utterance
 detail schema with its unscored placeholders, and ``top_wer_utts``'s
-(non-empty, empty) pair.
+(non-empty, empty) pair. The implementation differs structurally from the
+reference: the DP picks ops with one ordered ``min`` over candidate
+tuples, and a single backtrack generator feeds both ``alignment`` and
+``count_ops``.
 """
 from __future__ import annotations
 
-import collections
+from collections import Counter
 
 EDIT_SYMBOLS = {"eq": "=", "ins": "I", "del": "D", "sub": "S"}
+
+_COUNTER_NAMES = {
+    EDIT_SYMBOLS["ins"]: "insertions",
+    EDIT_SYMBOLS["del"]: "deletions",
+    EDIT_SYMBOLS["sub"]: "substitutions",
+}
+_ABSENT = object()
 
 
 def accumulatable_wer_stats(refs, hyps, stats=None):
@@ -30,77 +40,76 @@ def accumulatable_wer_stats(refs, hyps, stats=None):
     >>> round(stats["WER"], 2)
     25.0
     """
-    if stats is None:
-        stats = collections.Counter()
-    updated_stats = stats + _batch_stats(refs, hyps)
-    if updated_stats["num_ref_tokens"] == 0:
-        updated_stats["WER"] = float("nan")
-    else:
-        num_edits = (updated_stats["insertions"] + updated_stats["deletions"]
-                     + updated_stats["substitutions"])
-        updated_stats["WER"] = (100.0 * num_edits
-                                / updated_stats["num_ref_tokens"])
-    return updated_stats
+    totals = (Counter() if stats is None else stats) + _tally(refs, hyps)
+    edits = sum(totals[name] for name in _COUNTER_NAMES.values())
+    denom = totals["num_ref_tokens"]
+    totals["WER"] = 100.0 * edits / denom if denom else float("nan")
+    return totals
 
 
-def _batch_stats(refs, hyps):
+def _tally(refs, hyps):
+    """One batch's sparse op/token counts."""
     if len(refs) != len(hyps):
         raise ValueError(
             "The reference and hypothesis batches are not of the same size")
-    stats = collections.Counter()
+    counts = Counter(num_ref_tokens=sum(map(len, refs)))
     for ref_tokens, hyp_tokens in zip(refs, hyps):
-        edits = count_ops(op_table(ref_tokens, hyp_tokens))
-        stats += edits
-        stats["num_ref_tokens"] += len(ref_tokens)
-    return stats
+        counts.update(count_ops(op_table(ref_tokens, hyp_tokens)))
+    return counts
 
 
 def op_table(a, b):
     """Edit-op table via dynamic programming (reference ``:122``).
     Returns a (len(a)+1, len(b)+1) table of EDIT_SYMBOLS, with the Kaldi
-    compute-wer tie order (insertion > deletion > substitution).
+    compute-wer tie order (insertion > deletion > substitution) expressed
+    as one ordered ``min`` over (cost, priority, symbol) candidates.
 
     Example
     -------
-    >>> for row in op_table([1, 2, 3], [1, 2, 4]):
-    ...     print(row)
+    >>> print(*op_table([1, 2, 3], [1, 2, 4]), sep="\\n")
     ['=', 'I', 'I', 'I']
     ['D', '=', 'I', 'I']
     ['D', 'D', '=', 'I']
     ['D', 'D', 'D', 'S']
     """
-    prev_row = list(range(len(b) + 1))
-    curr_row = [0] * (len(b) + 1)
-    table = [[EDIT_SYMBOLS["eq"] for _ in range(len(b) + 1)]
-             for _ in range(len(a) + 1)]
-    for i in range(len(a) + 1):
-        table[i][0] = EDIT_SYMBOLS["del"]
-    for j in range(len(b) + 1):
-        table[0][j] = EDIT_SYMBOLS["ins"]
-    table[0][0] = EDIT_SYMBOLS["eq"]
+    width = len(b) + 1
+    ops = [[EDIT_SYMBOLS["ins"]] * width]
+    ops += [[EDIT_SYMBOLS["del"]] * width for _ in a]
+    ops[0][0] = EDIT_SYMBOLS["eq"]
+    above = list(range(width))
+    for i, tok_a in enumerate(a, start=1):
+        row = [i] + [0] * len(b)
+        for j, tok_b in enumerate(b, start=1):
+            mismatch = tok_a != tok_b
+            row[j], _, ops[i][j] = min(
+                (row[j - 1] + 1, 0, EDIT_SYMBOLS["ins"]),
+                (above[j] + 1, 1, EDIT_SYMBOLS["del"]),
+                (above[j - 1] + mismatch, 2,
+                 EDIT_SYMBOLS["sub"] if mismatch else EDIT_SYMBOLS["eq"]))
+        above = row
+    return ops
 
-    for i, a_token in enumerate(a, start=1):
-        curr_row[0] += 1
-        for j, b_token in enumerate(b, start=1):
-            insertion_cost = curr_row[j - 1] + 1
-            deletion_cost = prev_row[j] + 1
-            substitution = 0 if a_token == b_token else 1
-            substitution_cost = prev_row[j - 1] + substitution
-            # Kaldi's tie order: substitution only when STRICTLY cheapest,
-            # deletion when strictly cheaper than insertion, else insertion
-            if (substitution_cost < insertion_cost
-                    and substitution_cost < deletion_cost):
-                curr_row[j] = substitution_cost
-                if substitution:
-                    table[i][j] = EDIT_SYMBOLS["sub"]
-            elif deletion_cost < insertion_cost:
-                curr_row[j] = deletion_cost
-                table[i][j] = EDIT_SYMBOLS["del"]
-            else:
-                curr_row[j] = insertion_cost
-                table[i][j] = EDIT_SYMBOLS["ins"]
-        prev_row[:] = curr_row[:]
-    return table
+
+def _walk(table):
+    """Backtrack the op table from the far corner, yielding
+    (op, ref_idx|None, hyp_idx|None) steps in REVERSE order."""
+    i, j = len(table) - 1, len(table[0]) - 1
+    while i or j:
+        if j == 0:
+            op = EDIT_SYMBOLS["del"]
+        elif i == 0:
+            op = EDIT_SYMBOLS["ins"]
+        else:
+            op = table[i][j]
+        if op == EDIT_SYMBOLS["ins"]:
+            j -= 1
+            yield op, None, j
+        elif op == EDIT_SYMBOLS["del"]:
+            i -= 1
+            yield op, i, None
+        else:
+            i, j = i - 1, j - 1
+            yield op, i, j
 
 
 def alignment(table):
@@ -109,39 +118,10 @@ def alignment(table):
 
     Example
     -------
-    >>> table = [['I', 'I', 'I', 'I'],
-    ...          ['D', '=', 'I', 'I'],
-    ...          ['D', 'D', '=', 'I'],
-    ...          ['D', 'D', 'D', 'S']]
-    >>> alignment(table)
+    >>> alignment(op_table("abc", "abx"))
     [('=', 0, 0), ('=', 1, 1), ('S', 2, 2)]
     """
-    out = []
-    i = len(table) - 1
-    j = len(table[0]) - 1
-    while not (i == 0 and j == 0):
-        if i == 0:
-            j -= 1
-            out.insert(0, (EDIT_SYMBOLS["ins"], None, j))
-        elif j == 0:
-            i -= 1
-            out.insert(0, (EDIT_SYMBOLS["del"], i, None))
-        else:
-            if table[i][j] == EDIT_SYMBOLS["ins"]:
-                j -= 1
-                out.insert(0, (EDIT_SYMBOLS["ins"], None, j))
-            elif table[i][j] == EDIT_SYMBOLS["del"]:
-                i -= 1
-                out.insert(0, (EDIT_SYMBOLS["del"], i, None))
-            elif table[i][j] == EDIT_SYMBOLS["sub"]:
-                i -= 1
-                j -= 1
-                out.insert(0, (EDIT_SYMBOLS["sub"], i, j))
-            else:
-                i -= 1
-                j -= 1
-                out.insert(0, (EDIT_SYMBOLS["eq"], i, j))
-    return out
+    return list(_walk(table))[::-1]
 
 
 def count_ops(table):
@@ -151,48 +131,18 @@ def count_ops(table):
 
     Example
     -------
-    >>> table = [['I', 'I', 'I', 'I'],
-    ...          ['D', '=', 'I', 'I'],
-    ...          ['D', 'D', '=', 'I'],
-    ...          ['D', 'D', 'D', 'S']]
-    >>> count_ops(table)
+    >>> count_ops(op_table("abc", "abx"))
     Counter({'substitutions': 1})
     """
-    edits = collections.Counter()
-    i = len(table) - 1
-    j = len(table[0]) - 1
-    while not (i == 0 and j == 0):
-        if i == 0:
-            edits["insertions"] += 1
-            j -= 1
-        elif j == 0:
-            edits["deletions"] += 1
-            i -= 1
-        else:
-            if table[i][j] == EDIT_SYMBOLS["ins"]:
-                edits["insertions"] += 1
-                j -= 1
-            elif table[i][j] == EDIT_SYMBOLS["del"]:
-                edits["deletions"] += 1
-                i -= 1
-            else:
-                if table[i][j] == EDIT_SYMBOLS["sub"]:
-                    edits["substitutions"] += 1
-                i -= 1
-                j -= 1
-    return edits
-
-
-def _batch_to_dict_format(ids, seqs):
-    return dict(zip(ids, seqs))
+    return Counter(_COUNTER_NAMES[op] for op, _, _ in _walk(table)
+                   if op in _COUNTER_NAMES)
 
 
 def wer_details_for_batch(ids, refs, hyps, compute_alignments=False):
     """Convenient batch interface over ``wer_details_by_utterance``
     (reference ``:340``)."""
-    refs = _batch_to_dict_format(ids, refs)
-    hyps = _batch_to_dict_format(ids, hyps)
-    return wer_details_by_utterance(refs, hyps,
+    return wer_details_by_utterance(dict(zip(ids, refs)),
+                                    dict(zip(ids, hyps)),
                                     compute_alignments=compute_alignments,
                                     scoring_mode="strict")
 
@@ -205,155 +155,106 @@ def wer_details_by_utterance(ref_dict, hyp_dict, compute_alignments=False,
     them (keeping a placeholder entry), "all" scores them empty."""
     details_by_utterance = []
     for key, ref_tokens in ref_dict.items():
-        utterance_details = {
-            "key": key,
-            "scored": False,
-            "hyp_absent": None,
-            "hyp_empty": None,
-            "num_edits": None,
-            "num_ref_tokens": len(ref_tokens),
-            "WER": None,
-            "insertions": None,
-            "deletions": None,
-            "substitutions": None,
-            "alignment": None,
-            "ref_tokens": ref_tokens if compute_alignments else None,
-            "hyp_tokens": None,
-        }
-        if key in hyp_dict:
-            utterance_details.update({"hyp_absent": False})
-            hyp_tokens = hyp_dict[key]
-        elif scoring_mode == "all":
-            utterance_details.update({"hyp_absent": True})
+        hyp_tokens = hyp_dict.get(key, _ABSENT)
+        entry = dict(
+            key=key, scored=False, hyp_absent=hyp_tokens is _ABSENT,
+            hyp_empty=None, num_edits=None,
+            num_ref_tokens=len(ref_tokens), WER=None, insertions=None,
+            deletions=None, substitutions=None, alignment=None,
+            ref_tokens=ref_tokens if compute_alignments else None,
+            hyp_tokens=None)
+        if hyp_tokens is _ABSENT:
+            if scoring_mode == "present":
+                details_by_utterance.append(entry)
+                continue
+            if scoring_mode == "strict":
+                raise KeyError("Key " + str(key) + " in reference but "
+                               "missing in hypothesis and strict mode on.")
+            if scoring_mode != "all":
+                raise ValueError("Invalid scoring mode: " + scoring_mode)
             hyp_tokens = []
-        elif scoring_mode == "present":
-            utterance_details.update({"hyp_absent": True})
-            details_by_utterance.append(utterance_details)
-            continue
-        elif scoring_mode == "strict":
-            raise KeyError("Key " + str(key) + " in reference but missing "
-                           "in hypothesis and strict mode on.")
-        else:
-            raise ValueError("Invalid scoring mode: " + scoring_mode)
         table = op_table(ref_tokens, hyp_tokens)
         ops = count_ops(table)
-        utterance_details.update({
-            "scored": True,
-            "hyp_empty": len(hyp_tokens) == 0,
-            "num_edits": sum(ops.values()),
-            "num_ref_tokens": len(ref_tokens),
-            "WER": 100.0 * sum(ops.values()) / len(ref_tokens),
-            "insertions": ops["insertions"],
-            "deletions": ops["deletions"],
-            "substitutions": ops["substitutions"],
-            "alignment": alignment(table) if compute_alignments else None,
-            "ref_tokens": ref_tokens if compute_alignments else None,
-            "hyp_tokens": hyp_tokens if compute_alignments else None,
-        })
-        details_by_utterance.append(utterance_details)
+        entry.update(
+            scored=True, hyp_empty=len(hyp_tokens) == 0,
+            num_edits=sum(ops.values()),
+            WER=100.0 * sum(ops.values()) / len(ref_tokens),
+            insertions=ops["insertions"], deletions=ops["deletions"],
+            substitutions=ops["substitutions"],
+            alignment=alignment(table) if compute_alignments else None,
+            hyp_tokens=hyp_tokens if compute_alignments else None)
+        details_by_utterance.append(entry)
     return details_by_utterance
 
 
 def wer_summary(details_by_utterance):
     """Aggregate per-utterance details (reference ``:502``): WER/SER plus
     scored/absent/erraneous counts (the reference's spelling)."""
-    ins = dels = subs = 0
-    num_scored_tokens = num_scored_sents = num_edits = 0
-    num_erraneous_sents = num_absent_sents = num_ref_sents = 0
-    for dets in details_by_utterance:
-        num_ref_sents += 1
-        if dets["scored"]:
-            num_scored_sents += 1
-            num_scored_tokens += dets["num_ref_tokens"]
-            ins += dets["insertions"]
-            dels += dets["deletions"]
-            subs += dets["substitutions"]
-            num_edits += dets["num_edits"]
-            if dets["num_edits"] > 0:
-                num_erraneous_sents += 1
-        if dets["hyp_absent"]:
-            num_absent_sents += 1
+    scored = [d for d in details_by_utterance if d["scored"]]
+    num_scored_tokens = sum(d["num_ref_tokens"] for d in scored)
+    num_edits = sum(d["num_edits"] for d in scored)
+    erraneous = sum(1 for d in scored if d["num_edits"] > 0)
     return {
         "WER": 100.0 * num_edits / num_scored_tokens,
-        "SER": 100.0 * num_erraneous_sents / num_scored_sents,
+        "SER": 100.0 * erraneous / len(scored),
         "num_edits": num_edits,
         "num_scored_tokens": num_scored_tokens,
-        "num_erraneous_sents": num_erraneous_sents,
-        "num_scored_sents": num_scored_sents,
-        "num_absent_sents": num_absent_sents,
-        "num_ref_sents": num_ref_sents,
-        "insertions": ins,
-        "deletions": dels,
-        "substitutions": subs,
+        "num_erraneous_sents": erraneous,
+        "num_scored_sents": len(scored),
+        "num_absent_sents": sum(1 for d in details_by_utterance
+                                if d["hyp_absent"]),
+        "num_ref_sents": len(details_by_utterance),
+        "insertions": sum(d["insertions"] for d in scored),
+        "deletions": sum(d["deletions"] for d in scored),
+        "substitutions": sum(d["substitutions"] for d in scored),
     }
 
 
 def wer_details_by_speaker(details_by_utterance, utt2spk):
     """Group utterance details per speaker (reference ``:573``): returns a
     LIST of per-speaker dicts (keys speaker/insertions/dels/subs/…; WER and
-    SER None for unscored speakers)."""
-    details_by_speaker = {}
+    SER None for unscored speakers; ``num_ref_sents`` stays 0, a reference
+    quirk kept for schema parity)."""
+    grouped = {}
     for dets in details_by_utterance:
-        speaker = utt2spk[dets["key"]]
-        spk_dets = details_by_speaker.setdefault(
-            speaker,
-            collections.Counter({
-                "speaker": speaker, "insertions": 0, "dels": 0, "subs": 0,
-                "num_scored_tokens": 0, "num_scored_sents": 0,
-                "num_edits": 0, "num_erraneous_sents": 0,
-                "num_absent_sents": 0, "num_ref_sents": 0}))
-        utt_stats = collections.Counter()
-        if dets["hyp_absent"]:
-            utt_stats.update({"num_absent_sents": 1})
+        tally = grouped.setdefault(utt2spk[dets["key"]], {
+            "insertions": 0, "dels": 0, "subs": 0, "num_scored_tokens": 0,
+            "num_scored_sents": 0, "num_edits": 0, "num_erraneous_sents": 0,
+            "num_absent_sents": 0, "num_ref_sents": 0})
+        tally["num_absent_sents"] += bool(dets["hyp_absent"])
         if dets["scored"]:
-            utt_stats.update({
-                "num_scored_sents": 1,
-                "num_scored_tokens": dets["num_ref_tokens"],
-                "insertions": dets["insertions"],
-                "dels": dets["deletions"],
-                "subs": dets["substitutions"],
-                "num_edits": dets["num_edits"]})
-            if dets["num_edits"] > 0:
-                utt_stats.update({"num_erraneous_sents": 1})
-        spk_dets.update(utt_stats)
+            tally["num_scored_sents"] += 1
+            tally["num_scored_tokens"] += dets["num_ref_tokens"]
+            tally["insertions"] += dets["insertions"]
+            tally["dels"] += dets["deletions"]
+            tally["subs"] += dets["substitutions"]
+            tally["num_edits"] += dets["num_edits"]
+            tally["num_erraneous_sents"] += dets["num_edits"] > 0
     details_by_speaker_dicts = []
-    for speaker, spk_dets in details_by_speaker.items():
-        spk_dets["speaker"] = speaker
-        if spk_dets["num_scored_sents"] > 0:
-            spk_dets["WER"] = (100.0 * spk_dets["num_edits"]
-                               / spk_dets["num_scored_tokens"])
-            spk_dets["SER"] = (100.0 * spk_dets["num_erraneous_sents"]
-                               / spk_dets["num_scored_sents"])
-        else:
-            spk_dets["WER"] = None
-            spk_dets["SER"] = None
-        details_by_speaker_dicts.append(spk_dets)
+    for speaker, tally in grouped.items():
+        n_scored = tally["num_scored_sents"]
+        tally["speaker"] = speaker
+        tally["WER"] = (100.0 * tally["num_edits"]
+                        / tally["num_scored_tokens"]) if n_scored else None
+        tally["SER"] = (100.0 * tally["num_erraneous_sents"]
+                        / n_scored) if n_scored else None
+        details_by_speaker_dicts.append(tally)
     return details_by_speaker_dicts
 
 
 def top_wer_utts(details_by_utterance, top_k=20):
     """Worst-WER utterances split into (non-empty, empty-hypothesis) lists
     (reference ``:666``)."""
-    scored_utterances = [dets for dets in details_by_utterance
-                         if dets["scored"]]
-    utts_by_wer = sorted(scored_utterances, key=lambda d: d["WER"],
-                         reverse=True)
-    top_non_empty = []
-    top_empty = []
-    while utts_by_wer and (len(top_non_empty) < top_k
-                           or len(top_empty) < top_k):
-        utt = utts_by_wer.pop(0)
-        if utt["hyp_empty"] and len(top_empty) < top_k:
-            top_empty.append(utt)
-        elif not utt["hyp_empty"] and len(top_non_empty) < top_k:
-            top_non_empty.append(utt)
+    ranked = sorted((d for d in details_by_utterance if d["scored"]),
+                    key=lambda d: d["WER"], reverse=True)
+    top_non_empty = [d for d in ranked if not d["hyp_empty"]][:top_k]
+    top_empty = [d for d in ranked if d["hyp_empty"]][:top_k]
     return top_non_empty, top_empty
 
 
 def top_wer_spks(details_by_speaker, top_k=10):
     """Worst-WER speakers (reference ``:709``)."""
-    scored_speakers = [dets for dets in details_by_speaker
-                       if dets["num_scored_sents"] > 0]
-    spks_by_wer = sorted(scored_speakers, key=lambda d: d["WER"],
-                         reverse=True)
-    return spks_by_wer[:top_k]
+    ranked = sorted((d for d in details_by_speaker
+                     if d["num_scored_sents"] > 0),
+                    key=lambda d: d["WER"], reverse=True)
+    return ranked[:top_k]
