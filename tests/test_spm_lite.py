@@ -1,0 +1,189 @@
+"""SentencePiece train path executing fully in-image (no ``sentencepiece``
+import): the pure-python unigram/BPE trainers of ``tokenizers/spm_lite.py``
+and the reference-surface ``tokenizers.SentencePiece`` wrapper
+(reference ``speechbrain/tokenizers/SentencePiece.py:20-140``)."""
+import csv
+import json
+import os
+
+import numpy as np
+import pytest
+
+from svt_speechbrain_tpu.tokenizers import spm_lite
+from svt_speechbrain_tpu.tokenizers.sentence_piece import SentencePiece
+
+CORPUS = ["the cat sat on the mat", "the cat ate the rat",
+          "a rat sat on a mat", "the mat sat on the cat"] * 3
+
+
+def _train(tmp_path, model_type, vocab_size=30, **kw):
+    txt = os.path.join(tmp_path, "corpus.txt")
+    spm_lite._write_lines(CORPUS, txt)
+    prefix = os.path.join(tmp_path, f"{model_type}_{vocab_size}")
+    spm_lite.SentencePieceTrainer.train(
+        input=txt, model_prefix=prefix, vocab_size=vocab_size,
+        model_type=model_type, **kw)
+    sp = spm_lite.SentencePieceProcessor()
+    sp.load(prefix + ".model")
+    return sp
+
+
+@pytest.mark.parametrize("model_type", ["unigram", "bpe"])
+def test_train_encode_decode_roundtrip(tmp_path, model_type):
+    sp = _train(tmp_path, model_type, vocab_size=28)
+    assert sp.vocab_size() == 28
+    for sent in set(CORPUS):
+        ids = sp.encode_as_ids(sent)
+        assert ids and all(isinstance(i, int) for i in ids)
+        assert sp.decode_ids(ids) == sent
+    # every corpus character is a piece (full character coverage)
+    chars = {c for s in CORPUS for c in s if c != " "}
+    assert chars <= set(sp.pieces)
+
+
+def test_unigram_learns_whole_words(tmp_path):
+    """EM should promote frequent whole words over their substrings — the
+    qualitative behavior the reference relies on for subword ASR units."""
+    sp = _train(tmp_path, "unigram", vocab_size=24)
+    assert sp.encode_as_pieces("the cat sat") == ["▁the", "▁cat", "▁sat"]
+
+
+def test_bpe_merge_order_encoding(tmp_path):
+    sp = _train(tmp_path, "bpe", vocab_size=29)
+    # merges applied in learned rank order; unseen words segment into
+    # known merges + chars and still decode losslessly
+    assert sp.decode_ids(sp.encode_as_ids("taste the mate")) == (
+        "taste the mate")
+
+
+def test_unknown_characters_hit_unk(tmp_path):
+    sp = _train(tmp_path, "unigram", vocab_size=24)
+    ids = sp.encode_as_ids("the caQ")
+    assert sp.unk_id() in ids
+
+
+def test_char_and_word_models(tmp_path):
+    spc = _train(tmp_path, "char", vocab_size=40)
+    assert spc.decode_ids(spc.encode_as_ids("the cat")) == "the cat"
+    assert all(len(p) == 1 for p in spc.pieces if p not in ("<unk>",))
+    spw = _train(tmp_path, "word", vocab_size=12)
+    assert spw.decode_ids(spw.encode_as_ids("the cat")) == "the cat"
+    assert "▁the" in spw.pieces
+
+
+def test_control_symbols_and_user_defined(tmp_path):
+    txt = os.path.join(tmp_path, "c.txt")
+    spm_lite._write_lines(CORPUS, txt)
+    prefix = os.path.join(tmp_path, "ctl")
+    spm_lite.SentencePieceTrainer.train(
+        input=txt, model_prefix=prefix, vocab_size=32,
+        model_type="unigram", bos_id=1, eos_id=2,
+        user_defined_symbols="<sep>,<cls>")
+    sp = spm_lite.SentencePieceProcessor().load(prefix + ".model")
+    assert sp.pieces[0] == "<unk>"
+    assert sp.pieces[1] == "<s>" and sp.pieces[2] == "</s>"
+    assert sp.piece_to_id("<sep>") == 3 and sp.piece_to_id("<cls>") == 4
+    # .vocab TSV twin written like the real trainer
+    vocab_lines = open(prefix + ".vocab").read().splitlines()
+    assert len(vocab_lines) == sp.vocab_size()
+    assert vocab_lines[0].split("\t")[0] == "<unk>"
+
+
+def test_query_string_train_form(tmp_path):
+    """The reference's ``_train_BPE`` builds a ``--key=value`` query string
+    (``SentencePiece.py:268-300``) — the lite trainer accepts it too."""
+    txt = os.path.join(tmp_path, "q.txt")
+    spm_lite._write_lines(CORPUS, txt)
+    prefix = os.path.join(tmp_path, "qs")
+    spm_lite.SentencePieceTrainer.train(
+        f"--input={txt} --model_prefix={prefix} --model_type=bpe"
+        f" --bos_id=-1 --eos_id=-1 --pad_id=-1 --unk_id=0"
+        f" --max_sentencepiece_length=10 --character_coverage=1.0"
+        f" --add_dummy_prefix=True --vocab_size=26")
+    sp = spm_lite.SentencePieceProcessor().load(prefix + ".model")
+    assert sp.vocab_size() == 26
+    assert sp.decode_ids(sp.encode_as_ids("the cat")) == "the cat"
+
+
+# ---------------------------------------------------------------------------
+# The reference wrapper surface
+# ---------------------------------------------------------------------------
+
+def _write_csv(path, rows, col="wrd"):
+    with open(path, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=["ID", col])
+        w.writeheader()
+        for i, r in enumerate(rows):
+            w.writerow({"ID": str(i), col: r})
+    return path
+
+
+def test_wrapper_csv_train_and_call(tmp_path):
+    csv_path = _write_csv(os.path.join(tmp_path, "t.csv"), CORPUS)
+    sp = SentencePiece(str(tmp_path), 28, annotation_train=csv_path,
+                       annotation_read="wrd", model_type="unigram")
+    assert os.path.isfile(os.path.join(tmp_path, "28_unigram.model"))
+    # encode semantics: (B, L) label array + relative lens + ind2lab
+    ind2lab = {0: "the", 1: "cat", 2: "sat", 3: "mat"}
+    batch = np.array([[0, 1, 2, 3], [0, 3, 0, 0]], np.int32)
+    lens = np.array([1.0, 0.5], np.float32)
+    ids, id_lens = sp(batch, lens, ind2lab, task="encode")
+    assert ids.shape[0] == 2 and 0.0 < id_lens[1] <= id_lens[0] == 1.0
+    decoded = sp(ids, id_lens, task="decode")
+    assert decoded[0] == ["the", "cat", "sat", "mat"]
+    assert decoded[1] == ["the", "mat"]
+    # decode_from_list on raw id sequences
+    seqs = [sp.sp.encode_as_ids("the cat")]
+    assert sp(seqs, task="decode_from_list") == [["the", "cat"]]
+
+
+def test_wrapper_reuses_trained_model(tmp_path):
+    csv_path = _write_csv(os.path.join(tmp_path, "t.csv"), CORPUS)
+    sp1 = SentencePiece(str(tmp_path), 26, annotation_train=csv_path,
+                        annotation_read="wrd", model_type="bpe")
+    model = os.path.join(tmp_path, "26_bpe.model")
+    mtime = os.path.getmtime(model)
+    sp2 = SentencePiece(str(tmp_path), 26, annotation_train=None,
+                        annotation_read="wrd", model_type="bpe")
+    assert os.path.getmtime(model) == mtime  # not retrained
+    s = "the cat sat"
+    assert sp2.sp.encode_as_ids(s) == sp1.sp.encode_as_ids(s)
+
+
+def test_wrapper_json_and_char_format(tmp_path):
+    # char-format input: "t h e _ c a t" ("_" the word marker merge_char uses)
+    data = {f"utt{i}": {"wrd": " ".join("_".join(s.split()))}
+            for i, s in enumerate(CORPUS)}
+    json_path = os.path.join(tmp_path, "t.json")
+    with open(json_path, "w") as f:
+        json.dump(data, f)
+    sp = SentencePiece(str(tmp_path), 26, annotation_train=json_path,
+                       annotation_read="wrd", model_type="unigram",
+                       char_format_input=True, annotation_format="json",
+                       annotation_list_to_check=[json_path])
+    # char-format text was merged back to words before training
+    text = open(os.path.join(tmp_path, "26_unigram.txt")).read()
+    assert "the cat sat on the mat" in text
+    assert sp.sp.decode_ids(sp.sp.encode_as_ids("the cat")) == "the cat"
+
+
+def test_wrapper_num_sequences_quirk(tmp_path):
+    """The reference truncates at ``row_idx > num_sequences`` — an
+    off-by-one keeping N+1 rows (``SentencePiece.py:210-216``); matched."""
+    csv_path = _write_csv(os.path.join(tmp_path, "t.csv"),
+                          [f"w{i}" for i in range(10)])
+    SentencePiece(str(tmp_path), 18, annotation_train=csv_path,
+                  annotation_read="wrd", model_type="char", num_sequences=3)
+    lines = open(os.path.join(tmp_path, "18_char.txt")).read().splitlines()
+    assert len(lines) == 4  # 3 requested, 4 kept (reference quirk)
+
+
+def test_wrapper_validations(tmp_path):
+    with pytest.raises(ValueError):
+        SentencePiece(str(tmp_path), 10, model_type="nope")
+    with pytest.raises(ValueError):
+        SentencePiece(str(tmp_path), "10", model_type="unigram")
+    csv_path = _write_csv(os.path.join(tmp_path, "t.csv"), CORPUS)
+    with pytest.raises(ValueError):
+        SentencePiece(str(tmp_path), 20, annotation_train=csv_path,
+                      annotation_read="nosuchcol", model_type="unigram")
