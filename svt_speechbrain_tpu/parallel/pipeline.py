@@ -29,6 +29,34 @@ def stack_stage_params(stage_param_list):
         lambda *leaves: jnp.stack(leaves), *stage_param_list)
 
 
+def bubble_fraction(m, s):
+    """Idle fraction of the GPipe schedule: ``S`` stages, ``M`` microbatches
+    run in ``M + S - 1`` ticks of which each device does useful work on
+    ``M`` — the bubble is the classic ``(S-1)/(M+S-1)``.
+
+    Example
+    -------
+    >>> bubble_fraction(4, 2)          # 2 stages, 4 microbatches: 5 ticks
+    0.2
+    >>> bubble_fraction(1, 8)          # no overlap at all
+    0.875
+    """
+    return (s - 1) / (m + s - 1)
+
+
+def schedule_ticks(m, s):
+    """Number of scan ticks ``spmd_pipeline`` runs (the denominator of
+    ``bubble_fraction``); exposed so harnesses can assert the compiled
+    schedule matches the analytic bubble model.
+
+    Example
+    -------
+    >>> schedule_ticks(4, 2)
+    5
+    """
+    return m + s - 1
+
+
 def spmd_pipeline(stage_fn, stacked_params, x_microbatches, mesh,
                   axis="pipe"):
     """Run ``y = stage_{S-1}(…stage_0(x)…)`` for each microbatch through an
@@ -91,7 +119,7 @@ def spmd_pipeline(stage_fn, stacked_params, x_microbatches, mesh,
         state0 = jnp.zeros(mb_shape, x_local.dtype)
         outputs0 = jnp.zeros((m,) + mb_shape, x_local.dtype)
         (_, outputs), _ = jax.lax.scan(
-            tick, (state0, outputs0), jnp.arange(m + s - 1))
+            tick, (state0, outputs0), jnp.arange(schedule_ticks(m, s)))
         # outputs live on the last stage (zeros elsewhere) → replicate
         return jax.lax.psum(outputs, axis)
 
