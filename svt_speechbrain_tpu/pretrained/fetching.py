@@ -37,33 +37,41 @@ def fetch(filename, source, savedir="./pretrained_model_checkpoints",
     savedir.mkdir(parents=True, exist_ok=True)
     destination = savedir / save_filename
     if destination.exists() and not overwrite:
-        return destination
-
-    if pathlib.Path(source).is_dir():
-        # local directory: symlink
-        sourcefile = pathlib.Path(source) / filename
-        if not sourcefile.exists():
-            raise FileNotFoundError(sourcefile)
-        if destination.is_symlink():
-            destination.unlink()
-        destination.symlink_to(sourcefile.absolute())
+        logger.info(f"Fetch {filename}: using existing {destination}.")
         return destination
 
     if str(source).startswith(("http:", "https:")):
         logger.info(f"Downloading {source}/{filename} to {destination}")
-        urllib.request.urlretrieve(f"{source}/{filename}", destination)
+        try:
+            urllib.request.urlretrieve(f"{source}/{filename}", destination)
+        except urllib.error.URLError:
+            raise ValueError(
+                f"Interpreted {source} as web address, but could not "
+                f"download.")
         return destination
 
-    # treat as an HF hub repo id
+    if pathlib.Path(source).is_dir():
+        # local directory: symlink (relink when overwriting)
+        sourcefile = pathlib.Path(source) / filename
+        if not sourcefile.exists():
+            raise FileNotFoundError(sourcefile)
+        destination.unlink(missing_ok=True)
+        destination.symlink_to(sourcefile.absolute())
+        return destination
+
+    # treat as an HF hub repo id: download into the hub's local cache (a
+    # no-op when cached), then symlink the savedir name onto the cache file
     try:
         import huggingface_hub
 
-        fetched = huggingface_hub.hf_hub_download(repo_id=source, filename=filename,
-                                                  cache_dir=savedir)
-        if destination.is_symlink():
-            destination.unlink()
+        fetched = huggingface_hub.hf_hub_download(
+            repo_id=source, filename=filename,
+            token=use_auth_token or None)
+        destination.unlink(missing_ok=True)
         destination.symlink_to(pathlib.Path(fetched).absolute())
         return destination
+    except ValueError:
+        raise
     except Exception as e:
         raise FileNotFoundError(
             f"Could not fetch {filename} from {source}: {e}") from e
