@@ -27,6 +27,59 @@ if REPO_ROOT not in sys.path:
 
 REFERENCE_ROOT = "/root/reference"
 
+# ---------------------------------------------------------------------------
+# Test tiers (the full suite is ~40 min; tiers keep a usable fail-fast gate):
+#   pytest -m core          — engine/recipe-smoke/parallel-equality (<~5 min)
+#   pytest -m golden        — reference-exact / torch-parity tests
+#   pytest -m doctest_tier  — runnable docstring examples of all modules
+#   pytest -m "not golden and not doctest_tier"  — everything framework-own
+# Markers are assigned from file names + the explicit lists below, so new
+# golden files (named *_golden/*_parity) tier themselves automatically.
+
+_CORE_FILES = {
+    "test_parallel.py", "test_multiprocess.py", "test_inference.py",
+    "test_losses.py", "test_dataloader_resume.py",
+    "test_checkpoint_backends.py", "test_checkpoint_reshard.py",
+    "test_amt_utils.py",
+}
+_CORE_TESTS = {  # recipe smoke: one end-to-end per family
+    "test_recipe_end_to_end",
+    "test_n20emv2_audio_recipe_end_to_end",
+}
+_GOLDEN_EXTRA_FILES = {  # parity tests whose names don't say so
+    "test_wav2vec2.py", "test_convert_sb.py", "test_ckpt_manifests.py",
+    "test_video_models.py", "test_rnn_decoders.py",
+}
+_CORE_EXCLUDE = {  # slow members of core files that other gates cover
+    "test_avhubert_converter_name_coverage",   # manifest tier
+    "test_driver_dryrun_entry_in_process",     # driver MULTICHIP artifact
+}
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "core: fast engine/recipe-smoke/parallel gate")
+    config.addinivalue_line(
+        "markers", "golden: reference-exact / torch-parity tests")
+    config.addinivalue_line(
+        "markers", "doctest_tier: runnable docstring examples")
+
+
+def pytest_collection_modifyitems(config, items):
+    import pytest
+
+    for item in items:
+        fname = os.path.basename(str(item.fspath))
+        if fname == "test_doctests.py":
+            item.add_marker(pytest.mark.doctest_tier)
+        elif ("golden" in fname or "parity" in fname
+              or fname in _GOLDEN_EXTRA_FILES):
+            item.add_marker(pytest.mark.golden)
+        base = item.name.split("[")[0]
+        if ((fname in _CORE_FILES or base in _CORE_TESTS)
+                and base not in _CORE_EXCLUDE):
+            item.add_marker(pytest.mark.core)
+
 
 def reference_available():
     return os.path.isdir(REFERENCE_ROOT)
