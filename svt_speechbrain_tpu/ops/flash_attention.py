@@ -602,6 +602,10 @@ def _short_forward(q, k, v, lengths, scale, group, interpret):
     lens_bh = jnp.repeat(jnp.asarray(lengths, jnp.int32), h)
     bh = b * h
     g = group
+    # VMEM budget: keep the program's K/V panels ≤ ~16 grouped rows at
+    # Tk≤256 (measured fastest on v5e; group=32 OOMs), half that at 512
+    while g > 1 and g * tk_pad > 16 * 256:
+        g //= 2
     while bh % g:
         g //= 2
     qf = q.reshape(bh, tq_pad, d)
@@ -628,7 +632,7 @@ def _short_forward(q, k, v, lengths, scale, group, interpret):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
-def flash_attention_short(q, k, v, lengths=None, scale=None, group=8,
+def flash_attention_short(q, k, v, lengths=None, scale=None, group=16,
                           interpret=False):
     """Fused short-row attention: q, k, v (B, H, T, D) → (B, H, Tq, D), full
     softmax over each row's first ``lengths[b]`` keys. Use when
