@@ -318,6 +318,502 @@ def _run_ours(train_batches, eval_examples, hparams, recipe, my_params,
     }
 
 
+# ---------------------------------------------------------------------------
+# Video family (AV-HuBERT, N20EMv2/video_only): ours vs the reference torch
+# Brain, both trained from the SAME converted vendored-hubert weights on the
+# SAME synthetic lip-ROI batches.
+# ---------------------------------------------------------------------------
+
+VIDEO_RECIPE_DIR = os.path.join(REPO_ROOT, "recipes", "N20EMv2",
+                                "video_only")
+VIDEO_TINY = dict(encoder_layers=1, encoder_embed_dim=64,
+                  encoder_ffn_embed_dim=128, encoder_attention_heads=4,
+                  audio_feat_dim=26, conv_pos=16, conv_pos_groups=4)
+LR_VIDEO_HEAD = 1.0       # Adadelta (yaml "lr")
+LR_VIDEO_ENCODER = 0.002  # Adam — large so the tiny stack plateaus fast
+
+TINY_VIDEO_ARCH = """
+encoder: !new:svt_speechbrain_tpu.models.avhubert.FairseqAVHubert
+   output_norm: True
+   arch_overrides:
+      encoder_layers: 1
+      encoder_embed_dim: 64
+      encoder_ffn_embed_dim: 128
+      encoder_attention_heads: 4
+      audio_feat_dim: 26
+      conv_pos: 16
+      conv_pos_groups: 4
+      dropout: 0.0
+      attention_dropout: 0.0
+      activation_dropout: 0.0
+      dropout_input: 0.0
+feat_dim: 64
+"""
+
+# pitch (midi) -> mouth aperture in pixels: the ONLY visual pitch cue, so
+# the tiny model must become aperture-selective to score COnP
+VIDEO_PITCHES = (45, 52, 57, 64)
+
+
+def make_video_dataset(root):
+    """Synthetic lip-ROI songs (50 fps, 96x96 uint8): a dark mouth ellipse
+    opens to a pitch-coded aperture during each note and closes between
+    notes — onset/offset are aperture transitions, pitch is aperture size."""
+    rng = np.random.default_rng(0)
+    annotations = {}
+    for i, split in enumerate(["train", "train", "valid"]):
+        entry = f"vsong{i}"
+        duration = 4.0
+        notes, t0 = [], 0.2
+        while t0 < duration - 0.7:
+            dur = float(rng.uniform(0.3, 0.6))
+            notes.append([round(t0, 3), round(t0 + dur, 3),
+                          int(rng.choice(VIDEO_PITCHES))])
+            t0 += dur + float(rng.uniform(0.15, 0.4))
+        annotations[entry] = {"midi": notes, "split": split}
+        n_frames = int(duration * 50)
+        video = np.full((n_frames, 96, 96), 110, np.float32)
+        video += rng.normal(scale=3.0, size=video.shape)
+        aperture = np.full(n_frames, 2)
+        for on, off, midi in notes:
+            idx = VIDEO_PITCHES.index(midi)
+            aperture[int(on * 50):int(off * 50)] = 8 + 8 * idx
+        for f in range(n_frames):
+            half = aperture[f] // 2
+            video[f, 48 - half:48 + half + 1, 28:68] = 30.0
+        d = os.path.join(root, "data", entry)
+        os.makedirs(d, exist_ok=True)
+        np.save(os.path.join(d, "video_50fps.npy"),
+                np.clip(video, 0, 255).astype(np.uint8))
+    with open(os.path.join(root, "annotations.json"), "w") as f:
+        json.dump(annotations, f)
+    prep = _load(os.path.join(VIDEO_RECIPE_DIR, "prepare_n20emv2.py"),
+                 "qb_video_prep")
+    prep.prepare_frame_anno(root, frame_rate=50)
+    prep.prepare_csv_n20emv2(root, csv_folder=os.path.join(root, "csv"),
+                             frame_rate=50, dur_thrd=2)
+    return os.path.join(root, "csv", "frame_rate50", "dur_2s")
+
+
+def _run_video_ours(train_batches, eval_examples, hparams, recipe,
+                    enc_params, enc_state, head_w, head_b, epochs):
+    from svt_speechbrain_tpu.core import Stage
+    from svt_speechbrain_tpu.dataio.batch import PaddedBatch
+
+    brain = recipe.AMT(modules=hparams["modules"], hparams=hparams,
+                       run_opts={"noprogressbar": True}, checkpointer=None)
+    brain.load_module_params("encoder", {"model": enc_params})
+    brain.load_module_state("encoder", {"model": enc_state})
+    brain.load_module_params("head", {"w": head_w.copy(),
+                                      "b": head_b.copy()})
+    brain.init_optimizers()
+    for _ in range(epochs):
+        losses = []
+        for group in train_batches:
+            losses.append(brain.fit_batch(PaddedBatch(
+                [{"id": ex["id"], "sig": ex["sig"], "anno": ex["anno"]}
+                 for ex in group])))
+        valid = float(np.mean(losses))
+        _, enc_lr = hparams["lr_annealing_encoder"](valid)
+        brain.set_learning_rate("encoder", enc_lr)
+        _, head_lr = hparams["lr_annealing_head"](valid)
+        brain.set_learning_rate("head", head_lr)
+
+    brain.on_stage_start(Stage.VALID, 1)
+    eval_losses = [brain.evaluate_batch(PaddedBatch([dict(ex)]), Stage.VALID)
+                   for ex in eval_examples]
+    return {
+        "COnPOff_f1": brain.COnPOff_f1.avg,
+        "COnP_f1": brain.COnP_f1.avg,
+        "COn_f1": brain.COn_f1.avg,
+        "loss": float(np.mean(eval_losses)),
+    }
+
+
+def _run_video_reference(train_batches, eval_examples, ref_model, fi,
+                         sb, ref_recipe, head_w, head_b, epochs):
+    """Train + song-eval the reference torch video AMT Brain
+    (train_video_ssl.py), its encoder the ACTUAL FairseqAVHubertPretrain
+    wrapper around the vendored AVHubertModel."""
+    import torch
+
+    from tests.reference_harness import RefBatch, ref_video_hparams
+
+    wrapper = fi.FairseqAVHubertPretrain.__new__(fi.FairseqAVHubertPretrain)
+    torch.nn.Module.__init__(wrapper)
+    wrapper.model = ref_model
+    wrapper.normalize = False
+    wrapper.output_norm = True
+    wrapper.freeze = False
+    head = sb.nnet.linear.Linear(input_size=VIDEO_TINY["encoder_embed_dim"],
+                                 n_neurons=20)
+    with torch.no_grad():
+        head.w.weight.copy_(torch.tensor(head_w.T))
+        head.w.bias.copy_(torch.tensor(head_b))
+    brain = ref_recipe.AMT(modules={"encoder": wrapper, "head": head},
+                           hparams=ref_video_hparams(sb),
+                           run_opts={"device": "cpu"})
+    brain.encoder_optimizer = torch.optim.Adam(wrapper.parameters(),
+                                               lr=LR_VIDEO_ENCODER)
+    brain.head_optimizer = torch.optim.Adadelta(
+        head.parameters(), lr=LR_VIDEO_HEAD, rho=0.95, eps=1e-8)
+    sched_enc = sb.nnet.schedulers.NewBobScheduler(
+        initial_value=LR_VIDEO_ENCODER, improvement_threshold=0.0025,
+        annealing_factor=0.9, patient=0)
+    sched_head = sb.nnet.schedulers.NewBobScheduler(
+        initial_value=LR_VIDEO_HEAD, improvement_threshold=0.0025,
+        annealing_factor=0.8, patient=0)
+
+    wrapper.train()
+    for _ in range(epochs):
+        losses = []
+        for group in train_batches:
+            sig = torch.tensor(np.stack([ex["sig"] for ex in group]))
+            anno = torch.tensor(
+                np.stack([ex["anno"] for ex in group]).astype(np.float32))
+            lens = torch.ones(len(group))
+            rb = RefBatch(id=[ex["id"] for ex in group],
+                          sig=(sig, lens), anno=(anno, lens))
+            losses.append(float(brain.fit_batch(rb)))
+        valid = float(np.mean(losses))
+        _, new_enc = sched_enc(valid)
+        _, new_head = sched_head(valid)
+        sb.nnet.schedulers.update_learning_rate(
+            brain.encoder_optimizer, new_enc)
+        sb.nnet.schedulers.update_learning_rate(
+            brain.head_optimizer, new_head)
+
+    wrapper.eval()  # BatchNorm running stats for eval, as sb.Brain does
+    brain.on_stage_start(sb.Stage.VALID, 1)
+    eval_losses = []
+    for ex in eval_examples:
+        rb = RefBatch(
+            id=[ex["id"]],
+            sig=(torch.tensor(np.asarray(ex["sig"])[None]), torch.ones(1)),
+            anno=(torch.tensor(
+                np.asarray(ex["anno"], np.float32)[None]), torch.ones(1)),
+            cur_utter=torch.tensor([int(ex["cur_utter"])]),
+            all_utter=torch.tensor([int(ex["all_utter"])]),
+            ref_intervals=(torch.tensor(
+                np.asarray(ex["ref_intervals"])[None]), torch.ones(1)),
+            ref_pitchs=(torch.tensor(
+                np.asarray(ex["ref_pitchs"])[None]), torch.ones(1)))
+        with torch.no_grad():
+            pred = brain.compute_forward(rb, sb.Stage.VALID)
+            eval_losses.append(float(
+                brain.compute_objectives(pred, rb, sb.Stage.VALID)))
+    return {
+        "COnPOff_f1": brain.COnPOff_f1.avg,
+        "COnP_f1": brain.COnP_f1.avg,
+        "COn_f1": brain.COn_f1.avg,
+        "loss": float(np.mean(eval_losses)),
+    }
+
+
+def run_video_family(skip_ref, epochs):
+    """Returns the video-family result dict for the artifact."""
+    import torch
+
+    from svt_speechbrain_tpu.config import load_hyperyaml
+    from svt_speechbrain_tpu.models.convert_fairseq import (
+        convert_avhubert_state_dict)
+    from svt_speechbrain_tpu.models.avhubert import AVHubertConfig
+
+    root = tempfile.mkdtemp(prefix="quality_bench_video_")
+    try:
+        csv_dir = make_video_dataset(root)
+        recipe = _load(os.path.join(VIDEO_RECIPE_DIR, "train_video_ssl.py"),
+                       "qb_video_recipe")
+        overrides = f"""
+data_folder: {root}
+output_folder: {root}/results
+csv_folder: {csv_dir}
+train_csv: {csv_dir}/n20em_train.csv
+valid_csv: {csv_dir}/n20em_valid.csv
+test_csv: [{csv_dir}/n20em_valid.csv]
+dur_threshold: 2
+number_of_epochs: {epochs}
+linear_prob_epochs: 0
+batch_size: 2
+num_workers: 0
+split_noise: False
+lr: {LR_VIDEO_HEAD}
+lr_encoder: {LR_VIDEO_ENCODER}
+{TINY_VIDEO_ARCH}
+"""
+        with open(os.path.join(VIDEO_RECIPE_DIR, "hparams",
+                               "train_video_ssl.yaml")) as f:
+            hparams = load_hyperyaml(f, overrides)
+        train_data, valid_data, _ = recipe.dataio_prepare(hparams)
+        # materialize ONCE: the (rng-seeded) train transform output becomes
+        # the fixed dataset both stacks replay each epoch
+        train_batches = _train_batches(_examples(train_data))
+        eval_examples = _examples(valid_data)
+
+        if skip_ref:
+            sb = ref_recipe = fi = None
+            hubert_mod = None
+        else:
+            from tests.reference_harness import (
+                VIDEO_DIR, import_reference_video_recipe,
+                load_reference_module)
+
+            sb, ref_recipe, hubert_mod = import_reference_video_recipe()
+            fi = load_reference_module(
+                os.path.join(VIDEO_DIR, "fairseq_interface.py"), "_qb_fi")
+
+        # shared init: vendored torch AV-HuBERT -> convert_fairseq
+        if hubert_mod is None:
+            from tests.reference_harness import import_reference_hubert
+
+            hubert_mod = import_reference_hubert()
+        import types as _types
+
+        from tests.reference_harness import fairseq_named_state_dict
+
+        cfg_ref = hubert_mod.AVHubertConfig(
+            label_rate=25, input_modality="video", **VIDEO_TINY,
+            dropout=0.0, attention_dropout=0.0, activation_dropout=0.0,
+            encoder_layerdrop=0.0, dropout_input=0.0, dropout_features=0.0,
+            layer_norm_first=True, modality_fuse="concat",
+            masking_type="input", feature_grad_mult=1.0)
+        torch.manual_seed(0)
+        ref_model = hubert_mod.AVHubertModel(
+            cfg_ref, _types.SimpleNamespace(sample_rate=25),
+            dictionaries=[None])
+        sd = fairseq_named_state_dict(ref_model)
+        my_cfg = AVHubertConfig(
+            encoder_layers=VIDEO_TINY["encoder_layers"],
+            encoder_embed_dim=VIDEO_TINY["encoder_embed_dim"],
+            encoder_ffn_embed_dim=VIDEO_TINY["encoder_ffn_embed_dim"],
+            encoder_attention_heads=VIDEO_TINY["encoder_attention_heads"],
+            audio_feat_dim=VIDEO_TINY["audio_feat_dim"],
+            conv_pos=VIDEO_TINY["conv_pos"],
+            conv_pos_groups=VIDEO_TINY["conv_pos_groups"],
+            layer_norm_first=True, modality_fuse="concat",
+            dropout=0.0, attention_dropout=0.0, activation_dropout=0.0,
+            dropout_input=0.0)
+        enc_params, enc_state = convert_avhubert_state_dict(sd, my_cfg)
+        rng = np.random.default_rng(2)
+        head_w = (rng.normal(size=(VIDEO_TINY["encoder_embed_dim"], 20))
+                  .astype(np.float32) * 0.05)
+        head_b = np.zeros(20, np.float32)
+
+        mine = _run_video_ours(train_batches, eval_examples, hparams,
+                               recipe, enc_params, enc_state, head_w,
+                               head_b, epochs)
+        out = {
+            "value": round(mine["COnPOff_f1"], 4),
+            "COnP_f1": round(mine["COnP_f1"], 4),
+            "COn_f1": round(mine["COn_f1"], 4),
+            "final_eval_loss": round(mine["loss"], 4),
+            "epochs": epochs,
+        }
+        if not skip_ref:
+            ref = _run_video_reference(train_batches, eval_examples,
+                                       ref_model, fi, sb, ref_recipe,
+                                       head_w, head_b, epochs)
+            out.update({
+                "reference_value": round(ref["COnPOff_f1"], 4),
+                "delta": round(mine["COnPOff_f1"] - ref["COnPOff_f1"], 4),
+                "ref_COn_f1": round(ref["COn_f1"], 4),
+                "ref_final_eval_loss": round(ref["loss"], 4),
+            })
+        else:
+            out["reference_value"] = None
+        return out
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# RCA family (N20EMv2/audio_visual): the reference's headline noise claim —
+# AV fusion beats the audio-only control at low SNR (assets/noise_test.png).
+# Synthetic stage-2 feature dumps: audio features informative but corrupted
+# per SNR, video features SNR-independent; both variants train on the same
+# mixed-SNR plan and are scored per SNR.
+# ---------------------------------------------------------------------------
+
+RCA_DIR = os.path.join(REPO_ROOT, "recipes", "N20EMv2", "audio_visual")
+RCA_SNRS = (0, -10)     # noisy eval points; "clean" is always included
+RCA_FEAT_DIM = 24
+
+
+def _anno2feats(anno, rng, noise):
+    """Frame labels (T, 4) -> informative features (T, 24): onset/offset
+    flags, octave one-hot (5), class one-hot (13), 4 dead channels."""
+    t = anno.shape[0]
+    feats = np.zeros((t, RCA_FEAT_DIM), np.float32)
+    feats[:, 0] = 2.0 * anno[:, 0]
+    feats[:, 1] = anno[:, 1]
+    feats[np.arange(t), 2 + anno[:, 2].astype(int)] = 1.0
+    feats[np.arange(t), 7 + anno[:, 3].astype(int)] = 1.0
+    return feats + rng.normal(scale=noise, size=feats.shape).astype(
+        np.float32)
+
+
+def make_rca_dataset(root):
+    from svt_speechbrain_tpu.utils.amt import note2frame
+
+    rng = np.random.default_rng(0)
+    pitch_pool = np.asarray([45, 52, 57, 64, 69])
+    annotations = {}
+    for i, split in enumerate(["train", "train", "valid"]):
+        entry = f"rsong{i}"
+        duration = 6.0
+        notes, t0 = [], 0.2
+        while t0 < duration - 0.7:
+            dur = float(rng.uniform(0.25, 0.6))
+            notes.append([round(t0, 3), round(t0 + dur, 3),
+                          int(rng.choice(pitch_pool))])
+            t0 += dur + float(rng.uniform(0.1, 0.4))
+        annotations[entry] = {"midi": notes, "split": split}
+        d = os.path.join(root, "data", entry)
+        nd = os.path.join(d, "noise_data")
+        os.makedirs(os.path.join(nd, "musan"), exist_ok=True)
+        a_frames = round(duration * 49.8)
+        v_frames = round(duration * 50)
+        anno_a = note2frame(notes, a_frames)
+        anno_v = note2frame(notes, v_frames, frame_size=1 / 50)
+        clean = _anno2feats(anno_a, rng, noise=0.05)
+        # video: SNR-independent but coarser than clean audio
+        video = _anno2feats(anno_v, rng, noise=0.3)
+        np.save(os.path.join(nd, "clean_feats.npy"), clean)
+        np.save(os.path.join(nd, "video_feats.npy"), video)
+        sig_rms = float(np.sqrt(np.mean(clean ** 2)))
+        for snr in RCA_SNRS:
+            sigma = sig_rms * 10.0 ** (-snr / 20.0)
+            np.save(os.path.join(nd, "musan", f"SNR_{snr}dB_feats.npy"),
+                    clean + rng.normal(scale=sigma, size=clean.shape)
+                    .astype(np.float32))
+        with open(os.path.join(d, "note_anno.json"), "w") as f:
+            json.dump(notes, f)
+        np.save(os.path.join(d, "frame_anno.npy"), anno_a)
+    with open(os.path.join(root, "annotations.json"), "w") as f:
+        json.dump(annotations, f)
+    prep = _load(os.path.join(RCA_DIR, "prepare_n20emv2.py"), "qb_rca_prep")
+    prep.prepare_csv_n20emv2_feat(root, csv_folder=os.path.join(root, "csv"),
+                                  dur_thrd=3)
+    return os.path.join(root, "csv", "dur_3s")
+
+
+def _rca_hparams(root, csv_dir, out, snr):
+    from svt_speechbrain_tpu.config import load_hyperyaml
+
+    noise = "" if snr == "clean" else f"""
+add_noise: True
+noise_type: musan
+snr_db: {snr}
+"""
+    overrides = f"""
+data_folder: {root}
+output_folder: {out}
+csv_folder: {csv_dir}
+train_csv: {csv_dir}/n20em_train.csv
+valid_csv: {csv_dir}/n20em_valid.csv
+test_csv: [{csv_dir}/n20em_valid.csv]
+dur_threshold: 3
+number_of_epochs: 1
+batch_size: 2
+num_workers: 0
+pretrain: False
+lr: 3.0
+feat_dim: {RCA_FEAT_DIM}
+fusion: !new:svt_speechbrain_tpu.models.fusion.FusionRCA
+   alpha: 0.5
+   nhead: 4
+   d_ffn: 48
+   d_model: {RCA_FEAT_DIM}
+{noise}"""
+    with open(os.path.join(RCA_DIR, "hparams", "train_rca_av.yaml")) as f:
+        return load_hyperyaml(f, overrides)
+
+
+def run_rca_family(epochs):
+    """Train the AV recipe and the audio-only control on an identical
+    mixed-SNR plan from identical init; score per SNR. Returns the artifact
+    dict — ``delta_av_minus_a`` at the lowest SNR is the headline."""
+    import jax as _jax
+
+    from svt_speechbrain_tpu.core import Stage
+    from svt_speechbrain_tpu.dataio.batch import PaddedBatch
+
+    root = tempfile.mkdtemp(prefix="quality_bench_rca_")
+    try:
+        csv_dir = make_rca_dataset(root)
+        recipe_av = _load(os.path.join(RCA_DIR, "train_rca_av.py"),
+                          "qb_rca_av")
+        recipe_a = _load(os.path.join(RCA_DIR, "train_rca_a.py"),
+                         "qb_rca_a")
+        levels = ["clean"] + list(RCA_SNRS)
+        train_ex, eval_ex = {}, {}
+        hp = None
+        for snr in levels:
+            hp = _rca_hparams(root, csv_dir, os.path.join(root, "res"), snr)
+            tr, va, _ = recipe_av.dataio_prepare(hp)
+            train_ex[snr] = _examples(tr)
+            eval_ex[snr] = _examples(va)
+        # mixed-SNR batch plan: same song slice across levels interleaved
+        plan = [[ex] for snr in levels for ex in train_ex[snr]]
+
+        # keep the shared init host-side: each Brain gets fresh device
+        # copies (the jitted train step donates its param buffers)
+        fusion_params = _jax.tree_util.tree_map(
+            np.asarray, hp["fusion"].init(_jax.random.PRNGKey(7)))
+        rng = np.random.default_rng(8)
+        head_w = (rng.normal(size=(RCA_FEAT_DIM, 20)).astype(np.float32)
+                  * 0.05)
+        head_b = np.zeros(20, np.float32)
+
+        def train_and_eval(recipe_mod):
+            hparams = _rca_hparams(root, csv_dir,
+                                   os.path.join(root, "res"), "clean")
+            brain = recipe_mod.AMT(
+                modules=hparams["modules"], hparams=hparams,
+                run_opts={"noprogressbar": True}, checkpointer=None)
+            brain.load_module_params("fusion", _jax.tree_util.tree_map(
+                np.copy, fusion_params))
+            brain.load_module_params("head", {"w": head_w.copy(),
+                                              "b": head_b.copy()})
+            brain.init_optimizers()
+            for _ in range(epochs):
+                losses = [brain.fit_batch(PaddedBatch(
+                    [{"id": e["id"], "sig1": e["sig1"], "sig2": e["sig2"],
+                      "anno": e["anno"]} for e in group]))
+                    for group in plan]
+                _, lr = hparams["lr_annealing_model"](float(np.mean(losses)))
+                brain.set_learning_rate("model", lr)
+            scores = {}
+            for snr in levels:
+                brain.on_stage_start(Stage.VALID, 1)
+                for ex in eval_ex[snr]:
+                    brain.evaluate_batch(PaddedBatch([dict(ex)]),
+                                         Stage.VALID)
+                scores[str(snr)] = {
+                    "COnPOff": round(brain.COnPOff_f1.avg, 4),
+                    "COnP": round(brain.COnP_f1.avg, 4),
+                    "COn": round(brain.COn_f1.avg, 4)}
+            return scores
+
+        av = train_and_eval(recipe_av)
+        a = train_and_eval(recipe_a)
+        low = str(min(RCA_SNRS))
+        # COnP is the headline band: COnPOff saturates to 0 for BOTH
+        # variants at the lowest SNR on this tiny budget
+        return {
+            "av": av,
+            "audio_only": a,
+            "delta_av_minus_a_COnP": {
+                s: round(av[s]["COnP"] - a[s]["COnP"], 4) for s in av},
+            "headline_low_snr": low,
+            "av_beats_a_at_low_snr": bool(
+                av[low]["COnP"] >= a[low]["COnP"]),
+            "epochs": epochs,
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def main():
     from svt_speechbrain_tpu.config import load_hyperyaml
     from svt_speechbrain_tpu.models.convert_hf import (
@@ -327,6 +823,18 @@ def main():
     epochs = int(os.environ.get("QBENCH_EPOCHS", "6"))
     skip_ref = (os.environ.get("QBENCH_SKIP_REFERENCE") == "1"
                 or not os.path.isdir(REFERENCE_ROOT))
+    families = os.environ.get("QBENCH_FAMILIES", "mir,video,rca").split(",")
+    extra = {}
+    if "video" in families:
+        extra["video"] = run_video_family(
+            skip_ref, int(os.environ.get("QBENCH_VIDEO_EPOCHS", "6")))
+    if "rca" in families:
+        extra["rca"] = run_rca_family(
+            int(os.environ.get("QBENCH_RCA_EPOCHS", "40")))
+    if "mir" not in families:
+        print(json.dumps({"metric": "synthetic_quality_families",
+                          "families": extra}))
+        return
     root = tempfile.mkdtemp(prefix="quality_bench_")
     try:
         csv = make_dataset(root)
@@ -394,6 +902,8 @@ lr_wav2vec: 0.004
             })
         else:
             result["reference_value"] = None
+        if extra:
+            result["families"] = extra
         print(json.dumps(result))
     finally:
         shutil.rmtree(root, ignore_errors=True)

@@ -127,3 +127,249 @@ class RefBatch:
 
     def to(self, device):
         return self
+
+
+# ---------------------------------------------------------------------------
+# fairseq-stubbed import of the vendored AV-HuBERT (video family)
+# ---------------------------------------------------------------------------
+
+VIDEO_DIR = os.path.join(REFERENCE_ROOT, "N20EMv2", "video_only")
+
+# modules install_fairseq_stub installs / importing hubert.py pollutes —
+# callers that need isolation snapshot these
+FAIRSEQ_STUB_MODULES = (
+    "fairseq", "fairseq.utils", "fairseq.metrics", "fairseq.search",
+    "fairseq.checkpoint_utils", "fairseq.tasks", "fairseq.tasks.fairseq_task",
+    "fairseq.data", "fairseq.data.encoders", "fairseq.data.data_utils",
+    "fairseq.data.dictionary", "fairseq.dataclass",
+    "fairseq.dataclass.configs", "fairseq.dataclass.utils",
+    "fairseq.models", "fairseq.models.wav2vec",
+    "fairseq.models.wav2vec.wav2vec2", "fairseq.models.hubert",
+    "fairseq.models.hubert.hubert", "fairseq.modules",
+    "fairseq.data.fairseq_dataset", "fairseq.ngram_repeat_block",
+    "omegaconf", "cv2", "python_speech_features", "scipy.io.wavfile",
+    "utils", "resnet", "decoder", "hubert_pretraining", "hubert",
+    "hubert_dataset", "sequence_generator")
+
+
+def install_fairseq_stub(stub=stub_module):
+    """Minimal fairseq surface for importing the vendored hubert.py chain
+    (hubert.py, hubert_pretraining.py, decoder.py, utils.py, resnet.py).
+
+    The one numerically-substantial stub is ``fairseq.models.wav2vec
+    .wav2vec2.TransformerEncoder``, backed by HF transformers'
+    ``Wav2Vec2Encoder(StableLayerNorm)`` — the official, independently
+    maintained port of exactly that fairseq module.
+    """
+    import torch
+    import torch.nn as nn
+
+    class _GradMultiplyFn(torch.autograd.Function):
+        @staticmethod
+        def forward(ctx, x, scale):
+            ctx.scale = scale
+            return x.clone()
+
+        @staticmethod
+        def backward(ctx, grad):
+            return grad * ctx.scale, None
+
+    class GradMultiply:
+        @staticmethod
+        def apply(x, scale):
+            return _GradMultiplyFn.apply(x, scale)
+
+    def LayerNormFS(dim, eps=1e-5, elementwise_affine=True):
+        return nn.LayerNorm(dim, eps=eps,
+                            elementwise_affine=elementwise_affine)
+
+    class TransformerEncoder(nn.Module):
+        """HF-transformers-backed twin of fairseq's wav2vec2
+        TransformerEncoder (modeling_wav2vec2.Wav2Vec2Encoder*)."""
+
+        def __init__(self, cfg):
+            super().__init__()
+            from transformers import Wav2Vec2Config
+            from transformers.models.wav2vec2.modeling_wav2vec2 import (
+                Wav2Vec2Encoder, Wav2Vec2EncoderStableLayerNorm)
+
+            hf = Wav2Vec2Config(
+                hidden_size=cfg.encoder_embed_dim,
+                num_hidden_layers=cfg.encoder_layers,
+                num_attention_heads=cfg.encoder_attention_heads,
+                intermediate_size=cfg.encoder_ffn_embed_dim,
+                hidden_dropout=float(cfg.dropout),
+                attention_dropout=float(cfg.attention_dropout),
+                activation_dropout=float(cfg.activation_dropout),
+                layerdrop=float(cfg.encoder_layerdrop),
+                hidden_act=str(cfg.activation_fn),
+                num_conv_pos_embeddings=cfg.conv_pos,
+                num_conv_pos_embedding_groups=cfg.conv_pos_groups,
+                do_stable_layer_norm=bool(cfg.layer_norm_first))
+            hf._attn_implementation = "eager"
+            klass = (Wav2Vec2EncoderStableLayerNorm if cfg.layer_norm_first
+                     else Wav2Vec2Encoder)
+            self.hf = klass(hf)
+
+        def forward(self, x, padding_mask=None, layer=None):
+            assert layer is None, "layer extraction not used here"
+            attn = None
+            if padding_mask is not None:
+                attn = (~padding_mask).long()
+            out = self.hf(x, attention_mask=attn)
+            return out[0], []
+
+    class FairseqDataclass:
+        pass
+
+    class BaseFairseqModel(nn.Module):
+        pass
+
+    class FairseqTask:
+        pass
+
+    class FairseqEncoder(nn.Module):
+        def __init__(self, dictionary=None):
+            super().__init__()
+
+    class FairseqIncrementalDecoder(nn.Module):
+        def __init__(self, dictionary=None):
+            super().__init__()
+
+    class FairseqEncoderDecoderModel(nn.Module):
+        pass
+
+    def _identity_registry(*a, **k):
+        def deco(cls):
+            return cls
+        return deco
+
+    fairseq = stub("fairseq")
+    fairseq.utils = stub(
+        "fairseq.utils",
+        get_available_activation_fns=lambda: ["relu", "gelu", "gelu_fast",
+                                              "tanh", "linear"],
+        index_put=lambda t, idx, v: t.index_put(idx, v))
+    fairseq.metrics = stub("fairseq.metrics")
+    fairseq.search = stub("fairseq.search")
+    fairseq.checkpoint_utils = stub("fairseq.checkpoint_utils")
+    fairseq.tasks = stub("fairseq.tasks",
+                         register_task=_identity_registry,
+                         FairseqTask=FairseqTask)
+    stub("fairseq.tasks.fairseq_task", FairseqTask=FairseqTask)
+    data_utils = stub("fairseq.data.data_utils", compute_mask_indices=None,
+                      compute_block_mask_1d=None)
+    fairseq.data = stub("fairseq.data", Dictionary=object,
+                        encoders=stub("fairseq.data.encoders"),
+                        data_utils=data_utils)
+    stub("fairseq.data.dictionary", Dictionary=object)
+    stub("fairseq.data.fairseq_dataset", FairseqDataset=object)
+    stub("fairseq.ngram_repeat_block", NGramRepeatBlock=object)
+    fairseq.dataclass = stub("fairseq.dataclass",
+                             ChoiceEnum=lambda choices: str,
+                             FairseqDataclass=FairseqDataclass)
+    stub("fairseq.dataclass.configs", FairseqDataclass=FairseqDataclass)
+    stub("fairseq.dataclass.utils",
+         convert_namespace_to_omegaconf=lambda ns: ns)
+    fairseq.models = stub(
+        "fairseq.models", BaseFairseqModel=BaseFairseqModel,
+        FairseqEncoder=FairseqEncoder,
+        FairseqEncoderDecoderModel=FairseqEncoderDecoderModel,
+        FairseqIncrementalDecoder=FairseqIncrementalDecoder,
+        register_model=_identity_registry)
+    stub("fairseq.models.wav2vec")
+    stub("fairseq.models.wav2vec.wav2vec2",
+         ConvFeatureExtractionModel=None,
+         TransformerEncoder=TransformerEncoder)
+    stub("fairseq.models.hubert")
+    stub("fairseq.models.hubert.hubert",
+         MASKING_DISTRIBUTION_CHOICES=str)
+    stub("fairseq.modules", GradMultiply=GradMultiply,
+         LayerNorm=LayerNormFS,
+         PositionalEmbedding=lambda *a, **k: None,
+         TransformerDecoderLayer=lambda *a, **k: __import__(
+             "torch").nn.Identity())
+    stub("omegaconf", II=lambda s: s, MISSING="???",
+         open_dict=lambda x: x)
+    stub("cv2")
+    stub("python_speech_features", logfbank=None)
+    stub("scipy.io.wavfile", read=None)
+
+
+def import_reference_hubert():
+    """Install the fairseq stub and import the vendored
+    ``N20EMv2/video_only/hubert.py``. Leaves the stub modules and the
+    video dir on sys.path — callers that need isolation snapshot
+    ``FAIRSEQ_STUB_MODULES`` and restore afterwards."""
+    install_fairseq_stub()
+    if VIDEO_DIR not in sys.path:
+        sys.path.insert(0, VIDEO_DIR)
+    for mod in ("utils", "resnet", "hubert_pretraining", "decoder",
+                "hubert"):
+        sys.modules.pop(mod, None)
+    spec = importlib.util.spec_from_file_location(
+        "hubert", os.path.join(VIDEO_DIR, "hubert.py"))
+    hubert = importlib.util.module_from_spec(spec)
+    sys.modules["hubert"] = hubert
+    spec.loader.exec_module(hubert)
+    return hubert
+
+
+def import_reference_video_recipe(evaluate_fn=None, stub=stub_module):
+    """Stubs + sys.path + import for the video family: returns
+    ``(sb, ref_recipe, hubert)`` — the reference speechbrain, the actual
+    ``N20EMv2/video_only/train_video_ssl.py`` module, and the vendored
+    ``hubert.py`` (fairseq surface stubbed). The video dir is inserted
+    FIRST on sys.path so its ``utils.py`` (Compose/AverageMeter/transforms)
+    shadows other recipes'."""
+    stub_reference_deps(evaluate_fn, stub)
+    install_fairseq_stub(stub)
+    if REFERENCE_ROOT not in sys.path:
+        sys.path.insert(0, REFERENCE_ROOT)
+    hubert = import_reference_hubert()  # puts VIDEO_DIR first on sys.path
+    import speechbrain as sb
+
+    ref_recipe = load_reference_module(
+        os.path.join(VIDEO_DIR, "train_video_ssl.py"), "_ref_video_recipe")
+    return sb, ref_recipe, hubert
+
+
+def ref_video_hparams(sb):
+    """The hparams the reference video AMT Brain reads (mirrors
+    ``N20EMv2/video_only/hparams/train_video_ssl.yaml`` loss/metric/decode
+    wiring; ``frame_rate`` 50 and COff tolerances are the family deltas)."""
+    hp = ref_amt_hparams(sb)
+    hp.update(frame_rate=50, offset_tolerance=0.05, linear_prob_epochs=0)
+    return hp
+
+
+_HF2FS = (
+    (".hf.pos_conv_embed.conv.", ".pos_conv.0."),
+    (".hf.layers.", ".layers."),
+    (".attention.k_proj.", ".self_attn.k_proj."),
+    (".attention.v_proj.", ".self_attn.v_proj."),
+    (".attention.q_proj.", ".self_attn.q_proj."),
+    (".attention.out_proj.", ".self_attn.out_proj."),
+    (".feed_forward.intermediate_dense.", ".fc1."),
+    (".feed_forward.output_dense.", ".fc2."),
+    (".hf.layer_norm.", ".layer_norm."),
+)
+
+
+def fairseq_named_state_dict(model):
+    """The assembled model's state dict with the HF-encoder-adapter keys
+    renamed to canonical fairseq names (what a real av_hubert checkpoint
+    contains and what convert_fairseq consumes)."""
+    out = {}
+    for k, v in model.state_dict().items():
+        for a, b in _HF2FS:
+            k = k.replace(a, b)
+        # post-LN HF layers name the attn LN "layer_norm"
+        if ".layers." in k and k.endswith(
+                ("layer_norm.weight", "layer_norm.bias")) and \
+                ".self_attn_layer_norm." not in k and \
+                ".final_layer_norm." not in k and \
+                ".encoder.layer_norm." not in k:
+            k = k.replace(".layer_norm.", ".self_attn_layer_norm.")
+        out[k] = v.detach().numpy().copy()
+    return out

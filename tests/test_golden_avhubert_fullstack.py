@@ -22,7 +22,6 @@ doesn't thread a padding mask; the reference zeroes padded rows inside the
 encoder — documented in PARITY.md).
 """
 import importlib.machinery
-import importlib.util
 import sys
 import types
 
@@ -30,192 +29,30 @@ import numpy as np
 import pytest
 
 from tests.conftest import reference_available
+from tests.reference_harness import (
+    FAIRSEQ_STUB_MODULES, VIDEO_DIR, fairseq_named_state_dict,
+    import_reference_hubert)
 
 pytestmark = pytest.mark.skipif(
     not reference_available(), reason="reference checkout not present")
-
-VIDEO_DIR = "/root/reference/N20EMv2/video_only"
 
 TINY = dict(encoder_layers=2, encoder_embed_dim=64,
             encoder_ffn_embed_dim=128, encoder_attention_heads=4,
             audio_feat_dim=26, conv_pos=16, conv_pos_groups=4)
 
-
-def _stub(name, **attrs):
-    m = types.ModuleType(name)
-    m.__spec__ = importlib.machinery.ModuleSpec(name, None)
-    for k, v in attrs.items():
-        setattr(m, k, v)
-    sys.modules[name] = m
-    return m
-
-
-def _install_fairseq_stub():
-    """Minimal fairseq surface for importing the vendored hubert.py chain
-    (hubert.py, hubert_pretraining.py, decoder.py, utils.py, resnet.py)."""
-    import torch
-    import torch.nn as nn
-
-    class _GradMultiplyFn(torch.autograd.Function):
-        @staticmethod
-        def forward(ctx, x, scale):
-            ctx.scale = scale
-            return x.clone()
-
-        @staticmethod
-        def backward(ctx, grad):
-            return grad * ctx.scale, None
-
-    class GradMultiply:
-        @staticmethod
-        def apply(x, scale):
-            return _GradMultiplyFn.apply(x, scale)
-
-    def LayerNormFS(dim, eps=1e-5, elementwise_affine=True):
-        return nn.LayerNorm(dim, eps=eps,
-                            elementwise_affine=elementwise_affine)
-
-    class TransformerEncoder(nn.Module):
-        """HF-transformers-backed twin of fairseq's wav2vec2
-        TransformerEncoder (modeling_wav2vec2.Wav2Vec2Encoder*)."""
-
-        def __init__(self, cfg):
-            super().__init__()
-            from transformers import Wav2Vec2Config
-            from transformers.models.wav2vec2.modeling_wav2vec2 import (
-                Wav2Vec2Encoder, Wav2Vec2EncoderStableLayerNorm)
-
-            hf = Wav2Vec2Config(
-                hidden_size=cfg.encoder_embed_dim,
-                num_hidden_layers=cfg.encoder_layers,
-                num_attention_heads=cfg.encoder_attention_heads,
-                intermediate_size=cfg.encoder_ffn_embed_dim,
-                hidden_dropout=float(cfg.dropout),
-                attention_dropout=float(cfg.attention_dropout),
-                activation_dropout=float(cfg.activation_dropout),
-                layerdrop=float(cfg.encoder_layerdrop),
-                hidden_act=str(cfg.activation_fn),
-                num_conv_pos_embeddings=cfg.conv_pos,
-                num_conv_pos_embedding_groups=cfg.conv_pos_groups,
-                do_stable_layer_norm=bool(cfg.layer_norm_first))
-            hf._attn_implementation = "eager"
-            klass = (Wav2Vec2EncoderStableLayerNorm if cfg.layer_norm_first
-                     else Wav2Vec2Encoder)
-            self.hf = klass(hf)
-
-        def forward(self, x, padding_mask=None, layer=None):
-            assert layer is None, "layer extraction not needed in this test"
-            attn = None
-            if padding_mask is not None:
-                attn = (~padding_mask).long()
-            out = self.hf(x, attention_mask=attn)
-            return out[0], []
-
-    class FairseqDataclass:
-        pass
-
-    class BaseFairseqModel(nn.Module):
-        pass
-
-    class FairseqTask:
-        pass
-
-    class FairseqEncoder(nn.Module):
-        def __init__(self, dictionary=None):
-            super().__init__()
-
-    class FairseqIncrementalDecoder(nn.Module):
-        def __init__(self, dictionary=None):
-            super().__init__()
-
-    class FairseqEncoderDecoderModel(nn.Module):
-        pass
-
-    def _identity_registry(*a, **k):
-        def deco(cls):
-            return cls
-        return deco
-
-    fairseq = _stub("fairseq")
-    fairseq.utils = _stub(
-        "fairseq.utils",
-        get_available_activation_fns=lambda: ["relu", "gelu", "gelu_fast",
-                                              "tanh", "linear"],
-        index_put=lambda t, idx, v: t.index_put(idx, v))
-    fairseq.metrics = _stub("fairseq.metrics")
-    fairseq.search = _stub("fairseq.search")
-    fairseq.checkpoint_utils = _stub("fairseq.checkpoint_utils")
-    fairseq.tasks = _stub("fairseq.tasks",
-                          register_task=_identity_registry,
-                          FairseqTask=FairseqTask)
-    _stub("fairseq.tasks.fairseq_task", FairseqTask=FairseqTask)
-    data_utils = _stub("fairseq.data.data_utils", compute_mask_indices=None,
-                       compute_block_mask_1d=None)
-    fairseq.data = _stub("fairseq.data", Dictionary=object,
-                         encoders=_stub("fairseq.data.encoders"),
-                         data_utils=data_utils)
-    _stub("fairseq.data.dictionary", Dictionary=object)
-    _stub("fairseq.data.fairseq_dataset", FairseqDataset=object)
-    _stub("fairseq.ngram_repeat_block", NGramRepeatBlock=object)
-    fairseq.dataclass = _stub("fairseq.dataclass",
-                              ChoiceEnum=lambda choices: str,
-                              FairseqDataclass=FairseqDataclass)
-    _stub("fairseq.dataclass.configs", FairseqDataclass=FairseqDataclass)
-    _stub("fairseq.dataclass.utils",
-          convert_namespace_to_omegaconf=lambda ns: ns)
-    fairseq.models = _stub(
-        "fairseq.models", BaseFairseqModel=BaseFairseqModel,
-        FairseqEncoder=FairseqEncoder,
-        FairseqEncoderDecoderModel=FairseqEncoderDecoderModel,
-        FairseqIncrementalDecoder=FairseqIncrementalDecoder,
-        register_model=_identity_registry)
-    _stub("fairseq.models.wav2vec")
-    _stub("fairseq.models.wav2vec.wav2vec2",
-          ConvFeatureExtractionModel=None,
-          TransformerEncoder=TransformerEncoder)
-    _stub("fairseq.modules", GradMultiply=GradMultiply,
-          LayerNorm=LayerNormFS,
-          PositionalEmbedding=lambda *a, **k: None,
-          TransformerDecoderLayer=lambda *a, **k: nn.Identity())
-    _stub("omegaconf", II=lambda s: s, MISSING="???",
-          open_dict=lambda x: x)
-    _stub("cv2")
-    _stub("python_speech_features", logfbank=None)
-    _stub("scipy.io.wavfile", read=None)
+_fairseq_named_state_dict = fairseq_named_state_dict
 
 
 @pytest.fixture(scope="module")
 def ref_hubert():
-    """Import the vendored hubert.py with the fairseq surface stubbed.
-    Restores sys.modules/sys.path afterwards."""
-    names = ("fairseq", "fairseq.utils", "fairseq.metrics", "fairseq.search",
-             "fairseq.checkpoint_utils", "fairseq.tasks",
-             "fairseq.tasks.fairseq_task", "fairseq.data",
-             "fairseq.data.encoders", "fairseq.data.data_utils",
-             "fairseq.data.dictionary", "fairseq.dataclass",
-             "fairseq.dataclass.configs", "fairseq.dataclass.utils",
-             "fairseq.models", "fairseq.models.wav2vec",
-             "fairseq.models.wav2vec.wav2vec2", "fairseq.modules",
-             "fairseq.data.fairseq_dataset", "fairseq.ngram_repeat_block",
-             "omegaconf", "cv2", "python_speech_features",
-             "scipy.io.wavfile", "utils", "resnet", "decoder",
-             "hubert_pretraining", "hubert", "hubert_dataset",
-             "sequence_generator")
-    saved = {k: sys.modules.get(k) for k in names}
-    _install_fairseq_stub()
-    sys.path.insert(0, VIDEO_DIR)
+    """Import the vendored hubert.py with the fairseq surface stubbed
+    (shared harness). Restores sys.modules/sys.path afterwards."""
+    saved = {k: sys.modules.get(k) for k in FAIRSEQ_STUB_MODULES}
     try:
-        for mod in ("utils", "resnet", "hubert_pretraining", "decoder",
-                    "hubert"):
-            sys.modules.pop(mod, None)
-        spec = importlib.util.spec_from_file_location(
-            "hubert", f"{VIDEO_DIR}/hubert.py")
-        hubert = importlib.util.module_from_spec(spec)
-        sys.modules["hubert"] = hubert
-        spec.loader.exec_module(hubert)
-        yield hubert
+        yield import_reference_hubert()
     finally:
-        sys.path.remove(VIDEO_DIR)
+        if VIDEO_DIR in sys.path:
+            sys.path.remove(VIDEO_DIR)
         for k, v in saved.items():
             if v is None:
                 sys.modules.pop(k, None)
@@ -242,37 +79,6 @@ def _build_ref_model(hubert, layer_norm_first=True, modality_fuse="concat"):
     model = hubert.AVHubertModel(cfg, task_cfg, dictionaries=[None])
     model.eval()
     return model, cfg
-
-
-_HF2FS = (
-    (".hf.pos_conv_embed.conv.", ".pos_conv.0."),
-    (".hf.layers.", ".layers."),
-    (".attention.k_proj.", ".self_attn.k_proj."),
-    (".attention.v_proj.", ".self_attn.v_proj."),
-    (".attention.q_proj.", ".self_attn.q_proj."),
-    (".attention.out_proj.", ".self_attn.out_proj."),
-    (".feed_forward.intermediate_dense.", ".fc1."),
-    (".feed_forward.output_dense.", ".fc2."),
-    (".hf.layer_norm.", ".layer_norm."),
-)
-
-
-def _fairseq_named_state_dict(model):
-    """The assembled model's state dict with the HF-encoder-adapter keys
-    renamed to canonical fairseq names (what a real av_hubert checkpoint
-    contains and what convert_fairseq consumes)."""
-    out = {}
-    for k, v in model.state_dict().items():
-        for a, b in _HF2FS:
-            k = k.replace(a, b)
-        # post-LN HF layers name the attn LN "layer_norm"
-        if ".layers." in k and k.endswith(
-                ("layer_norm.weight", "layer_norm.bias")) and \
-                ".self_attn_layer_norm." not in k and \
-                ".final_layer_norm." not in k and ".encoder.layer_norm." not in k:
-            k = k.replace(".layer_norm.", ".self_attn_layer_norm.")
-        out[k] = v.detach().numpy().copy()
-    return out
 
 
 def _our_model(cfg_ref, layer_norm_first, modality_fuse, sd):

@@ -79,6 +79,27 @@ def main():
               lambda w, jitter, tf=tf, packed=packed: fused_conv_frontend(
                   fe_params, w + jitter, tile_f=tf, packed=packed), wavs)
 
+    # layer-0 im2col widening A/B (docs/PERF.md residual lever): K=16
+    # baseline vs FOLD consecutive outputs into one row (K=5*(FOLD-1)+10
+    # padded up, N=FOLD*512). FLOPs grow exactly as fast as the MXU
+    # contraction fills, so this measures per-row/sublane overheads only.
+    n1, c = 2048, 512
+    w16 = jnp.asarray(rng.normal(size=(16, c)), jnp.bfloat16)
+    x16 = jnp.asarray(rng.normal(size=(1536, n1, 16)), jnp.bfloat16)
+    timed("layer0 K=16 baseline",
+          lambda x, w, jitter: jnp.einsum(
+              "bnk,kc->bnc", x + jitter, w,
+              preferred_element_type=jnp.float32), x16, w16)
+    for fold in (4, 8, 16):
+        kf = -(-(5 * (fold - 1) + 10) // 16) * 16
+        wf = jnp.asarray(rng.normal(size=(kf, fold * c)), jnp.bfloat16)
+        xf = jnp.asarray(rng.normal(size=(1536, n1 // fold, kf)),
+                         jnp.bfloat16)
+        timed(f"layer0 fold={fold} K={kf}",
+              lambda x, w, jitter: jnp.einsum(
+                  "bnk,kc->bnc", x + jitter, w,
+                  preferred_element_type=jnp.float32), xf, wf)
+
 
 if __name__ == "__main__":
     main()
