@@ -512,13 +512,19 @@ def _run_video_reference(train_batches, eval_examples, ref_model, fi,
 
 def run_video_family(skip_ref, epochs):
     """Returns the video-family result dict for the artifact."""
+    import sys
+
     import torch
 
     from svt_speechbrain_tpu.config import load_hyperyaml
     from svt_speechbrain_tpu.models.convert_fairseq import (
         convert_avhubert_state_dict)
     from svt_speechbrain_tpu.models.avhubert import AVHubertConfig
+    from tests.reference_harness import FAIRSEQ_STUB_MODULES, VIDEO_DIR
 
+    # the fairseq stub shadows real modules (scipy.io.wavfile!) — restore
+    # after this family so the MIR family's dataset synthesis still works
+    saved_modules = {k: sys.modules.get(k) for k in FAIRSEQ_STUB_MODULES}
     root = tempfile.mkdtemp(prefix="quality_bench_video_")
     try:
         csv_dir = make_video_dataset(root)
@@ -623,6 +629,13 @@ lr_encoder: {LR_VIDEO_ENCODER}
             out["reference_value"] = None
         return out
     finally:
+        if VIDEO_DIR in sys.path:
+            sys.path.remove(VIDEO_DIR)
+        for k, v in saved_modules.items():
+            if v is None:
+                sys.modules.pop(k, None)
+            else:
+                sys.modules[k] = v
         shutil.rmtree(root, ignore_errors=True)
 
 

@@ -81,14 +81,21 @@ def _erf(x):
 
 
 def _frontend_kernel(win_ref, w0_ref, wk_ref, bias_ref, ln_ref, out_ref,
-                     *, dtype, lens, tile_f):
+                     *, dtype, lens, tile_f, fold0=1, c=512):
     """One (batch, tile) program: layer-0 windows (1, n1, 16) → frames
     (1, F, C). The first-layer im2col happens outside (the sample tensor is
-    tiny); everything from the first matmul on stays in VMEM."""
+    tiny); everything from the first matmul on stays in VMEM.
+
+    ``fold0 > 1`` widens the layer-0 contraction (docs/PERF.md residual
+    lever): ``fold0`` consecutive outputs share one window row, so the dot
+    is (n1/fold0, 5·fold0+5↑16)·(K, fold0·C) — K grows as fast as the MXU
+    contraction fills — and the result reshapes back to (n1, C) rows."""
     use_tanh = dtype == jnp.bfloat16
-    win = win_ref[0]                           # (n1, 16)
+    win = win_ref[0]                           # (n1/fold0, K)
     h32 = jax.lax.dot(win.astype(dtype), w0_ref[...].astype(dtype),
                       preferred_element_type=jnp.float32)
+    if fold0 > 1:                              # (g, fold0*C) -> (g*fold0, C)
+        h32 = h32.reshape(h32.shape[0] * fold0, c)
     h32 = h32 + bias_ref[0].astype(jnp.float32)
     h = _ln_gelu(h32, ln_ref[0, 0].astype(jnp.float32),
                  ln_ref[0, 1].astype(jnp.float32),
@@ -121,13 +128,27 @@ def _frontend_kernel(win_ref, w0_ref, wk_ref, bias_ref, ln_ref, out_ref,
     out_ref[0] = h[:tile_f].astype(out_ref.dtype)
 
 
-def pack_weights(params, conv_dim=(512,) * 7, dtype=jnp.bfloat16):
+def _fold_k(fold0):
+    """Layer-0 window width for a fold: 5·(fold0-1)+10 samples, 16-aligned."""
+    return -(-(5 * (fold0 - 1) + 10) // 16) * 16
+
+
+def pack_weights(params, conv_dim=(512,) * 7, dtype=jnp.bfloat16, fold0=1):
     """Framework conv-extractor params ("layer" norm mode) → packed kernel
     arrays: w0 (16, C) (k=10 zero-padded), wk (6, 3, C, C) per-tap matrices
-    (zero third tap for the k=2 layers), bias (7, C), ln (7, 2, C)."""
+    (zero third tap for the k=2 layers), bias (7, C), ln (7, 2, C).
+
+    ``fold0 > 1`` packs w0 as the widened (K, fold0·C) block-shift matrix:
+    output j of a fold reads samples [5j, 5j+10), so column block j holds
+    the 10 conv taps at row offset 5j."""
     c = conv_dim[0]
-    w0 = jnp.zeros((16, c), jnp.float32).at[:10].set(
-        jnp.asarray(params["0"]["conv"]["w"], jnp.float32)[:, 0, :])
+    w0_taps = jnp.asarray(params["0"]["conv"]["w"], jnp.float32)[:, 0, :]
+    if fold0 == 1:
+        w0 = jnp.zeros((16, c), jnp.float32).at[:10].set(w0_taps)
+    else:
+        w0 = jnp.zeros((_fold_k(fold0), fold0 * c), jnp.float32)
+        for j in range(fold0):
+            w0 = w0.at[5 * j:5 * j + 10, j * c:(j + 1) * c].set(w0_taps)
     wk_rows, bias_rows = [], []
     for i in range(7):
         conv = params[str(i)]["conv"]
@@ -149,10 +170,12 @@ def pack_weights(params, conv_dim=(512,) * 7, dtype=jnp.bfloat16):
 
 
 def fused_conv_frontend(params, wav, conv_dim=(512,) * 7, interpret=False,
-                        tile_f=TILE_F, packed=None):
+                        tile_f=TILE_F, packed=None, fold0=1):
     """wav (B, T) → frames (B, F_total, C) through the fused kernel
     ("layer" norm mode only; group-norm frontends need global time
-    statistics and stay on the XLA path).
+    statistics and stay on the XLA path). ``fold0`` widens the layer-0
+    contraction (see ``_frontend_kernel``); ``packed`` must then come from
+    ``pack_weights(..., fold0=fold0)``.
 
     Example
     -------
@@ -191,23 +214,35 @@ def fused_conv_frontend(params, wav, conv_dim=(512,) * 7, interpret=False,
     # (BN, n1, 16) vs the 512-channel activations the kernel keeps in VMEM
     bn_ = b * n_tiles
     a = tiles.reshape(bn_, span // 5, 5)
-    n1 = lens[0] + 1  # rows before the length cut; (span-10)//5+1 = lens[0]
-    win = jnp.concatenate(
-        [a[:, :-1], a[:, 1:],
-         jnp.zeros((bn_, a.shape[1] - 1, 6), tiles.dtype)], axis=-1)
+    if fold0 == 1:
+        win = jnp.concatenate(
+            [a[:, :-1], a[:, 1:],
+             jnp.zeros((bn_, a.shape[1] - 1, 6), tiles.dtype)], axis=-1)
+    else:
+        # one window row per fold of fold0 outputs: fold g reads a-rows
+        # [g*fold0, g*fold0 + fold0] (5·fold0+5 samples), zero-padded to K
+        kf = _fold_k(fold0)
+        n_groups = -(-lens[0] // fold0)
+        need = n_groups * fold0 + 1
+        if need > a.shape[1]:
+            a = jnp.pad(a, ((0, 0), (0, need - a.shape[1]), (0, 0)))
+        rows = (np.arange(n_groups) * fold0)[:, None] + np.arange(fold0 + 1)
+        win = a[:, rows].reshape(bn_, n_groups, 5 * (fold0 + 1))
+        win = jnp.pad(win, ((0, 0), (0, 0), (0, kf - win.shape[2])))
     if packed is None:
-        packed = pack_weights(params, conv_dim, dtype)
+        packed = pack_weights(params, conv_dim, dtype, fold0=fold0)
     w0, wk, bias, lns = packed
 
     kern = functools.partial(_frontend_kernel, dtype=dtype, lens=lens,
-                             tile_f=tile_f)
+                             tile_f=tile_f, fold0=fold0, c=c)
     bn = b * n_tiles
     out = pl.pallas_call(
         kern,
         grid=(bn,),
         in_specs=[
-            pl.BlockSpec((1, win.shape[1], 16), lambda i: (i, 0, 0)),
-            pl.BlockSpec((16, c), lambda i: (0, 0)),
+            pl.BlockSpec((1, win.shape[1], win.shape[2]),
+                         lambda i: (i, 0, 0)),
+            pl.BlockSpec(w0.shape, lambda i: (0, 0)),
             pl.BlockSpec((6, 3, c, c), lambda i: (0, 0, 0, 0)),
             pl.BlockSpec((7, c), lambda i: (0, 0)),
             pl.BlockSpec((7, 2, c), lambda i: (0, 0, 0)),

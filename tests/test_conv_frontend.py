@@ -64,3 +64,22 @@ def test_dispatch_predicate(setup):
     assert not can_fuse(cfg, wav)
     base = Wav2Vec2Config.base()  # group norm → never fused
     assert base.feat_extract_norm == "group"
+
+
+@pytest.mark.parametrize("fold0", [4, 8, 16])
+def test_fused_fold0_matches_baseline(setup, fold0):
+    """The widened layer-0 contraction (docs/PERF.md residual lever) is a
+    pure repack: fold0 consecutive outputs per window row, block-shifted
+    weight columns — numerics identical to the unfolded kernel."""
+    fe, p, wav = setup
+    ref = np.asarray(fe(p, wav, fused=False))
+    got = np.asarray(fused_conv_frontend(p, wav, interpret=True,
+                                         fold0=fold0))
+    np.testing.assert_allclose(got, ref, atol=2e-5)
+    # ragged length: trailing fold groups padded past the sample end
+    wav2 = wav[:, :13731]
+    ref2 = np.asarray(fe(p, wav2, fused=False))
+    got2 = np.asarray(fused_conv_frontend(p, wav2, interpret=True,
+                                          fold0=fold0))
+    assert got2.shape == ref2.shape
+    np.testing.assert_allclose(got2, ref2, atol=2e-5)

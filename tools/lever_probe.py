@@ -100,6 +100,74 @@ def main():
                   "bnk,kc->bnc", x + jitter, w,
                   preferred_element_type=jnp.float32), xf, wf)
 
+    # in-kernel fold A/B: the full fused frontend with the widened layer-0
+    # contraction (ops/conv_frontend.py fold0) vs baseline
+    for fold0 in (1, 8, 16):
+        packed = pack_weights(fe_params, dtype=jnp.bfloat16, fold0=fold0)
+        timed(f"frontend fold0={fold0}",
+              lambda w, jitter, f0=fold0, pk=packed: fused_conv_frontend(
+                  fe_params, w + jitter, fold0=f0, packed=pk), wavs)
+
+    # grouped pos-conv alternatives (docs/PERF.md residual lever):
+    # (B, T, 1024) k=128 g=16 "same" conv, bf16
+    tt, cc, kk, gg = 249, 1024, 128, 16
+    ii = cc // gg
+    x = jnp.asarray(rng.normal(size=(B, tt, cc)), jnp.bfloat16)
+    wg = jnp.asarray(rng.normal(size=(kk, ii, cc)) * 0.05, jnp.bfloat16)
+
+    def posconv_grouped(x, w, jitter):
+        xp = jnp.pad(x + jitter, ((0, 0), (kk // 2, kk // 2), (0, 0)))
+        return jax.lax.conv_general_dilated(
+            xp, w, (1,), "VALID", feature_group_count=gg,
+            dimension_numbers=("NHC", "HIO", "NHC"),
+            preferred_element_type=jnp.float32)[:, :-1]
+
+    timed("posconv grouped (current)", posconv_grouped, x, wg)
+
+    # dense conv with the block-diagonal weight materialized (16x FLOPs,
+    # full-K contraction)
+    wdense = jnp.zeros((kk, cc, cc), jnp.bfloat16)
+    for g in range(gg):
+        wdense = wdense.at[:, g * ii:(g + 1) * ii,
+                           g * ii:(g + 1) * ii].set(
+            wg[:, :, g * ii:(g + 1) * ii])
+
+    def posconv_dense(x, w, jitter):
+        xp = jnp.pad(x + jitter, ((0, 0), (kk // 2, kk // 2), (0, 0)))
+        return jax.lax.conv_general_dilated(
+            xp, w, (1,), "VALID",
+            dimension_numbers=("NHC", "HIO", "NHC"),
+            preferred_element_type=jnp.float32)[:, :-1]
+
+    timed("posconv dense block-diag", posconv_dense, x, wdense)
+
+    # tap-folded batched einsum: contraction K = R*I per tap block, scan
+    # over k/R blocks; batch dim = groups
+    for r in (8, 16):
+        wfold = (wg.reshape(kk // r, r, ii, gg, ii)
+                 .transpose(3, 0, 1, 2, 4)
+                 .reshape(gg, kk // r, r * ii, ii))  # (g, blocks, R*I, I)
+
+        def posconv_tapfold(x, w, jitter, r=r):
+            xp = jnp.pad(x + jitter, ((0, 0), (kk // 2, kk // 2), (0, 0)))
+            xg = xp.reshape(B, -1, gg, ii).transpose(2, 0, 1, 3)  # (g,B,Tp,I)
+
+            def block(j, acc):
+                sl = jax.lax.dynamic_slice_in_dim(xg, j * r, tt + r - 1, 2)
+                # windows of R consecutive frames: (g, B, T, R*I)
+                win = jnp.concatenate(
+                    [jax.lax.slice_in_dim(sl, s, s + tt, axis=2)
+                     for s in range(r)], axis=-1)
+                return acc + jnp.einsum(
+                    "gbtk,gko->gbto", win, w[:, j],
+                    preferred_element_type=jnp.float32)
+
+            acc = jnp.zeros((gg, B, tt, ii), jnp.float32)
+            out = jax.lax.fori_loop(0, kk // r, block, acc)
+            return out.transpose(1, 2, 0, 3).reshape(B, tt, cc)
+
+        timed(f"posconv tapfold R={r}", posconv_tapfold, x, wfold)
+
 
 if __name__ == "__main__":
     main()
