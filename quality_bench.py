@@ -520,11 +520,12 @@ def run_video_family(skip_ref, epochs):
     from svt_speechbrain_tpu.models.convert_fairseq import (
         convert_avhubert_state_dict)
     from svt_speechbrain_tpu.models.avhubert import AVHubertConfig
-    from tests.reference_harness import FAIRSEQ_STUB_MODULES, VIDEO_DIR
+    from tests.reference_harness import (restore_stub_modules,
+                                         snapshot_stub_modules)
 
     # the fairseq stub shadows real modules (scipy.io.wavfile!) — restore
     # after this family so the MIR family's dataset synthesis still works
-    saved_modules = {k: sys.modules.get(k) for k in FAIRSEQ_STUB_MODULES}
+    saved_modules = snapshot_stub_modules()
     root = tempfile.mkdtemp(prefix="quality_bench_video_")
     try:
         csv_dir = make_video_dataset(root)
@@ -629,13 +630,7 @@ lr_encoder: {LR_VIDEO_ENCODER}
             out["reference_value"] = None
         return out
     finally:
-        if VIDEO_DIR in sys.path:
-            sys.path.remove(VIDEO_DIR)
-        for k, v in saved_modules.items():
-            if v is None:
-                sys.modules.pop(k, None)
-            else:
-                sys.modules[k] = v
+        restore_stub_modules(saved_modules)
         shutil.rmtree(root, ignore_errors=True)
 
 

@@ -152,6 +152,39 @@ FAIRSEQ_STUB_MODULES = (
     "hubert_dataset", "sequence_generator")
 
 
+def snapshot_stub_modules():
+    """Snapshot the sys.modules entries ``install_fairseq_stub`` touches."""
+    return {k: sys.modules.get(k) for k in FAIRSEQ_STUB_MODULES}
+
+
+def restore_stub_modules(saved):
+    """Undo ``install_fairseq_stub``: restore sys.modules AND repair dotted
+    entries' parent-package attributes — ``from scipy.io import wavfile``
+    resolves via ``getattr(scipy.io, "wavfile")``, which would otherwise
+    keep returning the stub after the sys.modules restore."""
+    import importlib
+
+    if VIDEO_DIR in sys.path:
+        sys.path.remove(VIDEO_DIR)
+    for k, v in saved.items():
+        if v is None:
+            sys.modules.pop(k, None)
+        else:
+            sys.modules[k] = v
+    for k, v in saved.items():
+        parent, _, child = k.rpartition(".")
+        if not parent or parent in saved or parent not in sys.modules:
+            continue
+        if v is not None:
+            setattr(sys.modules[parent], child, v)
+        elif hasattr(sys.modules[parent], child):
+            try:
+                setattr(sys.modules[parent], child,
+                        importlib.import_module(k))
+            except ImportError:
+                delattr(sys.modules[parent], child)
+
+
 def install_fairseq_stub(stub=stub_module):
     """Minimal fairseq surface for importing the vendored hubert.py chain
     (hubert.py, hubert_pretraining.py, decoder.py, utils.py, resnet.py).

@@ -21,8 +21,6 @@ modality combinations. Inputs are unpadded (our ``extract_finetune``
 doesn't thread a padding mask; the reference zeroes padded rows inside the
 encoder — documented in PARITY.md).
 """
-import importlib.machinery
-import sys
 import types
 
 import numpy as np
@@ -30,8 +28,8 @@ import pytest
 
 from tests.conftest import reference_available
 from tests.reference_harness import (
-    FAIRSEQ_STUB_MODULES, VIDEO_DIR, fairseq_named_state_dict,
-    import_reference_hubert)
+    VIDEO_DIR, fairseq_named_state_dict, import_reference_hubert,
+    restore_stub_modules, snapshot_stub_modules)
 
 pytestmark = pytest.mark.skipif(
     not reference_available(), reason="reference checkout not present")
@@ -47,17 +45,11 @@ _fairseq_named_state_dict = fairseq_named_state_dict
 def ref_hubert():
     """Import the vendored hubert.py with the fairseq surface stubbed
     (shared harness). Restores sys.modules/sys.path afterwards."""
-    saved = {k: sys.modules.get(k) for k in FAIRSEQ_STUB_MODULES}
+    saved = snapshot_stub_modules()
     try:
         yield import_reference_hubert()
     finally:
-        if VIDEO_DIR in sys.path:
-            sys.path.remove(VIDEO_DIR)
-        for k, v in saved.items():
-            if v is None:
-                sys.modules.pop(k, None)
-            else:
-                sys.modules[k] = v
+        restore_stub_modules(saved)
 
 
 def _build_ref_model(hubert, layer_norm_first=True, modality_fuse="concat"):
