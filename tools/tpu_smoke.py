@@ -181,6 +181,14 @@ def smoke_conv_frontend():
     # layer-normed activations is precision noise, not a defect (CPU
     # interpret-mode tests check the math exactly)
     assert err < 6e-2, f"fused vs xla frontend mismatch: {err}"
+    # fold-widened layer-0 path: the (g, fold0*C) -> (g*fold0, C) reshape
+    # must Mosaic-compile (interpret-mode CPU tests can't prove that)
+    for fold0 in (8, 16):
+        gotf = np.asarray(jax.jit(
+            lambda p, w, f0=fold0: fused_conv_frontend(p, w, fold0=f0))(
+            params, wav))
+        errf = np.abs(gotf - got).max()
+        assert errf < 6e-2, f"fold0={fold0} vs baseline mismatch: {errf}"
     # tiny channel counts must NOT dispatch (Mosaic lane alignment)
     tiny = Wav2Vec2Config(conv_dim=(32,) * 7)
     assert not can_fuse(tiny, wav), "32-ch frontend must fall back"
