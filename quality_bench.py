@@ -624,6 +624,11 @@ lr_encoder: {LR_VIDEO_ENCODER}
                 "reference_value": round(ref["COnPOff_f1"], 4),
                 "delta": round(mine["COnPOff_f1"] - ref["COnPOff_f1"], 4),
                 "ref_COn_f1": round(ref["COn_f1"], 4),
+                # COn is this family's sensitive band on the tiny budget
+                # (COnPOff needs exact offsets the synthetic apertures
+                # under-train) — the reference's own video table leads
+                # with COn too (results2.png: COn 78.6 vs COnPOff 6.8)
+                "delta_COn": round(mine["COn_f1"] - ref["COn_f1"], 4),
                 "ref_final_eval_loss": round(ref["loss"], 4),
             })
         else:
