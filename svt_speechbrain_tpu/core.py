@@ -827,7 +827,11 @@ class Brain:
 
 
 class _BrainCounters:
-    """Checkpointable brain counters (reference ``core.py:1259-1277``)."""
+    """Checkpointable brain counters (reference ``core.py:1259-1277``) plus
+    the dropout RNG stream — which the reference does NOT save, so its
+    crash-resumed runs diverge from uninterrupted ones whenever dropout is
+    on. Saving it makes kill → recover → continue bit-equal
+    (``tests/test_crash_recovery.py``)."""
 
     def __init__(self, brain):
         self.brain = brain
@@ -837,6 +841,8 @@ class _BrainCounters:
             "step": self.brain.step,
             "avg_train_loss": float(self.brain.avg_train_loss),
             "optimizer_step": self.brain.optimizer_step,
+            # raw key bits: (2,) threefry or (4,) rbg — impl-agnostic
+            "rng": np.asarray(self.brain.rng).tolist(),
         }
 
     def load_state_dict(self, data, end_of_epoch=True):
@@ -844,3 +850,5 @@ class _BrainCounters:
         self.brain.step = data["step"]
         self.brain.avg_train_loss = data["avg_train_loss"]
         self.brain.optimizer_step = data["optimizer_step"]
+        if "rng" in data:  # absent in pre-round-4 checkpoints
+            self.brain.rng = jnp.asarray(data["rng"], jnp.uint32)

@@ -79,14 +79,36 @@ def ckpt_recency(ckpt):
     return ckpt.meta["unixtime"]
 
 
+def _publish(tmp_path, final_path):
+    """Atomically promote a fully-written temp file to its final name.
+
+    fsync before the rename so a complete-looking file is complete even
+    across a host crash, then ``os.replace`` so readers only ever observe
+    the file fully written or not at all.
+    """
+    fd = os.open(tmp_path, os.O_RDONLY)
+    try:
+        os.fsync(fd)
+    finally:
+        os.close(fd)
+    os.replace(tmp_path, final_path)
+
+
 def _save_obj(obj, path):
+    # Write to a temp name, then atomically rename: a SIGKILL mid-write
+    # must never leave a truncated file under the real name (the reference
+    # writes in place — ``checkpoints.py:98`` torch_save — so its killed
+    # runs can leave checkpoints that crash recovery; see
+    # ``tests/test_crash_recovery.py``).
+    tmp = path + ".tmp"
     if hasattr(obj, "ckpt_save"):
-        obj.ckpt_save(path)
+        obj.ckpt_save(tmp)
     elif hasattr(obj, "state_dict"):
-        with open(path, "w") as f:
+        with open(tmp, "w") as f:
             yaml.safe_dump(obj.state_dict(), f)
     else:
         raise TypeError(f"Don't know how to checkpoint {type(obj)}")
+    _publish(tmp, path)
 
 
 def _load_obj(obj, path, end_of_epoch):
@@ -145,14 +167,19 @@ class Checkpointer:
         else:
             ckpt_dir = self._custom_checkpoint_dirpath(name)
         os.makedirs(ckpt_dir, exist_ok=True)
-        saved_meta = self._save_checkpoint_metafile(
-            os.path.join(ckpt_dir, METAFNAME), meta, end_of_epoch)
+        # Recoverables FIRST, the CKPT.yaml meta file LAST: the meta file is
+        # the completeness marker (``list_checkpoints`` ignores directories
+        # without it), so a crash at ANY point during the save leaves either
+        # an invisible partial directory or a fully valid checkpoint — never
+        # a discoverable-but-truncated one.
         paramfiles = {}
         for name_, obj in self.recoverables.items():
             objfname = f"{name_}.ckpt"
             savepath = os.path.join(ckpt_dir, objfname)
             paramfiles[name_] = savepath
             _save_obj(obj, savepath)
+        saved_meta = self._save_checkpoint_metafile(
+            os.path.join(ckpt_dir, METAFNAME), meta, end_of_epoch)
         logger.log(verbosity, f"Saved an end-of-epoch checkpoint in {ckpt_dir}"
                    if end_of_epoch else f"Saved an intra-epoch checkpoint in {ckpt_dir}")
         return Checkpoint(ckpt_dir, saved_meta, paramfiles)
@@ -283,9 +310,11 @@ class Checkpointer:
     def _save_checkpoint_metafile(self, fpath, meta_to_include={}, end_of_epoch=True):
         meta = {"unixtime": time.time(), "end-of-epoch": end_of_epoch}
         meta.update(meta_to_include)
-        with open(fpath, "w") as f:
+        tmp = fpath + ".tmp"
+        with open(tmp, "w") as f:
             f.write("# yamllint disable\n")
             yaml.safe_dump(meta, f)
+        _publish(tmp, fpath)
         return meta
 
 

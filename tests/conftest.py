@@ -63,6 +63,8 @@ def pytest_configure(config):
         "markers", "golden: reference-exact / torch-parity tests")
     config.addinivalue_line(
         "markers", "doctest_tier: runnable docstring examples")
+    config.addinivalue_line(
+        "markers", "slow: multi-minute end-to-end tests (crash recovery)")
 
 
 def pytest_collection_modifyitems(config, items):
