@@ -257,6 +257,37 @@ def main():
     device_mfu = dev_flops / per_fwd / peak_flops_per_sec()
     device_rtfx = dev_batch * chunk_seconds / per_fwd
 
+    # int8 serving path (a8w8 encoder FFNs; models/quantize.py): same loop,
+    # quantized params — the tree-structure change recompiles. The int8
+    # compile has been seen to take >10 min in bad compile-helper windows
+    # (bf16 compiles in 20-40 s), so it runs under a join-timeout: a stuck
+    # compile loses only these two JSON fields, never the round artifact.
+    int8_fields = {}
+    if os.environ.get("BENCH_INT8", "1") != "0":
+        from svt_speechbrain_tpu.models.quantize import quantize_wav2vec2
+
+        q_params = dict(dev_params,
+                        wav2vec2=quantize_wav2vec2(dev_params["wav2vec2"]))
+
+        def _int8_measure():
+            np.asarray(_device_loop(q_params, dev_wavs))
+            per_fwd_q = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                np.asarray(_device_loop(q_params, dev_wavs))
+                per_fwd_q = min(per_fwd_q, (time.perf_counter() - t0) / inner)
+            int8_fields["device_rtfx_int8"] = round(
+                dev_batch * chunk_seconds / per_fwd_q, 2)
+            int8_fields["int8_speedup"] = round(per_fwd / per_fwd_q, 3)
+
+        th = threading.Thread(target=_int8_measure, daemon=True)
+        th.start()
+        th.join(timeout=float(os.environ.get("BENCH_INT8_TIMEOUT", "900")))
+        if th.is_alive():
+            print("# int8 device measurement still compiling at timeout; "
+                  "skipping its fields", file=sys.stderr)
+            int8_fields.clear()
+
     out = {
         "metric": "amt_inference_rtfx_w2v2_large",
         "value": round(rtfx, 2),
@@ -266,6 +297,7 @@ def main():
         "mfu": round(achieved / peak_flops_per_sec(), 4),
         "device_mfu": round(device_mfu, 4),
         "device_rtfx": round(device_rtfx, 2),
+        **int8_fields,
     }
     if best:
         out["best_e2e_rtfx"] = best["rtfx"]

@@ -299,23 +299,40 @@ def _run_ours(train_batches, eval_examples, hparams, recipe, my_params,
         _, model_lr = hparams["lr_annealing_model"](valid)
         brain.set_learning_rate("model", model_lr)
 
-    brain.on_stage_start(Stage.VALID, 1)
-    eval_losses = []
-    for ex in eval_examples:
-        b = PaddedBatch([dict(ex)])
-        arrays = {k: v for k, v in b.numpy_arrays().items()
-                  if k not in brain.host_only_keys}
-        pred = brain.compute_forward(brain.params, arrays, Stage.VALID)
-        loss = float(brain.compute_objectives(pred, arrays, Stage.VALID))
-        pred_np = jax.tree_util.tree_map(np.asarray, pred)
-        brain.on_evaluate_batch_end(b, pred_np, loss, Stage.VALID)
-        eval_losses.append(loss)
-    return {
-        "COnPOff_f1": brain.COnPOff_f1.avg,
-        "COnP_f1": brain.COnP_f1.avg,
-        "COn_f1": brain.COn_f1.avg,
-        "loss": float(np.mean(eval_losses)),
-    }
+    def _song_eval(params, epoch):
+        brain.on_stage_start(Stage.VALID, epoch)
+        eval_losses = []
+        for ex in eval_examples:
+            b = PaddedBatch([dict(ex)])
+            arrays = {k: v for k, v in b.numpy_arrays().items()
+                      if k not in brain.host_only_keys}
+            pred = brain.compute_forward(params, arrays, Stage.VALID)
+            loss = float(brain.compute_objectives(pred, arrays, Stage.VALID))
+            pred_np = jax.tree_util.tree_map(np.asarray, pred)
+            brain.on_evaluate_batch_end(b, pred_np, loss, Stage.VALID)
+            eval_losses.append(loss)
+        return {
+            "COnPOff_f1": brain.COnPOff_f1.avg,
+            "COnP_f1": brain.COnP_f1.avg,
+            "COn_f1": brain.COn_f1.avg,
+            "loss": float(np.mean(eval_losses)),
+        }
+
+    result = _song_eval(brain.params, 1)
+    # int8 serving path: same trained weights, quantized projections/FFNs
+    # (models/quantize.py) — the COnPOff delta is the standing evidence
+    # that the a8w8 deployment path does not cost transcription quality
+    from svt_speechbrain_tpu.models.quantize import quantize_wav2vec2
+
+    qparams = dict(brain.params,
+                   wav2vec2=quantize_wav2vec2(brain.params["wav2vec2"]))
+    q = _song_eval(qparams, 2)
+    result["int8"] = {"COnPOff_f1": round(q["COnPOff_f1"], 4),
+                      "COnP_f1": round(q["COnP_f1"], 4),
+                      "COn_f1": round(q["COn_f1"], 4),
+                      "delta_vs_bf16": round(q["COnPOff_f1"]
+                                             - result["COnPOff_f1"], 4)}
+    return result
 
 
 # ---------------------------------------------------------------------------
@@ -902,6 +919,7 @@ lr_wav2vec: 0.004
             "COn_f1": round(mine["COn_f1"], 4),
             "final_eval_loss": round(mine["loss"], 4),
             "epochs": epochs,
+            "int8": mine["int8"],
         }
         if not skip_ref:
             ref = _run_reference(train_batches, eval_examples, hf_model,

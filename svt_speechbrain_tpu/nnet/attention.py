@@ -150,13 +150,21 @@ class MultiheadAttention(Module):
         tk = key.shape[1]
         h, dh = self.nhead, self.head_dim
 
-        def proj(x, w, bias):
-            y = jnp.matmul(x, w.astype(x.dtype)) + bias.astype(x.dtype)
+        def mm(x, name):
+            if name + "_q8" in params:  # int8 serving path (models/quantize.py)
+                from svt_speechbrain_tpu.ops.quant import int8_matmul
+
+                return int8_matmul(x, params[name + "_q8"],
+                                   params[name + "_scale"])
+            return jnp.matmul(x, params[name].astype(x.dtype))
+
+        def proj(x, wname, bname):
+            y = mm(x, wname) + params[bname].astype(x.dtype)
             return y.reshape(b, -1, h, dh).transpose(0, 2, 1, 3)  # (B,H,T,Dh)
 
-        q = proj(query, params["wq"], params["bq"])
-        k = proj(key, params["wk"], params["bk"])
-        v = proj(value, params["wv"], params["bv"])
+        q = proj(query, "wq", "bq")
+        k = proj(key, "wk", "bk")
+        v = proj(value, "wv", "bv")
 
         mask = None
         if attn_mask is not None:
@@ -177,7 +185,7 @@ class MultiheadAttention(Module):
         )
         out, weights = res if return_attn_weights else (res, None)
         out = out.transpose(0, 2, 1, 3).reshape(b, tq, self.d_model)
-        out = jnp.matmul(out, params["wo"].astype(out.dtype)) + params["bo"].astype(out.dtype)
+        out = mm(out, "wo") + params["bo"].astype(out.dtype)
         if return_attn_weights:
             return out, jnp.mean(weights, axis=1)  # torch averages over heads
         return out

@@ -55,7 +55,12 @@ class Linear(Module):
     def __call__(self, params, x):
         if x.ndim == 4 and self.combine_dims:
             x = x.reshape(x.shape[0], x.shape[1], x.shape[2] * x.shape[3])
-        y = jnp.matmul(x, params["w"], preferred_element_type=x.dtype)
+        if "w_q8" in params:  # int8 serving path (models/quantize.py)
+            from svt_speechbrain_tpu.ops.quant import int8_matmul
+
+            y = int8_matmul(x, params["w_q8"], params["w_scale"])
+        else:
+            y = jnp.matmul(x, params["w"], preferred_element_type=x.dtype)
         if self.bias:
             y = y + params["b"]
         return y

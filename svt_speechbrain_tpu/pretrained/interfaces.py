@@ -92,7 +92,7 @@ class SingingTranscriber(Pretrained):
     MODULES_NEEDED = ["wav2vec2", "model"]
 
     def __init__(self, *args, batch_size=32, chunk_seconds=5.0,
-                 chunking="ceil", **kwargs):
+                 chunking="ceil", quantize=None, **kwargs):
         super().__init__(*args, **kwargs)
         self.batch_size = batch_size
         self.chunk_seconds = chunk_seconds
@@ -100,15 +100,26 @@ class SingingTranscriber(Pretrained):
         # batch-1 eval) | "song" (whole-song attention windows via the
         # flash kernel — use a small batch_size)
         self.chunking = chunking
+        # quantize="int8": a8w8 encoder projections/FFNs on the MXU's int8
+        # path (~1.5× those matmuls on v5e; see models/quantize.py). The
+        # default bf16 path is the reference-parity surface.
+        if quantize not in (None, "int8"):
+            raise ValueError(f"Unknown quantize mode: {quantize!r}")
+        self.quantize = quantize
         self._transcriber = None
 
     def _get_transcriber(self):
         if self._transcriber is None:
             from svt_speechbrain_tpu.inference import BatchedAMTTranscriber
 
+            w2v_params = self.params["wav2vec2"]
+            if self.quantize == "int8":
+                from svt_speechbrain_tpu.models.quantize import quantize_wav2vec2
+
+                w2v_params = quantize_wav2vec2(w2v_params)
             self._transcriber = BatchedAMTTranscriber(
                 self.mods.wav2vec2, self.mods.model,
-                {"wav2vec2": self.params["wav2vec2"], "model": self.params["model"]},
+                {"wav2vec2": w2v_params, "model": self.params["model"]},
                 chunk_seconds=self.chunk_seconds, batch_size=self.batch_size,
                 frame_rate=self.hparams.frame_rate,
                 onset_threshold=self.hparams.onset_threshold,

@@ -25,6 +25,14 @@ k1, k2 = jax.random.split(jax.random.PRNGKey(0))
 params = {"wav2vec2": bridge.init(k1), "model": head.init(k2)}
 params = jax.tree_util.tree_map(
     lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, params)
+if os.environ.get("INT8"):
+    from svt_speechbrain_tpu.models.quantize import quantize_wav2vec2
+
+    qattn = os.environ.get("INT8_ATTN", "1") != "0"
+    params["wav2vec2"] = quantize_wav2vec2(params["wav2vec2"],
+                                           quantize_attn=qattn)
+    print(f"int8: encoder FFNs{' + attn projections' if qattn else ''} "
+          "quantized (a8w8)")
 
 wavs = jnp.asarray(np.random.default_rng(0).normal(size=(batch, samples)),
                    jnp.bfloat16)
