@@ -63,14 +63,10 @@ def quantize_mha_params(p):
     return out
 
 
-def quantize_wav2vec2(params, quantize_attn=False, quantize_feat_proj=True):
-    """Return a new params tree with int8 projection/FFN weights.
-
-    ``params`` is a `HuggingFaceWav2Vec2` tree (``{"encoder": ...}``) or a
-    bare `Wav2Vec2Encoder` tree; the same nesting is returned.
-    """
-    bare = "encoder" not in params
-    enc = dict(params if bare else params["encoder"])
+def _quantize_encoder_tree(enc, quantize_attn, proj_key):
+    """Quantize the ``layers`` dict (and optionally one input-projection
+    Linear) of any encoder tree built from `TransformerLayer`."""
+    enc = dict(enc)
     layers = {}
     for i, layer in enc["layers"].items():
         layer = dict(layer)
@@ -83,6 +79,42 @@ def quantize_wav2vec2(params, quantize_attn=False, quantize_feat_proj=True):
             layer["attn"] = quantize_mha_params(layer["attn"])
         layers[i] = layer
     enc["layers"] = layers
-    if quantize_feat_proj:
-        enc["feat_proj"] = quantize_linear_params(enc["feat_proj"])
-    return enc if bare else dict(params, encoder=enc)
+    if proj_key and proj_key in enc:
+        enc[proj_key] = quantize_linear_params(enc[proj_key])
+    return enc
+
+
+def quantize_wav2vec2(params, quantize_attn=False, quantize_feat_proj=True):
+    """Return a new params tree with int8 projection/FFN weights.
+
+    ``params`` is a `HuggingFaceWav2Vec2` tree (``{"encoder": ...}``) or a
+    bare `Wav2Vec2Encoder` tree; the same nesting is returned.
+    """
+    proj = "feat_proj" if quantize_feat_proj else None
+    if "encoder" not in params:
+        return _quantize_encoder_tree(params, quantize_attn, proj)
+    return dict(params, encoder=_quantize_encoder_tree(
+        params["encoder"], quantize_attn, proj))
+
+
+def quantize_avhubert(params, quantize_attn=False):
+    """Int8-quantize an `AVHubertModel` params tree (`models/avhubert.py`):
+    the encoder layers share `TransformerLayer` with wav2vec2, plus the
+    ``post_extract_proj`` input Linear when present. The audio/video
+    sub-model projections and the ResNet frontend stay bf16.
+
+    Example
+    -------
+    >>> import jax
+    >>> from svt_speechbrain_tpu.models.avhubert import (AVHubertConfig,
+    ...                                                  AVHubertModel)
+    >>> from svt_speechbrain_tpu.models.quantize import quantize_avhubert
+    >>> m = AVHubertModel(AVHubertConfig(
+    ...     encoder_layers=1, encoder_embed_dim=16, encoder_ffn_embed_dim=32,
+    ...     encoder_attention_heads=4, audio_feat_dim=10,
+    ...     modality_fuse="concat", conv_pos=8, conv_pos_groups=2))
+    >>> q = quantize_avhubert(m.init(jax.random.PRNGKey(0)))
+    >>> q["layers"]["0"]["ffn1"]["w_q8"].dtype
+    dtype('int8')
+    """
+    return _quantize_encoder_tree(params, quantize_attn, "post_extract_proj")

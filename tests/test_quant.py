@@ -144,6 +144,26 @@ def test_mesh_int8_inference_matches_single_device():
     np.testing.assert_allclose(got_mesh, got_single, atol=1e-6)
 
 
+def test_quantize_avhubert_correlates():
+    from svt_speechbrain_tpu.models.avhubert import (AVHubertConfig,
+                                                     AVHubertModel)
+    from svt_speechbrain_tpu.models.quantize import quantize_avhubert
+
+    m = AVHubertModel(AVHubertConfig(
+        encoder_layers=2, encoder_embed_dim=32, encoder_ffn_embed_dim=64,
+        encoder_attention_heads=4, audio_feat_dim=10,
+        modality_fuse="concat", conv_pos=8, conv_pos_groups=2))
+    params = m.init(jax.random.PRNGKey(0))
+    qparams = quantize_avhubert(params)
+    assert "w_q8" in qparams["post_extract_proj"]
+    audio = jax.random.normal(jax.random.PRNGKey(1), (2, 9, 10))
+    ref, _ = m.extract_finetune(params, m.init_state(), {"audio": audio})
+    out, _ = m.extract_finetune(qparams, m.init_state(), {"audio": audio})
+    ref, out = np.asarray(ref).ravel(), np.asarray(out).ravel()
+    cos = float(np.dot(ref, out) / (np.linalg.norm(ref) * np.linalg.norm(out)))
+    assert cos > 0.995
+
+
 def test_quantize_wavlm_skips_gated_attention():
     model = HuggingFaceWav2Vec2(config=_tiny_cfg(rel_pos_bias=True,
                                                  num_buckets=8,

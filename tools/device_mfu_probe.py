@@ -28,7 +28,7 @@ params = jax.tree_util.tree_map(
 if os.environ.get("INT8"):
     from svt_speechbrain_tpu.models.quantize import quantize_wav2vec2
 
-    qattn = os.environ.get("INT8_ATTN", "1") != "0"
+    qattn = os.environ.get("INT8_ATTN", "0") != "0"  # shipped default: FFN-only
     params["wav2vec2"] = quantize_wav2vec2(params["wav2vec2"],
                                            quantize_attn=qattn)
     print(f"int8: encoder FFNs{' + attn projections' if qattn else ''} "
