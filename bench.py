@@ -269,6 +269,8 @@ def main():
         q_params = dict(dev_params,
                         wav2vec2=quantize_wav2vec2(dev_params["wav2vec2"]))
 
+        int8_result = []  # thread appends ONE complete dict on success
+
         def _int8_measure():
             np.asarray(_device_loop(q_params, dev_wavs))
             per_fwd_q = float("inf")
@@ -276,9 +278,13 @@ def main():
                 t0 = time.perf_counter()
                 np.asarray(_device_loop(q_params, dev_wavs))
                 per_fwd_q = min(per_fwd_q, (time.perf_counter() - t0) / inner)
-            int8_fields["device_rtfx_int8"] = round(
-                dev_batch * chunk_seconds / per_fwd_q, 2)
-            int8_fields["int8_speedup"] = round(per_fwd / per_fwd_q, 3)
+            # publish atomically: a timed-out thread finishing late can't
+            # half-populate the artifact after the main thread moved on
+            int8_result.append({
+                "device_rtfx_int8": round(
+                    dev_batch * chunk_seconds / per_fwd_q, 2),
+                "int8_speedup": round(per_fwd / per_fwd_q, 3),
+            })
 
         th = threading.Thread(target=_int8_measure, daemon=True)
         th.start()
@@ -286,7 +292,8 @@ def main():
         if th.is_alive():
             print("# int8 device measurement still compiling at timeout; "
                   "skipping its fields", file=sys.stderr)
-            int8_fields.clear()
+        elif int8_result:
+            int8_fields = int8_result[0]
 
     out = {
         "metric": "amt_inference_rtfx_w2v2_large",

@@ -204,7 +204,9 @@ class CategoricalEncoder:
             return got
         if hasattr(self, "unk_label"):
             if allow_unk:
-                return self.lab2ind.get(self.unk_label)
+                # raise (not .get→None) when unk_label is set but unbound in
+                # lab2ind (e.g. a hand-built saved file missing its line)
+                return self.lab2ind[self.unk_label]
             raise KeyError(f"Unknown label {label}, and explicitly "
                            "disallowed the use of the existing unk-label")
         if allow_unk:
@@ -397,7 +399,7 @@ class CTCTextEncoder(TextEncoder):
 
     def add_blank(self, blank_label=DEFAULT_BLANK):
         self.add_label(blank_label)
-        self.blank_label = self.ind2lab[self.lab2ind[blank_label]]
+        self.blank_label = blank_label
 
     def insert_blank(self, blank_label=DEFAULT_BLANK, index=0):
         self.insert_label(blank_label, index)

@@ -42,12 +42,18 @@ def fetch(filename, source, savedir="./pretrained_model_checkpoints",
 
     if str(source).startswith(("http:", "https:")):
         logger.info(f"Downloading {source}/{filename} to {destination}")
+        # Download to a temp name and atomically rename, so a mid-transfer
+        # failure never leaves a truncated file that later fetches would
+        # trust via the exists-and-not-overwrite early return above.
+        partial = destination.with_name(destination.name + ".partial")
         try:
-            urllib.request.urlretrieve(f"{source}/{filename}", destination)
-        except urllib.error.URLError:
+            urllib.request.urlretrieve(f"{source}/{filename}", partial)
+            os.replace(partial, destination)
+        except urllib.error.URLError as e:
+            partial.unlink(missing_ok=True)
             raise ValueError(
                 f"Interpreted {source} as web address, but could not "
-                f"download.")
+                f"download.") from e
         return destination
 
     if pathlib.Path(source).is_dir():

@@ -157,19 +157,17 @@ def _viterbi(word, logp, max_len, unk_penalty=-20.0):
     for i in range(n):
         if best[i] == -math.inf:
             continue
-        found = False
         for j in range(i + 1, min(n, i + max_len) + 1):
             lp = logp.get(word[i:j])
             if lp is None:
                 continue
-            found = True
             if best[i] + lp > best[j]:
                 best[j] = best[i] + lp
                 back[j] = i
-        if not found or best[i] + unk_penalty > best[i + 1]:
-            if best[i] + unk_penalty > best[i + 1]:
-                best[i + 1] = best[i] + unk_penalty
-                back[i + 1] = i
+        # the unk edge (single char, heavy penalty) is always in the lattice
+        if best[i] + unk_penalty > best[i + 1]:
+            best[i + 1] = best[i] + unk_penalty
+            back[i + 1] = i
     pieces = []
     j = n
     while j > 0:
@@ -260,7 +258,7 @@ def train_bpe(sentences, vocab_size, add_dummy_prefix=True,
     return pieces, scores, merges
 
 
-def _bpe_encode(word, pieces_set, merges_rank):
+def _bpe_encode(word, merges_rank):
     syms = list(word)
     while len(syms) > 1:
         best, best_rank = None, None
@@ -272,6 +270,34 @@ def _bpe_encode(word, pieces_set, merges_rank):
             break
         syms[best:best + 2] = [syms[best] + syms[best + 1]]
     return syms
+
+
+def _split_user_defined(text, symbols):
+    """Extract user-defined symbols as whole spans before the subword
+    algorithm runs (native sentencepiece segments them out first for every
+    model type). Returns ``[(chunk, is_symbol), ...]`` splitting on the
+    symbols longest-first.
+
+    Example
+    -------
+    >>> _split_user_defined("a<sep>b", ["<sep>"])
+    [('a', False), ('<sep>', True), ('b', False)]
+    """
+    out = [(text, False)]
+    for sym in sorted(symbols, key=len, reverse=True):
+        nxt = []
+        for chunk, is_sym in out:
+            if is_sym:
+                nxt.append((chunk, True))
+                continue
+            parts = chunk.split(sym)
+            for k, part in enumerate(parts):
+                if k:
+                    nxt.append((sym, True))
+                if part:
+                    nxt.append((part, False))
+        out = nxt
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -296,6 +322,7 @@ class SentencePieceProcessor:
         self.merges_rank = {tuple(m): i
                             for i, m in enumerate(model.get("merges", []))}
         self.add_dummy_prefix = model.get("add_dummy_prefix", True)
+        self.user_defined = model.get("user_defined", [])
         self._logp = {p: s for p, s in zip(self.pieces, self.scores)
                       if not self._is_control(p)}
         return self
@@ -321,14 +348,19 @@ class SentencePieceProcessor:
     def encode_as_pieces(self, text):
         text = normalize(text, self.add_dummy_prefix)
         if self.model_type == "word":
-            return [p if p in self._ids else p  # words kept verbatim
-                    for p in text.split(WS) if p] if not self.add_dummy_prefix \
-                else [WS + w for w in text.split(WS) if w]
-        if self.model_type == "char":
-            return list(text)
-        if self.model_type == "bpe":
-            return _bpe_encode(text, self._ids, self.merges_rank)
-        return _viterbi(text, self._logp, self.max_len)
+            prefix = WS if self.add_dummy_prefix else ""
+            return [prefix + w for w in text.split(WS) if w]
+        pieces = []
+        for chunk, is_sym in _split_user_defined(text, self.user_defined):
+            if is_sym:
+                pieces.append(chunk)
+            elif self.model_type == "char":
+                pieces.extend(chunk)
+            elif self.model_type == "bpe":
+                pieces.extend(_bpe_encode(chunk, self.merges_rank))
+            else:
+                pieces.extend(_viterbi(chunk, self._logp, self.max_len))
+        return pieces
 
     def encode_as_ids(self, text):
         return [self.piece_to_id(p) for p in self.encode_as_pieces(text)]
@@ -423,18 +455,30 @@ class SentencePieceTrainer:
         inner = iter(zip(list(user_defined) + tail, [0.0] * len(user_defined)
                          + tail_scores))
         i = 0
+        pending = dict(controls)
         while len(final_pieces) < vocab_size:
-            if i in controls:
-                final_pieces.append(controls[i])
+            if i in pending:
+                final_pieces.append(pending.pop(i))
                 final_scores.append(0.0)
             else:
                 try:
                     p, s = next(inner)
                 except StopIteration:
+                    # corpus too small to fill vocab_size: the remaining
+                    # control symbols' requested ids are out of range of the
+                    # shrunken inventory — append them (id order) so every
+                    # control still holds a seat
+                    for pid in sorted(pending):
+                        final_pieces.append(pending.pop(pid))
+                        final_scores.append(0.0)
                     break
                 final_pieces.append(p)
                 final_scores.append(s)
             i += 1
+        # the persisted unk_id must point at <unk>'s actual slot even when
+        # the inventory came up short of the requested layout
+        if UNK_PIECE in final_pieces:
+            unk_id = final_pieces.index(UNK_PIECE)
 
         model = {
             "format": "spm_lite/1",
@@ -444,6 +488,7 @@ class SentencePieceTrainer:
             "unk_id": unk_id,
             "add_dummy_prefix": add_dummy_prefix,
             "merges": [list(m) for m in merges],
+            "user_defined": list(user_defined),
         }
         with open(prefix + ".model", "w") as f:
             json.dump(model, f, ensure_ascii=False)

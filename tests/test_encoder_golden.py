@@ -134,3 +134,14 @@ def test_save_load_cross_implementation(tmp_path):
     assert not TextEncoder().load_if_possible(tmp_path / "absent.txt")
     assert (CategoricalEncoder.from_saved(tmp_path / "ours.txt").lab2ind
             == ours.lab2ind)
+
+
+def test_unbound_unk_label_raises_at_encode_site():
+    """When ``unk_label`` is set but has no index (e.g. a partially written
+    saved file), encode_label must raise KeyError at the call site rather
+    than silently returning None (which failed far away as ``int(None)``)."""
+    enc = CategoricalEncoder()
+    enc.update_from_iterable("abc")
+    enc.unk_label = "<unk>"  # attr set, never bound via add_unk()
+    with pytest.raises(KeyError):
+        enc.encode_label("z")

@@ -142,3 +142,26 @@ def test_hub_failure_raises_filenotfound(monkeypatch, tmp_path):
     monkeypatch.setattr(huggingface_hub, "hf_hub_download", fail)
     with pytest.raises(FileNotFoundError):
         fetch("model.ckpt", "someorg/somerepo", savedir=tmp_path / "save")
+
+
+def test_failed_download_leaves_no_partial_file(monkeypatch, tmp_path):
+    """A mid-transfer failure must not leave a truncated file that a later
+    fetch would trust via the exists-and-not-overwrite early return."""
+    def fail_mid_body(url, destination):
+        pathlib.Path(destination).write_text("trunc")  # partial body landed
+        raise urllib.error.ContentTooShortError("cut off", "trunc")
+
+    monkeypatch.setattr(fetching.urllib.request, "urlretrieve",
+                        fail_mid_body)
+    savedir = tmp_path / "save"
+    with pytest.raises(ValueError):
+        fetch("model.ckpt", "http://example.com/repo", savedir=savedir)
+    assert list(savedir.iterdir()) == []  # neither final nor .partial left
+
+    # and the retry (link recovered) succeeds, not short-circuited by trash
+    def ok(url, destination):
+        pathlib.Path(destination).write_text("full")
+
+    monkeypatch.setattr(fetching.urllib.request, "urlretrieve", ok)
+    got = fetch("model.ckpt", "http://example.com/repo", savedir=savedir)
+    assert got.read_text() == "full"

@@ -187,3 +187,44 @@ def test_wrapper_validations(tmp_path):
     with pytest.raises(ValueError):
         SentencePiece(str(tmp_path), 20, annotation_train=csv_path,
                       annotation_read="nosuchcol", model_type="unigram")
+
+
+def test_high_control_id_small_corpus_layout():
+    """A control id beyond what the corpus can fill must still get a seat,
+    and the persisted unk_id must point at <unk>'s actual slot (previously
+    the layout loop broke before placing high-id controls, leaving a stored
+    unk_id out of range)."""
+    import tempfile
+
+    tmp = tempfile.mkdtemp()
+    txt = os.path.join(tmp, "tiny.txt")
+    spm_lite._write_lines(["ab", "ba"], txt)  # 3 distinct chars incl. WS
+    prefix = os.path.join(tmp, "m")
+    spm_lite.SentencePieceTrainer.train(
+        input=txt, model_prefix=prefix, vocab_size=64,
+        model_type="char", unk_id=60, pad_id=63)
+    sp = spm_lite.SentencePieceProcessor().load(prefix + ".model")
+    assert "<unk>" in sp.pieces and "<pad>" in sp.pieces
+    assert sp.unk_id() == sp.pieces.index("<unk>")
+    # OOV text round-trips through the unk id without an IndexError
+    ids = sp.encode_as_ids("zq")
+    assert sp.unk_id() in ids
+    sp.decode_ids(ids)
+
+
+@pytest.mark.parametrize("model_type", ["bpe", "unigram", "char"])
+def test_user_defined_symbols_encode_whole(model_type, tmp_path):
+    """user_defined_symbols must come out of encode() as single pieces for
+    every model type (native sentencepiece segments them out before the
+    subword algorithm; the BPE path previously never emitted them)."""
+    txt = os.path.join(tmp_path, "c.txt")
+    spm_lite._write_lines(CORPUS, txt)
+    prefix = os.path.join(tmp_path, f"ud_{model_type}")
+    spm_lite.SentencePieceTrainer.train(
+        input=txt, model_prefix=prefix, vocab_size=40,
+        model_type=model_type, user_defined_symbols=["<sep>"])
+    sp = spm_lite.SentencePieceProcessor().load(prefix + ".model")
+    pieces = sp.encode_as_pieces("the <sep> cat")
+    assert "<sep>" in pieces
+    assert sp.piece_to_id("<sep>") != sp.unk_id()
+    assert sp.piece_to_id("<sep>") in sp.encode_as_ids("the <sep> cat")
