@@ -138,6 +138,25 @@ class SingingTranscriber(Pretrained):
         """dict name → waveform ⇒ dict name → note events."""
         return self._get_transcriber().transcribe(songs)
 
+    def stream(self, **kwargs):
+        """Open a low-latency streaming session sharing this interface's
+        model and ``quantize`` mode: ``feed()`` PCM as it arrives,
+        ``flush()`` at stream end (see
+        :class:`~svt_speechbrain_tpu.inference.StreamingAMTTranscriber`;
+        a capability beyond the reference's offline-only eval,
+        ``MIR_ST500/train_audio_ssl.py:84-141``). Each call returns an
+        independent session; extra kwargs (``compact``, ``compute_dtype``,
+        ...) pass through."""
+        from svt_speechbrain_tpu.inference import StreamingAMTTranscriber
+
+        tr = self._get_transcriber()  # holds the (possibly int8) params
+        return StreamingAMTTranscriber(
+            self.mods.wav2vec2, self.mods.model, tr.params,
+            chunk_seconds=self.chunk_seconds,
+            frame_rate=self.hparams.frame_rate,
+            onset_threshold=self.hparams.onset_threshold,
+            offset_threshold=self.hparams.offset_threshold, **kwargs)
+
 
 class EncoderClassifier(Pretrained):
     """Generic encoder + classifier inference (reference ``interfaces.py:719``)."""

@@ -178,3 +178,38 @@ def test_quantize_wavlm_skips_gated_attention():
     out = np.asarray(model(qparams, wav)).ravel()
     cos = float(np.dot(ref, out) / (np.linalg.norm(ref) * np.linalg.norm(out)))
     assert cos > 0.995
+
+
+def test_singing_transcriber_stream_int8_matches_offline():
+    """SingingTranscriber.stream() serves the SAME (quantized) params as the
+    offline path: feeding a song in odd pieces emits exactly the offline
+    int8 transcriber's notes."""
+    from svt_speechbrain_tpu.pretrained.interfaces import SingingTranscriber
+
+    cfg = _tiny_cfg()
+    bridge = HuggingFaceWav2Vec2(config=cfg, output_norm=True)
+    head = Linear(input_size=32, n_neurons=20)
+    modules = {"wav2vec2": bridge, "model": head}
+    hp = {"frame_rate": 49.8, "onset_threshold": 0.4, "offset_threshold": 0.5}
+    rng = np.random.default_rng(5)
+    wav = rng.normal(size=int(2.7 * 16000)).astype(np.float32)
+
+    iface = SingingTranscriber(modules=modules, hparams=hp, batch_size=2,
+                               chunk_seconds=1.0, quantize="int8")
+    iface.init_params()
+    expected = iface.transcribe_batch({"s": wav})["s"]
+
+    stream = iface.stream()
+    # the session really serves quantized weights
+    assert "w_q8" in str(jax.tree_util.tree_structure(stream._tr.params))
+    got, pos = [], 0
+    while pos < len(wav):
+        step = int(rng.integers(1000, 30000))
+        got += stream.feed(wav[pos:pos + step])
+        pos += step
+    got += stream.flush()
+    assert got == expected
+    # sessions are independent: a fresh one reproduces the stream
+    s2 = iface.stream()
+    again = s2.feed(wav) + s2.flush()
+    assert again == expected

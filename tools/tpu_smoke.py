@@ -255,6 +255,30 @@ def smoke_inference_pipeline():
     want = tr.transcribe({"x": wav}, fast=False)["x"]
     assert len(got) == len(want), (got, want)
 
+    # the pretrained serving API's int8 streaming session (quantized
+    # weights through the streaming chunk program, Mosaic-compiled here)
+    from svt_speechbrain_tpu.pretrained.interfaces import SingingTranscriber
+
+    iface = SingingTranscriber(
+        modules={"wav2vec2": bridge, "model": head},
+        hparams={"frame_rate": 49.8, "onset_threshold": 0.4,
+                 "offset_threshold": 0.5},
+        batch_size=4, chunk_seconds=1.0, quantize="int8")
+    iface.params = params
+    sess = iface.stream()
+    assert "w_q8" in str(jax.tree_util.tree_structure(sess._tr.params))
+    wavf = wav.astype(np.float32)
+    q_notes = sess.feed(wavf) + sess.flush()
+    # exact-equality twin: offline at batch 1 over the SAME quantized params
+    # (identical program shapes; the batched iface path differs in bf16
+    # matmul tiling, which legitimately flips an untrained model's
+    # near-uniform thresholded decisions)
+    q_tr = BatchedAMTTranscriber(bridge, head, sess._tr.params,
+                                 chunk_seconds=1.0, batch_size=1)
+    q_want = q_tr.transcribe({"x": wavf}, fast=False)["x"]
+    assert q_notes == q_want, "int8 stream != int8 offline(batch1)"
+    assert iface.transcribe_batch({"x": wavf})["x"], "int8 batched path empty"
+
 
 def smoke_resample_and_specaugment():
     """The round-3 jitted augmentation ops: the kaldi LinearResample
