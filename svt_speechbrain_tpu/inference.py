@@ -352,6 +352,216 @@ class BatchedAMTTranscriber:
         }
 
 
+class StreamSession:
+    """One live stream inside a :class:`StreamingServer` (create via
+    ``server.open()``, never directly). ``feed()`` PCM as it arrives; notes
+    are finalized whenever the server runs a batch and are handed back —
+    exactly once — through this session's ``feed()``/``poll()``/``flush()``.
+
+    Example
+    -------
+    >>> import jax, numpy as np, jax.numpy as jnp
+    >>> from svt_speechbrain_tpu.models.wav2vec2 import (
+    ...     HuggingFaceWav2Vec2, Wav2Vec2Config)
+    >>> from svt_speechbrain_tpu.nnet.linear import Linear
+    >>> cfg = Wav2Vec2Config(hidden_size=16, num_layers=1, num_heads=4,
+    ...                      ffn_size=32, conv_dim=(8,) * 7,
+    ...                      num_conv_pos_embeddings=16,
+    ...                      num_conv_pos_embedding_groups=4)
+    >>> bridge = HuggingFaceWav2Vec2(config=cfg)
+    >>> head = Linear(2 + 5 + 13, 16)
+    >>> params = {"wav2vec2": bridge.init(jax.random.PRNGKey(0)),
+    ...           "model": head.init(jax.random.PRNGKey(1))}
+    >>> server = StreamingServer(bridge, head, params, batch_size=2,
+    ...                          chunk_seconds=0.5,
+    ...                          compute_dtype=jnp.float32)
+    >>> a, b = server.open("alice"), server.open("bob")
+    >>> _ = a.feed(np.zeros(12000, np.float32))   # buffers + auto-pumps
+    >>> _ = b.feed(np.zeros(5000, np.float32))
+    >>> notes_a, notes_b = a.flush(), b.flush()   # forces a final pump
+    >>> all(len(ev) == 3 for ev in notes_a + notes_b)
+    True
+    """
+
+    def __init__(self, server, name, decoder):
+        self._server = server
+        self.name = name
+        self._decoder = decoder
+        self._buffer = None
+        self._done = False
+        self._notes = []  # finalized, not yet handed to the caller
+
+    def _take(self):
+        out, self._notes = self._notes, []
+        return out
+
+    def feed(self, samples):
+        """Append PCM samples (float32 or int16, (T,)). Full windows are
+        queued on the server; whenever a whole batch is ready the server
+        auto-pumps. Returns the notes finalized for THIS session so far."""
+        if self._done:
+            raise RuntimeError("stream already flushed")
+        samples = np.asarray(samples)
+        if samples.ndim != 1:
+            raise ValueError("feed() takes a 1-D sample array")
+        if self._buffer is None:
+            self._buffer = samples
+        else:
+            if len(self._buffer) and len(samples) \
+                    and samples.dtype != self._buffer.dtype:
+                # concatenating int16 PCM into a float window (or vice
+                # versa) would silently skip the 1/32768 scaling
+                raise ValueError(
+                    f"dtype switch mid-window: buffered "
+                    f"{self._buffer.dtype}, fed {samples.dtype}")
+            self._buffer = np.concatenate([self._buffer, samples])
+        cs = self._server._tr.chunk_samples
+        while len(self._buffer) >= cs:
+            self._server._enqueue(self, self._buffer[:cs], cs)
+            self._buffer = self._buffer[cs:]
+        self._server._auto_pump()
+        return self._take()
+
+    def poll(self):
+        """Notes finalized for this session since the last hand-off (e.g. by
+        another session's auto-pump or an explicit ``server.pump()``)."""
+        return self._take()
+
+    def flush(self):
+        """End this stream: queue the final partial window (zero-padded with
+        exact-lengths masking), force a server pump, and close any open
+        note. Idempotent; returns the remaining notes."""
+        if self._done:
+            return []
+        self._done = True
+        if self._buffer is not None and len(self._buffer):
+            tail = np.zeros(self._server._tr.chunk_samples,
+                            self._buffer.dtype)
+            tail[:len(self._buffer)] = self._buffer
+            self._server._enqueue(self, tail, len(self._buffer))
+        self._buffer = None
+        self._server.pump()
+        self._server._n_open -= 1
+        return self._take() + self._decoder.flush()
+
+
+class StreamingServer:
+    """Multiplexed low-latency serving: N concurrent PCM streams share ONE
+    jit-compiled batched chunk program.
+
+    :class:`StreamingAMTTranscriber` gives a single stream one-chunk latency
+    but runs the device at batch 1; a realtime service with many callers
+    would leave the MXU mostly idle. This server multiplexes instead — a
+    capability beyond the reference, whose eval is offline batch-1 by
+    construction (``MIR_ST500/train_audio_ssl.py:84-141``):
+
+    - each :meth:`open` returns a :class:`StreamSession` with its own buffer
+      and :class:`~svt_speechbrain_tpu.utils.amt.IncrementalFrame2Note`
+      decoder;
+    - full windows from ALL sessions queue up FIFO; as soon as
+      ``batch_size`` of them are ready the server auto-runs one batched
+      forward (rows it can't fill are masked out by the same ``valid``
+      relative-lengths mechanism the offline path uses, so short batches
+      stay exact);
+    - :meth:`pump` forces the queue through (partial final batch included) —
+      call it on a latency deadline; ``flush()`` of any session calls it.
+
+    Per-session emitted notes are exactly what a dedicated streaming
+    transcriber produces for the same audio (tested): rows of a batch are
+    numerically independent, so multiplexing costs no accuracy. Works with
+    ``quantize``-transformed (int8) params like every other serving path.
+
+    Drive one server from one thread (a network frontend should funnel
+    caller PCM through a queue); sessions share the server's run state, so
+    concurrent ``feed()`` calls need external locking.
+    """
+
+    def __init__(self, bridge, head, params, batch_size=8, chunk_seconds=5.0,
+                 sample_rate=16000, frame_rate=49.8, onset_threshold=0.4,
+                 offset_threshold=0.5, **kwargs):
+        from svt_speechbrain_tpu.utils.amt import IncrementalFrame2Note
+
+        self._tr = BatchedAMTTranscriber(
+            bridge, head, params, chunk_seconds=chunk_seconds,
+            batch_size=batch_size, sample_rate=sample_rate,
+            frame_rate=frame_rate, onset_threshold=onset_threshold,
+            offset_threshold=offset_threshold, chunking="ceil", **kwargs)
+        self._decoder_args = (onset_threshold, offset_threshold,
+                              1.0 / frame_rate)
+        self._make_decoder = IncrementalFrame2Note
+        self._queue = []  # FIFO of (session, (cs,) window, true_samples)
+        self._n_open = 0
+        self._n_sessions = 0
+
+    @property
+    def pending(self):
+        """Windows queued but not yet run."""
+        return len(self._queue)
+
+    @property
+    def open_sessions(self):
+        """Sessions opened and not yet flushed."""
+        return self._n_open
+
+    def open(self, name=None):
+        """Start a new stream; ``name`` defaults to ``"stream<N>"``."""
+        on, off, fs = self._decoder_args
+        if name is None:
+            name = f"stream{self._n_sessions}"
+        self._n_sessions += 1
+        self._n_open += 1
+        return StreamSession(self, name,
+                             self._make_decoder(on, off, frame_size=fs))
+
+    def _enqueue(self, session, window, true_samples):
+        self._queue.append((session, window, true_samples))
+
+    def _auto_pump(self):
+        b = self._tr.batch_size
+        while len(self._queue) >= b:
+            self._run_batch(self._queue[:b])
+            del self._queue[:b]
+
+    def pump(self):
+        """Run every queued window now (the final batch may be partial —
+        masked rows, same numerics). Returns the number of windows run;
+        finalized notes land in their sessions (``poll()`` them)."""
+        n = len(self._queue)
+        b = self._tr.batch_size
+        while self._queue:
+            take = self._queue[:b]
+            del self._queue[:len(take)]
+            self._run_batch(take)
+        return n
+
+    def _run_batch(self, entries):
+        tr = self._tr
+        cs = tr.chunk_samples
+        rows, lens = [], []
+        # int16 rows ride the host link as int16 only when the whole batch
+        # is int16 (the device program scales by 1/32768 on dtype); mixed
+        # batches fall back to a lossless host-side float32 conversion
+        all_i16 = all(e[1].dtype == np.int16 for e in entries)
+        for _, window, true_samples in entries:
+            if not all_i16 and window.dtype == np.int16:
+                window = window.astype(np.float32) * (1.0 / 32768.0)
+            rows.append(window)
+            lens.append(true_samples / cs)
+        pad_dtype = np.int16 if all_i16 else np.float32
+        while len(rows) < tr.batch_size:
+            rows.append(np.zeros(cs, pad_dtype))
+            lens.append(0.0)
+        packed = tr._forward(tr.params, jnp.asarray(np.stack(rows)),
+                             jnp.asarray(lens, jnp.float32))
+        out = np.asarray(packed)  # the ONE d2h transfer for this batch
+        if out.dtype == np.uint16:  # compact="u16"
+            out = out.astype(np.float32)
+            out[:, :, :2] *= 1.0 / 65535.0
+        for j, (session, _, true_samples) in enumerate(entries):
+            f = tr.bridge.config.output_length(true_samples)
+            session._notes += session._decoder.feed(out[j, :f])
+
+
 class StreamingAMTTranscriber:
     """Low-latency streaming transcription: ``feed()`` PCM as it arrives and
     receive note events as soon as they are final; ``flush()`` at stream end.

@@ -157,6 +157,23 @@ class SingingTranscriber(Pretrained):
             onset_threshold=self.hparams.onset_threshold,
             offset_threshold=self.hparams.offset_threshold, **kwargs)
 
+    def serve(self, batch_size=8, **kwargs):
+        """Open a multiplexed streaming server sharing this interface's
+        model and ``quantize`` mode: N concurrent ``server.open()`` sessions
+        batch their ready windows into ONE device program (see
+        :class:`~svt_speechbrain_tpu.inference.StreamingServer`; the
+        reference's eval is offline batch-1,
+        ``MIR_ST500/train_audio_ssl.py:84-141``)."""
+        from svt_speechbrain_tpu.inference import StreamingServer
+
+        tr = self._get_transcriber()
+        return StreamingServer(
+            self.mods.wav2vec2, self.mods.model, tr.params,
+            batch_size=batch_size, chunk_seconds=self.chunk_seconds,
+            frame_rate=self.hparams.frame_rate,
+            onset_threshold=self.hparams.onset_threshold,
+            offset_threshold=self.hparams.offset_threshold, **kwargs)
+
 
 class EncoderClassifier(Pretrained):
     """Generic encoder + classifier inference (reference ``interfaces.py:719``)."""

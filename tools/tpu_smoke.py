@@ -279,6 +279,30 @@ def smoke_inference_pipeline():
     assert q_notes == q_want, "int8 stream != int8 offline(batch1)"
     assert iface.transcribe_batch({"x": wavf})["x"], "int8 batched path empty"
 
+    # the multiplexed streaming server: 3 concurrent sessions auto-pumped
+    # through ONE batch-4 chunk program must match the offline transcriber
+    # at the SAME batch size (same executable — rows are independent, so
+    # bit-equality holds even under TPU bf16 tiling)
+    from svt_speechbrain_tpu.inference import StreamingServer
+
+    songs = {f"v{i}": (wavf * (0.5 + 0.25 * i)).astype(np.float32)
+             for i in range(3)}
+    server = StreamingServer(bridge, head, params, batch_size=4,
+                             chunk_seconds=1.0)
+    sessions = {n: server.open(n) for n in songs}
+    srv_notes = {}
+    for n, w in songs.items():  # interleaved partial feeds
+        sessions[n].feed(w[:9000])
+    for n, w in songs.items():
+        srv_notes[n] = sessions[n].poll() + sessions[n].feed(w[9000:])
+    for n in songs:
+        srv_notes[n] += sessions[n].flush()
+    off4 = BatchedAMTTranscriber(bridge, head, params, chunk_seconds=1.0,
+                                 batch_size=4)
+    want4 = off4.transcribe(songs, fast=False)
+    for n in songs:
+        assert srv_notes[n] == want4[n], f"server != offline(batch4): {n}"
+
 
 def smoke_resample_and_specaugment():
     """The round-3 jitted augmentation ops: the kaldi LinearResample
