@@ -352,6 +352,25 @@ class BatchedAMTTranscriber:
         }
 
 
+def _append_pcm(buffer, samples):
+    """Append a 1-D PCM piece to a (possibly empty) buffered partial window.
+
+    Rejects a dtype switch mid-window: concatenating int16 PCM into a float
+    window (or vice versa) would silently promote and skip the device-side
+    1/32768 scaling, making the int16-origin samples ~32768x too loud.
+    Shared by :class:`StreamSession` and :class:`StreamingAMTTranscriber`.
+    """
+    samples = np.asarray(samples)
+    if samples.ndim != 1:
+        raise ValueError("feed() takes a 1-D sample array")
+    if buffer is None or not len(buffer):
+        return samples
+    if len(samples) and samples.dtype != buffer.dtype:
+        raise ValueError(f"dtype switch mid-window: buffered "
+                         f"{buffer.dtype}, fed {samples.dtype}")
+    return np.concatenate([buffer, samples])
+
+
 class StreamSession:
     """One live stream inside a :class:`StreamingServer` (create via
     ``server.open()``, never directly). ``feed()`` PCM as it arrives; notes
@@ -401,20 +420,7 @@ class StreamSession:
         auto-pumps. Returns the notes finalized for THIS session so far."""
         if self._done:
             raise RuntimeError("stream already flushed")
-        samples = np.asarray(samples)
-        if samples.ndim != 1:
-            raise ValueError("feed() takes a 1-D sample array")
-        if self._buffer is None:
-            self._buffer = samples
-        else:
-            if len(self._buffer) and len(samples) \
-                    and samples.dtype != self._buffer.dtype:
-                # concatenating int16 PCM into a float window (or vice
-                # versa) would silently skip the 1/32768 scaling
-                raise ValueError(
-                    f"dtype switch mid-window: buffered "
-                    f"{self._buffer.dtype}, fed {samples.dtype}")
-            self._buffer = np.concatenate([self._buffer, samples])
+        self._buffer = _append_pcm(self._buffer, samples)
         cs = self._server._tr.chunk_samples
         while len(self._buffer) >= cs:
             self._server._enqueue(self, self._buffer[:cs], cs)
@@ -609,11 +615,7 @@ class StreamingAMTTranscriber:
         finalized by this piece as ``[[onset_s, offset_s, midi], ...]``."""
         if self._done:
             raise RuntimeError("stream already flushed")
-        samples = np.asarray(samples)
-        if samples.ndim != 1:
-            raise ValueError("feed() takes a 1-D sample array")
-        self._buffer = (samples if self._buffer is None
-                        else np.concatenate([self._buffer, samples]))
+        self._buffer = _append_pcm(self._buffer, samples)
         notes = []
         cs = self._tr.chunk_samples
         while len(self._buffer) >= cs:

@@ -108,18 +108,24 @@ class SingingTranscriber(Pretrained):
         self.quantize = quantize
         self._transcriber = None
 
+    def _serving_params(self):
+        """Fresh (full-precision, possibly int8-quantized) param tree for a
+        new transcriber/server. Built from ``self.params`` every call so a
+        downstream ``compute_dtype`` choice acts on untruncated weights —
+        never on a tree a previous transcriber already cast to bf16."""
+        w2v_params = self.params["wav2vec2"]
+        if self.quantize == "int8":
+            from svt_speechbrain_tpu.models.quantize import quantize_wav2vec2
+
+            w2v_params = quantize_wav2vec2(w2v_params)
+        return {"wav2vec2": w2v_params, "model": self.params["model"]}
+
     def _get_transcriber(self):
         if self._transcriber is None:
             from svt_speechbrain_tpu.inference import BatchedAMTTranscriber
 
-            w2v_params = self.params["wav2vec2"]
-            if self.quantize == "int8":
-                from svt_speechbrain_tpu.models.quantize import quantize_wav2vec2
-
-                w2v_params = quantize_wav2vec2(w2v_params)
             self._transcriber = BatchedAMTTranscriber(
-                self.mods.wav2vec2, self.mods.model,
-                {"wav2vec2": w2v_params, "model": self.params["model"]},
+                self.mods.wav2vec2, self.mods.model, self._serving_params(),
                 chunk_seconds=self.chunk_seconds, batch_size=self.batch_size,
                 frame_rate=self.hparams.frame_rate,
                 onset_threshold=self.hparams.onset_threshold,
@@ -146,12 +152,12 @@ class SingingTranscriber(Pretrained):
         a capability beyond the reference's offline-only eval,
         ``MIR_ST500/train_audio_ssl.py:84-141``). Each call returns an
         independent session; extra kwargs (``compact``, ``compute_dtype``,
-        ...) pass through."""
+        ...) pass through — ``compute_dtype`` acts on the full-precision
+        weights, not a previously bf16-cast tree."""
         from svt_speechbrain_tpu.inference import StreamingAMTTranscriber
 
-        tr = self._get_transcriber()  # holds the (possibly int8) params
         return StreamingAMTTranscriber(
-            self.mods.wav2vec2, self.mods.model, tr.params,
+            self.mods.wav2vec2, self.mods.model, self._serving_params(),
             chunk_seconds=self.chunk_seconds,
             frame_rate=self.hparams.frame_rate,
             onset_threshold=self.hparams.onset_threshold,
@@ -166,9 +172,8 @@ class SingingTranscriber(Pretrained):
         ``MIR_ST500/train_audio_ssl.py:84-141``)."""
         from svt_speechbrain_tpu.inference import StreamingServer
 
-        tr = self._get_transcriber()
         return StreamingServer(
-            self.mods.wav2vec2, self.mods.model, tr.params,
+            self.mods.wav2vec2, self.mods.model, self._serving_params(),
             batch_size=batch_size, chunk_seconds=self.chunk_seconds,
             frame_rate=self.hparams.frame_rate,
             onset_threshold=self.hparams.onset_threshold,

@@ -347,13 +347,15 @@ class SentencePieceProcessor:
 
     def encode_as_pieces(self, text):
         text = normalize(text, self.add_dummy_prefix)
-        if self.model_type == "word":
-            prefix = WS if self.add_dummy_prefix else ""
-            return [prefix + w for w in text.split(WS) if w]
         pieces = []
         for chunk, is_sym in _split_user_defined(text, self.user_defined):
             if is_sym:
                 pieces.append(chunk)
+            elif self.model_type == "word":
+                # native sentencepiece extracts user-defined symbols for
+                # every model type; word-split only the non-symbol chunks
+                prefix = WS if self.add_dummy_prefix else ""
+                pieces.extend(prefix + w for w in chunk.split(WS) if w)
             elif self.model_type == "char":
                 pieces.extend(chunk)
             elif self.model_type == "bpe":
@@ -402,6 +404,14 @@ class SentencePieceTrainer:
         eos_id = int(kwargs.get("eos_id", -1))
         pad_id = int(kwargs.get("pad_id", -1))
         max_len = int(kwargs.get("max_sentencepiece_length", 10))
+        # native sentencepiece errors on a control id outside the inventory;
+        # without this check the id would be silently dropped and the
+        # persisted unk_id could point past the end of the pieces list
+        for name, pid in (("unk_id", unk_id), ("bos_id", bos_id),
+                          ("eos_id", eos_id), ("pad_id", pad_id)):
+            if pid >= vocab_size:
+                raise ValueError(
+                    f"{name}={pid} must be < vocab_size={vocab_size}")
         user_defined = kwargs.get("user_defined_symbols") or []
         if isinstance(user_defined, str):
             user_defined = [s for s in user_defined.split(",") if s]

@@ -169,3 +169,38 @@ def test_categorical_and_ctc_encoders(tmp_path):
     ctc.insert_blank(index=0)
     seq = ["<blank>", "h", "h", "<blank>", "i"]
     assert ctc.collapse_labels(seq) == ["h", "i"]
+
+
+def test_singing_transcriber_stream_full_precision_weights():
+    """stream(compute_dtype=float32) must act on the interface's
+    full-precision weights, not a tree a previous transcriber already cast
+    to bf16 (ADVICE r04: silent f32-over-truncated-weights)."""
+    import jax
+    import jax.numpy as jnp
+
+    from svt_speechbrain_tpu.models.wav2vec2 import HuggingFaceWav2Vec2, Wav2Vec2Config
+    from svt_speechbrain_tpu.nnet.linear import Linear
+    from svt_speechbrain_tpu.pretrained.interfaces import SingingTranscriber
+
+    cfg = Wav2Vec2Config(hidden_size=32, num_layers=1, num_heads=4, ffn_size=64,
+                         conv_dim=(16,) * 7, num_conv_pos_embeddings=16,
+                         num_conv_pos_embedding_groups=4)
+    bridge = HuggingFaceWav2Vec2(config=cfg, output_norm=True)
+    head = Linear(input_size=32, n_neurons=20)
+    iface = SingingTranscriber(
+        modules={"wav2vec2": bridge, "model": head},
+        hparams={"frame_rate": 49.8, "onset_threshold": 0.4,
+                 "offset_threshold": 0.5},
+        batch_size=2, chunk_seconds=1.0)
+    iface.init_params()
+    # trigger the batched transcriber (casts ITS copy to bf16)...
+    tr = iface._get_transcriber()
+    leaf = jax.tree_util.tree_leaves(tr.params["wav2vec2"])[0]
+    assert leaf.dtype == jnp.bfloat16
+    # ...then a full-precision stream must see untruncated f32 weights
+    stream = iface.stream(compute_dtype=jnp.float32)
+    sleaves = jax.tree_util.tree_leaves(stream._tr.params["wav2vec2"])
+    ileaves = jax.tree_util.tree_leaves(iface.params["wav2vec2"])
+    assert all(s.dtype == jnp.float32 for s in sleaves)
+    assert all(np.array_equal(np.asarray(s), np.asarray(i))
+               for s, i in zip(sleaves, ileaves))

@@ -228,3 +228,31 @@ def test_user_defined_symbols_encode_whole(model_type, tmp_path):
     assert "<sep>" in pieces
     assert sp.piece_to_id("<sep>") != sp.unk_id()
     assert sp.piece_to_id("<sep>") in sp.encode_as_ids("the <sep> cat")
+
+
+def test_control_id_ge_vocab_size_rejected(tmp_path):
+    """A requested control id outside the inventory must error at train()
+    entry (native sentencepiece does); previously it was silently dropped
+    when the corpus was rich enough to fill vocab_size."""
+    txt = os.path.join(tmp_path, "c.txt")
+    spm_lite._write_lines(CORPUS, txt)
+    with pytest.raises(ValueError, match="unk_id=70"):
+        spm_lite.SentencePieceTrainer.train(
+            input=txt, model_prefix=os.path.join(tmp_path, "m"),
+            vocab_size=64, model_type="char", unk_id=70)
+
+
+def test_user_defined_symbols_word_model(tmp_path):
+    """Word models must also segment user_defined_symbols out (native
+    sentencepiece does this for every model type); previously a '<sep>'
+    adjacent to a word stayed glued and mapped to unk."""
+    txt = os.path.join(tmp_path, "c.txt")
+    spm_lite._write_lines(CORPUS, txt)
+    prefix = os.path.join(tmp_path, "ud_word")
+    spm_lite.SentencePieceTrainer.train(
+        input=txt, model_prefix=prefix, vocab_size=40,
+        model_type="word", user_defined_symbols=["<sep>"])
+    sp = spm_lite.SentencePieceProcessor().load(prefix + ".model")
+    pieces = sp.encode_as_pieces("the <sep> cat")
+    assert "<sep>" in pieces
+    assert sp.piece_to_id("<sep>") in sp.encode_as_ids("the <sep> cat")

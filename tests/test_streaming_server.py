@@ -201,3 +201,14 @@ def test_pretrained_serve_entry(tiny_model):
     assert "w_q8" in str(jax.tree_util.tree_structure(server._tr.params))
     s = server.open()
     assert s.feed(wav) + s.flush() == want
+
+def test_dedicated_stream_dtype_switch_guard(tiny_model):
+    """StreamingAMTTranscriber.feed() must reject a mid-window dtype switch
+    (int16 -> float32 would silently skip the 1/32768 scaling), matching the
+    StreamSession guard."""
+    bridge, head, params = tiny_model
+    tr = StreamingAMTTranscriber(bridge, head, params, chunk_seconds=1.0,
+                                 compute_dtype=jnp.float32)
+    tr.feed(np.zeros(1000, np.int16))  # buffered partial window
+    with pytest.raises(ValueError, match="dtype switch"):
+        tr.feed(np.zeros(1000, np.float32))
