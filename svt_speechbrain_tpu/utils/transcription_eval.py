@@ -177,14 +177,19 @@ def evaluate(ref_intervals, ref_pitches, est_intervals, est_pitches,
     ref_intervals, ref_pitches = validate_intervals(ref_intervals, ref_pitches)
     est_intervals, est_pitches = validate_intervals(est_intervals, est_pitches)
     scores = {}
-    p, r, f, _ = precision_recall_f1_overlap(
+    p, r, f, aor = precision_recall_f1_overlap(
         ref_intervals, ref_pitches, est_intervals, est_pitches,
         onset_tolerance, pitch_tolerance, offset_ratio, offset_min_tolerance, strict, beta)
     scores["Precision"], scores["Recall"], scores["F-measure"] = p, r, f
-    p, r, f, _ = precision_recall_f1_overlap(
+    # mir_eval also reports the mean matched-interval IoU; its value depends
+    # on WHICH maximum matching the matcher picked (ties exist), so parity is
+    # "achievable by some maximum matching", tested differentially
+    scores["Average_Overlap_Ratio"] = aor
+    p, r, f, aor = precision_recall_f1_overlap(
         ref_intervals, ref_pitches, est_intervals, est_pitches,
         onset_tolerance, pitch_tolerance, None, offset_min_tolerance, strict, beta)
     scores["Precision_no_offset"], scores["Recall_no_offset"], scores["F-measure_no_offset"] = p, r, f
+    scores["Average_Overlap_Ratio_no_offset"] = aor
     p, r, f = onset_precision_recall_f1(ref_intervals, est_intervals, onset_tolerance, strict, beta)
     scores["Onset_Precision"], scores["Onset_Recall"], scores["Onset_F-measure"] = p, r, f
     p, r, f = offset_precision_recall_f1(ref_intervals, est_intervals, offset_ratio,
