@@ -15,11 +15,14 @@ Text normalization follows SentencePiece's visible-whitespace convention:
 spaces become ``▁`` (U+2581) and ``add_dummy_prefix`` prepends one to the
 sentence, so ``decode(encode(s)) == s`` for whitespace-normal text.
 
-The model file (``<prefix>.model``) is JSON (this trainer's own format, not
-Google's protobuf — documented, since no binary compatibility is possible
-without the native lib), plus a ``<prefix>.vocab`` TSV twin like the real
-trainer writes. ``SentencePieceProcessor``/``SentencePieceTrainer`` mirror
-the ``sentencepiece`` package's API so ``tokenizers.sentence_piece`` can use
+The model file (``<prefix>.model``) is Google's ModelProto protobuf, written
+and read by the pure-python wire-format walker in
+:mod:`~svt_speechbrain_tpu.tokenizers.spm_proto` — so real pretrained
+``.model`` files load here without the native lib, and models trained here
+load in the native lib (``model_format="json"`` keeps the old JSON format).
+A ``<prefix>.vocab`` TSV twin is written like the real trainer's.
+``SentencePieceProcessor``/``SentencePieceTrainer`` mirror the
+``sentencepiece`` package's API so ``tokenizers.sentence_piece`` can use
 either backend interchangeably.
 
 Example
@@ -305,30 +308,82 @@ def _split_user_defined(text, symbols):
 # ---------------------------------------------------------------------------
 
 class SentencePieceProcessor:
-    """Drop-in for ``sentencepiece.SentencePieceProcessor`` over the JSON
-    model format written by :class:`SentencePieceTrainer`."""
+    """Drop-in for ``sentencepiece.SentencePieceProcessor``. Loads BOTH model
+    formats: Google's protobuf ``.model`` (the files every published
+    SpeechBrain/HF pretrained tokenizer ships — parsed without the native lib
+    via :mod:`~svt_speechbrain_tpu.tokenizers.spm_proto`) and the JSON format
+    earlier versions of :class:`SentencePieceTrainer` wrote."""
 
     def load(self, path):
-        with open(path) as f:
-            model = json.load(f)
-        if model.get("format") != "spm_lite/1":
-            raise ValueError(f"not an spm_lite model file: {path}")
-        self.model_type = model["model_type"]
-        self.pieces = model["pieces"]
-        self.scores = model["scores"]
+        from svt_speechbrain_tpu.tokenizers import spm_proto
+
+        with open(path, "rb") as f:
+            raw = f.read()
+        if spm_proto.looks_like_model_proto(raw):
+            self._load_proto(spm_proto, raw)
+        else:
+            self._load_json(raw, path)
         self.max_len = max((len(p) for p in self.pieces), default=1)
         self._ids = {p: i for i, p in enumerate(self.pieces)}
-        self.unk_id_ = model["unk_id"]
-        self.merges_rank = {tuple(m): i
-                            for i, m in enumerate(model.get("merges", []))}
-        self.add_dummy_prefix = model.get("add_dummy_prefix", True)
-        self.user_defined = model.get("user_defined", [])
+        if self.model_type == "bpe":
+            self._reconstruct_merges()
         self._logp = {p: s for p, s in zip(self.pieces, self.scores)
                       if not self._is_control(p)}
         return self
 
+    def _load_json(self, raw, path):
+        model = json.loads(raw.decode("utf-8"))
+        if model.get("format") != "spm_lite/1":
+            raise ValueError(f"not a sentencepiece model file: {path}")
+        self.model_type = model["model_type"]
+        self.pieces = model["pieces"]
+        self.scores = model["scores"]
+        self.unk_id_ = model["unk_id"]
+        self.add_dummy_prefix = model.get("add_dummy_prefix", True)
+        self.user_defined = model.get("user_defined", [])
+        self._controls = {p for p in (UNK_PIECE, BOS_PIECE, EOS_PIECE,
+                                      PAD_PIECE) if p in self.pieces}
+        self._unk_piece = UNK_PIECE
+
+    def _load_proto(self, spm_proto, raw):
+        model = spm_proto.read_model(raw)
+        self.model_type = model["model_type"]
+        self.pieces = [t for t, _, _ in model["pieces"]]
+        self.scores = [s for _, s, _ in model["pieces"]]
+        self.add_dummy_prefix = model["add_dummy_prefix"]
+        self.user_defined = [t for t, _, k in model["pieces"]
+                             if k == spm_proto.USER_DEFINED]
+        self._controls = {t for t, _, k in model["pieces"]
+                          if k in (spm_proto.CONTROL, spm_proto.UNKNOWN)}
+        unknowns = [i for i, (_, _, k) in enumerate(model["pieces"])
+                    if k == spm_proto.UNKNOWN]
+        self.unk_id_ = unknowns[0] if unknowns else model["trainer"].get("unk_id", 0)
+        self._unk_piece = (self.pieces[unknowns[0]] if unknowns
+                           else model["trainer"].get("unk_piece", UNK_PIECE))
+
+    def _reconstruct_merges(self):
+        """BPE merge ranks from piece scores (score == -merge_rank, the
+        sentencepiece convention): native BPE inference merges the adjacent
+        pair whose CONCATENATION is the best-scoring in-vocab piece, so every
+        two-way split of a normal piece is a candidate pair at that piece's
+        rank. Works for protobuf models (which carry no merge list) and for
+        our own JSON/proto output alike."""
+        self.merges_rank = {}
+        skip = self._controls | set(self.user_defined)
+        for piece, score in zip(self.pieces, self.scores):
+            if piece in skip or len(piece) < 2:
+                continue
+            rank = -score
+            for k in range(1, len(piece)):
+                a, b = piece[:k], piece[k:]
+                if a in self._ids and b in self._ids \
+                        and a not in skip and b not in skip:
+                    pair = (a, b)
+                    if rank < self.merges_rank.get(pair, math.inf):
+                        self.merges_rank[pair] = rank
+
     def _is_control(self, piece):
-        return piece in (UNK_PIECE, BOS_PIECE, EOS_PIECE, PAD_PIECE)
+        return piece in self._controls
 
     def vocab_size(self):
         return len(self.pieces)
@@ -368,7 +423,8 @@ class SentencePieceProcessor:
         return [self.piece_to_id(p) for p in self.encode_as_pieces(text)]
 
     def decode_pieces(self, pieces):
-        return denormalize(p if p != UNK_PIECE else " ⁇ " for p in pieces)
+        return denormalize(p if p != self._unk_piece else " ⁇ "
+                           for p in pieces)
 
     def decode_ids(self, ids):
         return self.decode_pieces([self.pieces[int(i)] for i in ids])
@@ -490,18 +546,46 @@ class SentencePieceTrainer:
         if UNK_PIECE in final_pieces:
             unk_id = final_pieces.index(UNK_PIECE)
 
-        model = {
-            "format": "spm_lite/1",
-            "model_type": model_type,
-            "pieces": final_pieces,
-            "scores": final_scores,
-            "unk_id": unk_id,
-            "add_dummy_prefix": add_dummy_prefix,
-            "merges": [list(m) for m in merges],
-            "user_defined": list(user_defined),
-        }
-        with open(prefix + ".model", "w") as f:
-            json.dump(model, f, ensure_ascii=False)
+        model_format = kwargs.get("model_format", "proto")
+        if model_format == "proto":
+            # Google's ModelProto wire format — the file the native
+            # sentencepiece library (and every published pipeline) loads
+            from svt_speechbrain_tpu.tokenizers import spm_proto
+
+            controls = {BOS_PIECE, EOS_PIECE, PAD_PIECE}
+            typed = []
+            for p, s in zip(final_pieces, final_scores):
+                if p == UNK_PIECE:
+                    ptype = spm_proto.UNKNOWN
+                elif p in controls:
+                    ptype = spm_proto.CONTROL
+                elif p in user_defined:
+                    ptype = spm_proto.USER_DEFINED
+                else:
+                    ptype = spm_proto.NORMAL
+                typed.append((p, s, ptype))
+            raw = spm_proto.write_model(
+                typed, model_type=model_type,
+                add_dummy_prefix=add_dummy_prefix,
+                vocab_size=len(final_pieces),
+                split_by_whitespace=split_ws,
+                max_sentencepiece_length=max_len, unk_id=unk_id,
+                bos_id=bos_id, eos_id=eos_id, pad_id=pad_id)
+            with open(prefix + ".model", "wb") as f:
+                f.write(raw)
+        else:
+            model = {
+                "format": "spm_lite/1",
+                "model_type": model_type,
+                "pieces": final_pieces,
+                "scores": final_scores,
+                "unk_id": unk_id,
+                "add_dummy_prefix": add_dummy_prefix,
+                "merges": [list(m) for m in merges],
+                "user_defined": list(user_defined),
+            }
+            with open(prefix + ".model", "w") as f:
+                json.dump(model, f, ensure_ascii=False)
         with open(prefix + ".vocab", "w") as f:
             for p, s in zip(final_pieces, final_scores):
                 f.write(f"{p}\t{s:g}\n")

@@ -256,3 +256,105 @@ def test_user_defined_symbols_word_model(tmp_path):
     pieces = sp.encode_as_pieces("the <sep> cat")
     assert "<sep>" in pieces
     assert sp.piece_to_id("<sep>") in sp.encode_as_ids("the <sep> cat")
+
+
+# ---------------------------------------------------------------------------
+# Protobuf .model interop (spm_proto)
+# ---------------------------------------------------------------------------
+
+def test_proto_wire_format_hand_built_bytes():
+    """Byte-level check of the ModelProto wire format against hand-assembled
+    bytes (what the native lib would emit for the same subset), so a real
+    sentencepiece build can parse our files and vice versa."""
+    from svt_speechbrain_tpu.tokenizers import spm_proto
+    import struct
+
+    # one piece: {piece: "ab" (field1, wire2), score: -1.5 (field2, wire5),
+    # type: UNKNOWN=2 (field3, wire0)} inside ModelProto field 1
+    piece_msg = (b"\x0a\x02ab"                     # piece="ab"
+                 + b"\x15" + struct.pack("<f", -1.5)  # score
+                 + b"\x18\x02")                    # type=2
+    want_prefix = b"\x0a" + bytes([len(piece_msg)]) + piece_msg
+    raw = spm_proto.write_model([("ab", -1.5, 2)], model_type="bpe")
+    assert raw.startswith(want_prefix)
+    m = spm_proto.read_model(raw)
+    assert m["pieces"] == [("ab", -1.5, 2)]
+    assert m["model_type"] == "bpe"
+
+    # negative control id (pad_id=-1) round-trips through the 64-bit varint
+    raw = spm_proto.write_model([("x", 0.0, 1)], pad_id=-1, unk_id=0)
+    m = spm_proto.read_model(raw)
+    assert m["trainer"]["pad_id"] == -1 and m["trainer"]["unk_id"] == 0
+
+
+def test_proto_unknown_fields_skipped():
+    """Fields outside the parsed subset must be skipped, not crash (real
+    models carry precompiled_charsmap and many trainer fields)."""
+    from svt_speechbrain_tpu.tokenizers import spm_proto
+
+    raw = spm_proto.write_model([("▁a", -1.0, 1), ("<unk>", 0.0, 2)])
+    # append an unknown length-delimited field 9 and a varint field 12
+    raw2 = raw + b"\x4a\x03abc" + b"\x60\x2a"
+    m = spm_proto.read_model(raw2)
+    assert [t for t, _, _ in m["pieces"]] == ["▁a", "<unk>"]
+
+
+@pytest.mark.parametrize("model_type", ["unigram", "bpe"])
+def test_proto_model_encode_matches_json_backend(model_type, tmp_path):
+    """A protobuf-trained model must load and encode exactly like the JSON
+    backend trained on the same corpus (VERDICT r04 #4 done-criterion)."""
+    txt = os.path.join(tmp_path, "c.txt")
+    spm_lite._write_lines(CORPUS, txt)
+    pj = os.path.join(tmp_path, f"json_{model_type}")
+    pp = os.path.join(tmp_path, f"proto_{model_type}")
+    common = dict(input=txt, vocab_size=40, model_type=model_type,
+                  unk_id=0, bos_id=1, eos_id=2,
+                  user_defined_symbols=["<sep>"])
+    spm_lite.SentencePieceTrainer.train(model_prefix=pj,
+                                        model_format="json", **common)
+    spm_lite.SentencePieceTrainer.train(model_prefix=pp, **common)
+    with open(pp + ".model", "rb") as f:
+        assert f.read(1) == b"\x0a"  # really protobuf on disk
+    spj = spm_lite.SentencePieceProcessor().load(pj + ".model")
+    spp = spm_lite.SentencePieceProcessor().load(pp + ".model")
+    assert spj.pieces == spp.pieces
+    assert spj.unk_id() == spp.unk_id()
+    texts = ["the cat sat", "a rat on the mat <sep> the cat",
+             "unseen zqx glyphs", "", "the the the"]
+    for t in texts:
+        assert spj.encode_as_pieces(t) == spp.encode_as_pieces(t), t
+        assert spj.encode_as_ids(t) == spp.encode_as_ids(t), t
+        assert spj.decode_ids(spj.encode_as_ids(t)) == \
+               spp.decode_ids(spp.encode_as_ids(t)), t
+
+
+def test_proto_fixture_with_real_layout(tmp_path):
+    """Load a hand-built protobuf fixture laid out like a published model
+    (control pieces first, USER_DEFINED symbol, NORMAL pieces with unigram
+    scores) and check the piece/type/id semantics."""
+    from svt_speechbrain_tpu.tokenizers import spm_proto
+
+    pieces = [("<unk>", 0.0, spm_proto.UNKNOWN),
+              ("<s>", 0.0, spm_proto.CONTROL),
+              ("</s>", 0.0, spm_proto.CONTROL),
+              ("<mask>", 0.0, spm_proto.USER_DEFINED),
+              ("▁the", -1.2, spm_proto.NORMAL),
+              ("▁cat", -2.3, spm_proto.NORMAL),
+              ("▁", -3.0, spm_proto.NORMAL),
+              ("c", -4.0, spm_proto.NORMAL),
+              ("a", -4.1, spm_proto.NORMAL),
+              ("t", -4.2, spm_proto.NORMAL)]
+    path = os.path.join(tmp_path, "fx.model")
+    with open(path, "wb") as f:
+        f.write(spm_proto.write_model(pieces, model_type="unigram",
+                                      add_dummy_prefix=True, unk_id=0))
+    sp = spm_lite.SentencePieceProcessor().load(path)
+    assert sp.vocab_size() == 10
+    assert sp.unk_id() == 0
+    assert sp.piece_to_id("<s>") == 1 and sp.id_to_piece(2) == "</s>"
+    assert sp.encode_as_pieces("the cat") == ["▁the", "▁cat"]
+    # user-defined symbol segments out whole even mid-text
+    assert "<mask>" in sp.encode_as_pieces("the<mask>cat")
+    # unk surface on decode
+    assert sp.decode_ids([0, 4]) == "⁇  the".strip() or \
+           sp.decode_ids([0, 4]).endswith("the")
