@@ -15,6 +15,8 @@ log-space mat-vec primitives also exist as jax ops for device use.
 """
 from __future__ import annotations
 
+import collections
+import itertools
 import pickle
 import random
 
@@ -81,31 +83,26 @@ class HMMAligner:
     # ------------------------------------------------------------- lexicon
 
     def _load_lexicon(self, lexicon_path):
-        """Parse a CMU-style lexicon file: ``word/phones/`` lines, ``;``
-        comments, ``~``-suffixed variants, digits stripped from phones
+        """Parse a CMU-style lexicon file: ``word/phones/`` lines, a leading
+        block of ``;`` comments, ``~``-suffixed pronunciation variants keyed
+        back to the headword, stress digits stripped from phones
         (reference ``aligner.py:98-136``)."""
         with open(lexicon_path) as f:
-            lines = f.readlines()
-        start_index = 0
-        for i, line in enumerate(lines):
-            if line[0] != ";":
-                start_index = i
-                break
-        lexicon = {}
-        lexicon_phones = set()
-        for line in lines[start_index:]:
-            word = line.split()[0]
-            phones = line.split("/")[1]
-            phones = "".join([p for p in phones if not p.isdigit()])
-            for p in phones.split(" "):
-                lexicon_phones.add(p)
-            if "~" in word:
-                word = word.split("~")[0]
-            lexicon.setdefault(word, {})[len(lexicon.get(word, {}))] = phones
-        self.lexicon = lexicon
-        phones_sorted = sorted(lexicon_phones)
-        self.lex_lab2ind = {p: i + 1 for i, p in enumerate(phones_sorted)}
-        self.lex_ind2lab = {i + 1: p for i, p in enumerate(phones_sorted)}
+            entries = itertools.dropwhile(
+                lambda ln: ln[:1] == ";", f.read().splitlines())
+        pronunciations = collections.defaultdict(list)
+        inventory = set()
+        for entry in entries:
+            headword = entry.split()[0].partition("~")[0]
+            phones = "".join(c for c in entry.split("/")[1] if not c.isdigit())
+            inventory.update(phones.split(" "))
+            pronunciations[headword].append(phones)
+        self.lexicon = {w: dict(enumerate(ps))
+                        for w, ps in pronunciations.items()}
+        ranked = sorted(inventory)
+        self.lex_lab2ind = {p: i for i, p in enumerate(ranked, start=1)}
+        self.lex_ind2lab = {i: p for i, p in enumerate(ranked, start=1)}
+        # "sil" is reserved index 0; it never appears in lexicon files.
         self.lex_lab2ind["sil"] = 0
         self.lex_ind2lab[0] = "sil"
 
@@ -116,73 +113,57 @@ class HMMAligner:
         log-softmax. Returns (poss_phns, log_trans, start_states,
         final_states)."""
         spp = self.states_per_phoneme
-        number_of_states = 0
-        words_prime = []   # [word index, [state seqs per pron], is_silence]
-        word_index = 0
-        phoneme_indices = []
-        for word in words:
-            if word_index == 0 or interword_sils:
-                words_prime.append([
-                    word_index,
-                    [[number_of_states + i for i in range(spp)]], True])
-                phoneme_indices += [self.silence_index * spp + i
-                                    for i in range(spp)]
-                number_of_states += spp
-                word_index += 1
-            word_prime = [word_index, [], False]
-            if sample_pron and len(self.lexicon[word]) > 1:
-                random.shuffle(self.lexicon[word])
-            for pron_idx in range(len(self.lexicon[word])):
-                phonemes = self.lexicon[word][pron_idx].split()
-                word_prime[1].append([])
-                for p in phonemes:
-                    phoneme_indices += [self.lex_lab2ind[p] * spp + i
-                                        for i in range(spp)]
-                    word_prime[1][pron_idx] += [
-                        number_of_states + i for i in range(spp)]
-                    number_of_states += spp
-                if sample_pron:
-                    break
-            words_prime.append(word_prime)
-            word_index += 1
-        # optional final silence
-        words_prime.append([
-            word_index, [[number_of_states + i for i in range(spp)]], True])
-        phoneme_indices += [self.silence_index * spp + i for i in range(spp)]
-        number_of_states += spp
+        state_phn = []   # per-state (phoneme_label * spp + offset), alloc order
 
-        transition_matrix = np.eye(number_of_states)
+        def alloc(label):
+            """Allocate ``spp`` consecutive HMM states for one phoneme."""
+            base = len(state_phn)
+            state_phn.extend(label * spp + k for k in range(spp))
+            return list(range(base, base + spp))
+
+        def pron_chain(phones):
+            return [s for p in phones.split()
+                    for s in alloc(self.lex_lab2ind[p])]
+
+        # Segment list: leading silence, each word's pronunciation chains,
+        # inter-word silences when requested, always a trailing silence.
+        segments = [([alloc(self.silence_index)], True)]
+        for word in words:
+            prons = self.lexicon[word]
+            if sample_pron and len(prons) > 1:
+                random.shuffle(prons)  # int-keyed dict: in-place value swap
+            take = 1 if sample_pron else len(prons)
+            segments.append(
+                ([pron_chain(prons[k]) for k in range(take)], False))
+            if interword_sils:
+                segments.append(([alloc(self.silence_index)], True))
+        if not interword_sils:
+            segments.append(([alloc(self.silence_index)], True))
+
+        # Self-loops on the diagonal, forward links within each chain,
+        # word→word links that make every silence optional, plus the
+        # word→silence path; the last word and the trailing silence are
+        # the accepting states.
+        trans = np.eye(len(state_phn))
         final_states = []
-        for word_prime in words_prime:
-            word_idx = word_prime[0]
-            is_optional_silence = word_prime[-1]
-            next_word_exists = word_idx < len(words_prime) - 2
-            this_word_last_states = [pron[-1] for pron in word_prime[1]]
-            for pronunciation in word_prime[1]:
-                for a, b in zip(pronunciation[:-1], pronunciation[1:]):
-                    transition_matrix[a, b] = 1.0
-            if next_word_exists:
-                next_word_idx = (word_idx + 1
-                                 if is_optional_silence or not interword_sils
-                                 else word_idx + 2)
-                next_starts = [pron[0]
-                               for pron in words_prime[next_word_idx][1]]
-                for last in this_word_last_states:
-                    for nxt in next_starts:
-                        transition_matrix[last, nxt] = 1.0
+        for i, (chains, is_sil) in enumerate(segments):
+            for chain in chains:
+                trans[chain[:-1], chain[1:]] = 1.0
+            lasts = [chain[-1] for chain in chains]
+            if i < len(segments) - 2:
+                fwd = i + 1 if is_sil or not interword_sils else i + 2
+                starts = [chain[0] for chain in segments[fwd][0]]
+                trans[np.ix_(lasts, starts)] = 1.0
             else:
-                final_states += this_word_last_states
-            if not is_optional_silence:
-                next_sil_start = words_prime[word_idx + 1][1][0][0]
-                for last in this_word_last_states:
-                    transition_matrix[last, next_sil_start] = 1.0
+                final_states += lasts
+            if not is_sil:
+                trans[lasts, segments[i + 1][0][0][0]] = 1.0
 
         with np.errstate(divide="ignore"):
-            log_transition_matrix = _log_softmax(
-                np.log(transition_matrix), axis=1)
-        start_states = [words_prime[0][1][0][0]]
-        start_states += [pron[0] for pron in words_prime[1][1]]
-        return (np.asarray(phoneme_indices), log_transition_matrix,
+            log_transition_matrix = _log_softmax(np.log(trans), axis=1)
+        start_states = ([segments[0][0][0][0]]
+                        + [chain[0] for chain in segments[1][0]])
+        return (np.asarray(state_phn), log_transition_matrix,
                 start_states, final_states)
 
     def use_lexicon(self, words, interword_sils=True, sample_pron=False):

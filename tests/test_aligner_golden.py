@@ -161,3 +161,26 @@ def test_expand_accuracy_collapse_match_reference():
     r_acc = ref1.calc_accuracy([[0., 0., 0., 1.]], [[2, 4]], [[0., 1.]])
     o_acc = ours1.calc_accuracy([[0., 0., 0., 1.]], [[2, 4]], [[0., 1.]])
     np.testing.assert_allclose(o_acc, r_acc.numpy())
+
+
+LEXICON_FIXTURE = """\
+;;; comment header line one
+;;; comment header line two
+read/r eh1 d/
+read~1/r iy2 d/
+a/ah0/
+moon/m uw1 n/
+"""
+
+
+def test_lexicon_file_parse_matches_reference(tmp_path):
+    """The CMU-style lexicon *file* parser: leading ``;`` comments skipped,
+    ``~`` variants folded into the headword, stress digits stripped, and
+    the sil-reserved label maps built identically."""
+    path = tmp_path / "lexicon.txt"
+    path.write_text(LEXICON_FIXTURE)
+    ref = _ref_aligner(lexicon_path=str(path))
+    ours = HMMAligner(lexicon_path=str(path))
+    assert ours.lexicon == ref.lexicon
+    assert ours.lex_lab2ind == ref.lex_lab2ind
+    assert ours.lex_ind2lab == ref.lex_ind2lab
