@@ -1,0 +1,206 @@
+"""fairseq-semantics beam search for seq2seq decoders.
+
+The reference vendors fairseq's ``SequenceGenerator``
+(``speechbrain/lobes/models/sequence_generator.py:20``, 985 lines) to decode
+AV-HuBERT ``hubert_asr`` seq2seq checkpoints. Its beam semantics differ from
+the speechbrain searchers in ``decoders/seq2seq.py``:
+
+- each step ranks ``2 * beam`` candidates over (cumulative score + lprob),
+  using only beam 0 at step 0, and **never selects pad** (the top-k width is
+  clipped to ``vocab - 1``);
+- EOS candidates are only finalized from the top ``beam`` ranks; finalized
+  scores are normalized by ``(step + 1) ** len_penalty``;
+- non-EOS survivors are the ``beam`` smallest entries of the
+  eos/ignore-penalized candidate ranking (fairseq's ``active_mask`` trick);
+- a sentence finishes when ``beam`` hypotheses are finalized or the step
+  loop hits ``max_len``; hypotheses are returned sorted by normalized score.
+
+This module reimplements those semantics TPU-first: the per-step decoder
+call is ONE jitted static-shape program (KV-cache incremental step from
+``models/seq2seq_decoder.py``) shared by every step, while the O(beam)
+bookkeeping above runs host-side in numpy — it is branch-heavy, tiny, and
+would only pessimize XLA. Golden-tested token-for-token against the vendored
+reference generator in ``tests/test_seq2seq_decode_golden.py``.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+class FairseqSequenceGenerator:
+    """Beam-decode a ``FairseqTransformerDecoder`` over encoder features.
+
+    Example
+    -------
+    >>> import jax, jax.numpy as jnp
+    >>> from svt_speechbrain_tpu.models.seq2seq_decoder import (
+    ...     FairseqDecoderConfig, FairseqTransformerDecoder)
+    >>> cfg = FairseqDecoderConfig(vocab_size=9, embed_dim=8, ffn_dim=16,
+    ...                            num_layers=1, num_heads=2)
+    >>> dec = FairseqTransformerDecoder(cfg)
+    >>> params = dec.init(jax.random.PRNGKey(0))
+    >>> gen = FairseqSequenceGenerator(dec, beam_size=2, max_len_b=5)
+    >>> enc = jax.random.normal(jax.random.PRNGKey(1), (2, 4, 8))
+    >>> out = gen.generate(params, enc)
+    >>> len(out), sorted(out[0][0])
+    (2, ['positional_scores', 'score', 'tokens'])
+    >>> int(out[0][0]["tokens"][-1])   # every hypothesis ends in EOS
+    2
+    """
+
+    def __init__(self, decoder, beam_size=5, max_len_a=0.0, max_len_b=200,
+                 min_len=1, normalize_scores=True, len_penalty=1.0,
+                 unk_penalty=0.0, temperature=1.0, pad=None, unk=None,
+                 eos=None):
+        self.decoder = decoder
+        vocab = decoder.cfg.vocab_size
+        self.vocab_size = vocab
+        self.beam_size = min(beam_size, vocab - 1)
+        self.max_len_a = max_len_a
+        self.max_len_b = max_len_b
+        self.min_len = min_len
+        self.normalize_scores = normalize_scores
+        self.len_penalty = len_penalty
+        self.unk_penalty = unk_penalty
+        self.temperature = temperature
+        # fairseq Dictionary defaults: <s>=0 is bos, <pad>=1, </s>=2, <unk>=3
+        self.pad = decoder.cfg.padding_idx if pad is None else pad
+        self.eos = 2 if eos is None else eos
+        self.unk = 3 if unk is None else unk
+
+        @jax.jit
+        def _step(params, cache, tokens_t, t):
+            logits, cache = decoder.step(params, cache, tokens_t, t)
+            lp = jax.nn.log_softmax(
+                logits.astype(jnp.float32) / self.temperature, axis=-1)
+            return lp, cache
+
+        self._step = _step
+
+    # ------------------------------------------------------------------
+
+    def _candidates(self, step, lprobs, scores):
+        """fairseq ``search.BeamSearch.step``: top ``2*beam`` of the
+        flattened (beam, vocab) cumulative scores; never selects pad."""
+        bsz, beams, vocab = lprobs.shape
+        if step == 0:
+            flat = lprobs[:, 0]                      # only the first beam
+        else:
+            flat = (lprobs + scores[:, :, None]).reshape(bsz, -1)
+        k = min(2 * self.beam_size, flat.shape[1] - 1)
+        order = np.argsort(-flat, axis=1, kind="stable")[:, :k]
+        cand_scores = np.take_along_axis(flat, order, axis=1)
+        cand_beams = order // vocab if step > 0 else np.zeros_like(order)
+        cand_tokens = order % vocab if step > 0 else order
+        return cand_scores, cand_tokens, cand_beams
+
+    def generate(self, params, encoder_out, encoder_padding_mask=None,
+                 bos_token=None):
+        """Decode a batch. Returns, per sentence, ``beam_size`` hypothesis
+        dicts (``tokens`` incl. the final EOS, ``score``,
+        ``positional_scores``) sorted by descending score — the reference
+        generator's ``finalized`` contract."""
+        bsz = int(encoder_out.shape[0])
+        beam = self.beam_size
+        src_len = int(encoder_out.shape[1])
+        max_len = min(int(self.max_len_a * src_len + self.max_len_b),
+                      self.decoder.cfg.max_target_positions - 1)
+        bos = self.eos if bos_token is None else bos_token
+
+        # beam-expand the encoder (B*beam rows, beam-major like fairseq)
+        order = np.repeat(np.arange(bsz), beam)
+        enc = jnp.take(encoder_out, jnp.asarray(order), axis=0)
+        enc_mask = None
+        if encoder_padding_mask is not None:
+            enc_mask = jnp.take(jnp.asarray(encoder_padding_mask),
+                                jnp.asarray(order), axis=0)
+        cache = self.decoder.init_cache(params, enc, max_len + 2,
+                                        encoder_padding_mask=enc_mask)
+
+        tokens = np.full((bsz * beam, max_len + 2), self.pad, np.int32)
+        tokens[:, 0] = bos
+        scores = np.zeros((bsz * beam, max_len + 1), np.float32)
+        cands_to_ignore = np.zeros((bsz, beam), bool)
+        finalized = [[] for _ in range(bsz)]
+        finished = [False] * bsz
+
+        reorder = None
+        for step in range(max_len + 1):
+            if reorder is not None:
+                cache = self.decoder.reorder_cache(cache, jnp.asarray(reorder))
+            lprobs, cache = self._step(
+                params, cache, jnp.asarray(tokens[:, step]), step)
+            # a mutable fp32 copy (the reference accumulates fp32)
+            lprobs = np.array(lprobs, np.float32)
+            lprobs[np.isnan(lprobs)] = -np.inf
+            lprobs[:, self.pad] = -np.inf
+            lprobs[:, self.unk] -= self.unk_penalty
+            if step >= max_len:                      # force EOS
+                lprobs[:, : self.eos] = -np.inf
+                lprobs[:, self.eos + 1:] = -np.inf
+            elif step < self.min_len:
+                lprobs[:, self.eos] = -np.inf
+
+            cand_scores, cand_tokens, cand_beams = self._candidates(
+                step, lprobs.reshape(bsz, beam, -1),
+                scores[:, step - 1].reshape(bsz, beam) if step > 0 else None)
+            cand_rows = cand_beams + np.arange(bsz)[:, None] * beam
+
+            # finalize EOS candidates that rank in the top `beam`
+            eos_mask = (cand_tokens == self.eos) & (cand_scores != -np.inf)
+            eos_mask[:, :beam][cands_to_ignore] = False
+            for sent in range(bsz):
+                if finished[sent]:
+                    continue
+                for j in range(beam):
+                    if not eos_mask[sent, j]:
+                        continue
+                    row = cand_rows[sent, j]
+                    eos_score = cand_scores[sent, j]
+                    hyp = tokens[row, 1: step + 2].copy()
+                    hyp[step] = self.eos
+                    pos = scores[row, : step + 1].copy()
+                    pos[step] = eos_score
+                    pos[1:] -= pos[:-1].copy()
+                    final = eos_score
+                    if self.normalize_scores:
+                        final = eos_score / (step + 1) ** self.len_penalty
+                    if len(finalized[sent]) < beam:
+                        finalized[sent].append({
+                            "tokens": hyp, "score": float(final),
+                            "positional_scores": pos})
+                if len(finalized[sent]) == beam or step == max_len:
+                    finished[sent] = True
+            if all(finished):
+                break
+
+            # fairseq's active_mask trick: penalize EOS'd / ignored slots,
+            # keep the `beam` smallest (i.e. best remaining candidates)
+            cand_size = cand_scores.shape[1]
+            eos_mask[:, :beam] |= cands_to_ignore
+            active_mask = (eos_mask.astype(np.int64) * cand_size
+                           + np.arange(cand_size)[None])
+            active_hypos = np.argsort(active_mask, axis=1,
+                                      kind="stable")[:, :beam]
+            new_ignore = np.take_along_axis(active_mask, active_hypos,
+                                            axis=1) >= cand_size
+            cands_to_ignore = new_ignore
+            active_rows = np.take_along_axis(cand_rows, active_hypos, axis=1)
+            active_scores = np.take_along_axis(cand_scores, active_hypos,
+                                               axis=1)
+            active_tokens = np.take_along_axis(cand_tokens, active_hypos,
+                                               axis=1)
+
+            reorder = active_rows.reshape(-1)
+            tokens[:, : step + 1] = tokens[reorder, : step + 1]
+            tokens[:, step + 1] = active_tokens.reshape(-1)
+            if step > 0:
+                scores[:, :step] = scores[reorder, :step]
+            scores[:, step] = active_scores.reshape(-1)
+
+        for sent in range(bsz):
+            finalized[sent].sort(key=lambda h: -h["score"])
+        return finalized

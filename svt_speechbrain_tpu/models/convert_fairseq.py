@@ -222,3 +222,73 @@ def convert_wav2vec2_fairseq_state_dict(sd, config):
         }
     params["layers"] = layers
     return params
+
+
+def convert_fairseq_seq2seq_decoder(sd, cfg):
+    """``decoder.*`` keys of a fairseq ``hubert_asr`` seq2seq checkpoint →
+    ``models.seq2seq_decoder.FairseqTransformerDecoder`` params.
+
+    The reference decodes these checkpoints through its vendored fairseq
+    ``TransformerDecoder`` (``speechbrain/lobes/models/decoder.py:38``);
+    the key schema is fairseq's: ``embed_tokens.weight``,
+    ``layers.N.{self_attn,encoder_attn}.{q,k,v,out}_proj.{weight,bias}``,
+    ``layers.N.{self_attn,encoder_attn,final}_layer_norm``,
+    ``layers.N.fc{1,2}``, optional ``embed_out`` / ``layer_norm`` /
+    learned ``embed_positions.weight`` (the sinusoidal
+    ``embed_positions._float_tensor`` buffer carries no information).
+    """
+    sd = {k.removeprefix("decoder."): np.asarray(v) for k, v in sd.items()
+          if k.startswith("decoder.")}
+
+    def attn(pre):
+        return {"wq": _t(sd[pre + "q_proj.weight"]),
+                "bq": sd[pre + "q_proj.bias"],
+                "wk": _t(sd[pre + "k_proj.weight"]),
+                "bk": sd[pre + "k_proj.bias"],
+                "wv": _t(sd[pre + "v_proj.weight"]),
+                "bv": sd[pre + "v_proj.bias"],
+                "wo": _t(sd[pre + "out_proj.weight"]),
+                "bo": sd[pre + "out_proj.bias"]}
+
+    def ln(pre):
+        return {"scale": sd[pre + "weight"], "bias": sd[pre + "bias"]}
+
+    params = {"embed_tokens": {"table": sd["embed_tokens.weight"]},
+              "layers": {}}
+    for i in range(cfg.num_layers):
+        pre = f"layers.{i}."
+        params["layers"][str(i)] = {
+            "self_attn": attn(pre + "self_attn."),
+            "encoder_attn": attn(pre + "encoder_attn."),
+            "ln_self": ln(pre + "self_attn_layer_norm."),
+            "ln_cross": ln(pre + "encoder_attn_layer_norm."),
+            "ln_final": ln(pre + "final_layer_norm."),
+            "fc1": {"w": _t(sd[pre + "fc1.weight"]),
+                    "b": sd[pre + "fc1.bias"]},
+            "fc2": {"w": _t(sd[pre + "fc2.weight"]),
+                    "b": sd[pre + "fc2.bias"]},
+        }
+    if cfg.learned_pos:
+        params["embed_positions"] = {"table": sd["embed_positions.weight"]}
+    if not cfg.share_input_output_embed:
+        params["embed_out"] = sd["embed_out"]
+    if cfg.normalize_before:
+        params["final_ln"] = ln("layer_norm.")
+    return params
+
+
+def convert_fairseq_avhubert_asr(sd, encoder_config, decoder_cfg):
+    """Full ``hubert_asr``-style seq2seq state dict → (encoder params,
+    encoder state, decoder params).
+
+    fairseq's AV-HuBERT ASR model wraps the pretrained encoder as
+    ``encoder.w2v_model.*`` and the seq2seq decoder as ``decoder.*``
+    (the reference loads it through the fairseq task registry;
+    here it is a plain state-dict mapping like the other six families).
+    """
+    enc_sd = {k.removeprefix("encoder.w2v_model."): v for k, v in sd.items()
+              if k.startswith("encoder.w2v_model.")}
+    enc_params, enc_state = convert_avhubert_state_dict(enc_sd,
+                                                        encoder_config)
+    dec_params = convert_fairseq_seq2seq_decoder(sd, decoder_cfg)
+    return enc_params, enc_state, dec_params

@@ -406,3 +406,251 @@ def fairseq_named_state_dict(model):
             k = k.replace(".layer_norm.", ".self_attn_layer_norm.")
         out[k] = v.detach().numpy().copy()
     return out
+
+
+def install_fairseq_decoder_stub():
+    """Upgrade the fairseq stub (must run AFTER ``install_fairseq_stub``)
+    with REAL torch implementations of the decoder-side fairseq modules, so
+    the vendored ``speechbrain/lobes/models/decoder.py`` and
+    ``sequence_generator.py`` run numerically:
+
+    - ``fairseq.modules.TransformerDecoderLayer`` — fairseq layer semantics
+      (q/k/v/out projections with ``head_dim**-0.5`` query scaling, pre- or
+      post-norm residual blocks, fc1/fc2 FFN), non-incremental;
+    - ``fairseq.modules.PositionalEmbedding`` — fairseq sinusoidal table
+      ([sin | cos] concatenated, padding row zeroed, positions offset by
+      ``padding_idx + 1``) or learned with the same offset;
+    - ``fairseq.search.BeamSearch`` and ``fairseq.utils.fill_with_neg_inf``.
+
+    Returns a ``Dictionary``-like factory for building tgt_dicts.
+    """
+    import math
+    import sys as _sys
+
+    import torch
+    import torch.nn as nn
+    import torch.nn.functional as F
+
+    class _MHA(nn.Module):
+        """fairseq MultiheadAttention (eval mode, non-incremental),
+        T x B x C convention."""
+
+        def __init__(self, embed_dim, num_heads):
+            super().__init__()
+            self.embed_dim, self.num_heads = embed_dim, num_heads
+            self.head_dim = embed_dim // num_heads
+            self.scaling = self.head_dim ** -0.5
+            for name in ("q_proj", "k_proj", "v_proj", "out_proj"):
+                setattr(self, name, nn.Linear(embed_dim, embed_dim))
+
+        def forward(self, query, key, value, key_padding_mask=None,
+                    attn_mask=None, incremental_state=None,
+                    need_weights=True, static_kv=False, **kw):
+            assert incremental_state is None, "stub is non-incremental"
+            t, b, c = query.shape
+            h, dh = self.num_heads, self.head_dim
+            q = self.q_proj(query) * self.scaling
+            k, v = self.k_proj(key), self.v_proj(value)
+
+            def split(x):
+                return x.contiguous().view(-1, b * h, dh).transpose(0, 1)
+
+            q, k, v = split(q), split(k), split(v)
+            w = torch.bmm(q, k.transpose(1, 2))           # (B*H, Tq, Tk)
+            if attn_mask is not None:
+                w = w + attn_mask.unsqueeze(0)
+            if key_padding_mask is not None:
+                w = w.view(b, h, t, -1).masked_fill(
+                    key_padding_mask.unsqueeze(1).unsqueeze(2).to(torch.bool),
+                    float("-inf")).view(b * h, t, -1)
+            w = F.softmax(w, dim=-1)
+            out = torch.bmm(w, v).transpose(0, 1).contiguous().view(t, b, c)
+            out = self.out_proj(out)
+            attn = w.view(b, h, t, -1).mean(dim=1) if need_weights else None
+            return out, attn
+
+    class TransformerDecoderLayer(nn.Module):
+        def __init__(self, args, no_encoder_attn=False):
+            super().__init__()
+            d = args.decoder_embed_dim
+            heads = args.decoder_attention_heads
+            self.self_attn = _MHA(d, heads)
+            self.encoder_attn = None if no_encoder_attn else _MHA(d, heads)
+            self.self_attn_layer_norm = nn.LayerNorm(d)
+            self.encoder_attn_layer_norm = nn.LayerNorm(d)
+            self.final_layer_norm = nn.LayerNorm(d)
+            self.fc1 = nn.Linear(d, args.decoder_ffn_embed_dim)
+            self.fc2 = nn.Linear(args.decoder_ffn_embed_dim, d)
+            act = getattr(args, "activation_fn", "relu")
+            self.activation_fn = F.relu if act == "relu" else F.gelu
+            self.normalize_before = args.decoder_normalize_before
+
+        def forward(self, x, encoder_out=None, encoder_padding_mask=None,
+                    incremental_state=None, self_attn_mask=None,
+                    self_attn_padding_mask=None, **kw):
+            assert incremental_state is None, "stub is non-incremental"
+            residual = x
+            if self.normalize_before:
+                x = self.self_attn_layer_norm(x)
+            x, _ = self.self_attn(x, x, x, attn_mask=self_attn_mask,
+                                  key_padding_mask=self_attn_padding_mask,
+                                  need_weights=False)
+            x = residual + x
+            if not self.normalize_before:
+                x = self.self_attn_layer_norm(x)
+            attn = None
+            if self.encoder_attn is not None and encoder_out is not None:
+                residual = x
+                if self.normalize_before:
+                    x = self.encoder_attn_layer_norm(x)
+                x, attn = self.encoder_attn(
+                    x, encoder_out, encoder_out,
+                    key_padding_mask=encoder_padding_mask, need_weights=True)
+                x = residual + x
+                if not self.normalize_before:
+                    x = self.encoder_attn_layer_norm(x)
+            residual = x
+            if self.normalize_before:
+                x = self.final_layer_norm(x)
+            x = self.fc2(self.activation_fn(self.fc1(x)))
+            x = residual + x
+            if not self.normalize_before:
+                x = self.final_layer_norm(x)
+            return x, attn, None
+
+    def make_positions(tensor, padding_idx):
+        mask = tensor.ne(padding_idx).int()
+        return (torch.cumsum(mask, dim=1).type_as(mask)
+                * mask).long() + padding_idx
+
+    def sinusoid_table(num_embeddings, dim, padding_idx):
+        half = dim // 2
+        emb = math.log(10000) / (half - 1)
+        emb = torch.exp(torch.arange(half, dtype=torch.float) * -emb)
+        emb = torch.arange(num_embeddings, dtype=torch.float).unsqueeze(1) \
+            * emb.unsqueeze(0)
+        emb = torch.cat([torch.sin(emb), torch.cos(emb)], dim=1)
+        if dim % 2 == 1:
+            emb = torch.cat([emb, torch.zeros(num_embeddings, 1)], dim=1)
+        if padding_idx is not None:
+            emb[padding_idx, :] = 0
+        return emb
+
+    class SinusoidalPositionalEmbedding(nn.Module):
+        def __init__(self, embedding_dim, padding_idx, init_size):
+            super().__init__()
+            self.embedding_dim = embedding_dim
+            self.padding_idx = padding_idx
+            self.register_buffer("_float_tensor", torch.FloatTensor(1))
+            self.weights = sinusoid_table(init_size, embedding_dim,
+                                          padding_idx)
+
+        def forward(self, input, incremental_state=None, **kw):
+            assert incremental_state is None, "stub is non-incremental"
+            bsz, seq_len = input.shape
+            need = self.padding_idx + 1 + seq_len
+            if need > self.weights.size(0):
+                self.weights = sinusoid_table(need, self.embedding_dim,
+                                              self.padding_idx)
+            positions = make_positions(input, self.padding_idx)
+            return self.weights.index_select(
+                0, positions.view(-1)).view(bsz, seq_len, -1).detach()
+
+    class LearnedPositionalEmbedding(nn.Embedding):
+        def forward(self, input, incremental_state=None, **kw):
+            assert incremental_state is None, "stub is non-incremental"
+            return super().forward(make_positions(input, self.padding_idx))
+
+    def PositionalEmbedding(num_embeddings, embedding_dim, padding_idx,
+                            learned=False):
+        if learned:
+            m = LearnedPositionalEmbedding(
+                num_embeddings + padding_idx + 1, embedding_dim, padding_idx)
+            nn.init.normal_(m.weight, mean=0, std=embedding_dim ** -0.5)
+            nn.init.constant_(m.weight[padding_idx], 0)
+            return m
+        return SinusoidalPositionalEmbedding(
+            embedding_dim, padding_idx,
+            init_size=num_embeddings + padding_idx + 1)
+
+    class Dictionary:
+        """len/pad/unk/eos surface of fairseq.data.Dictionary."""
+
+        def __init__(self, vocab_size, pad=1, eos=2, unk=3):
+            self._n, self._pad, self._eos, self._unk = (
+                vocab_size, pad, eos, unk)
+
+        def __len__(self):
+            return self._n
+
+        def pad(self):
+            return self._pad
+
+        def eos(self):
+            return self._eos
+
+        def unk(self):
+            return self._unk
+
+    class BeamSearch:
+        """fairseq.search.BeamSearch — candidate ranking semantics."""
+
+        def __init__(self, tgt_dict):
+            self.pad, self.unk, self.eos = (tgt_dict.pad(), tgt_dict.unk(),
+                                            tgt_dict.eos())
+            self.vocab_size = len(tgt_dict)
+            self.stop_on_max_len = False
+            self.needs_src_lengths = False
+            self.supports_constraints = False
+
+        def init_constraints(self, *a):
+            pass
+
+        def prune_sentences(self, *a):
+            pass
+
+        def update_constraints(self, *a):
+            pass
+
+        def set_src_lengths(self, *a):
+            pass
+
+        def step(self, step, lprobs, scores, prev_output_tokens=None,
+                 original_batch_idxs=None):
+            bsz, beam_size, vocab_size = lprobs.size()
+            if step == 0:
+                lprobs = lprobs[:, ::beam_size, :].contiguous()
+            else:
+                lprobs = lprobs + scores[:, :, step - 1].unsqueeze(-1)
+            top = torch.topk(
+                lprobs.view(bsz, -1),
+                k=min(beam_size * 2, lprobs.view(bsz, -1).size(1) - 1))
+            scores_buf, indices_buf = top
+            beams_buf = torch.div(indices_buf, vocab_size,
+                                  rounding_mode="floor")
+            indices_buf = indices_buf.fmod(vocab_size)
+            return scores_buf, indices_buf, beams_buf
+
+    mods = _sys.modules["fairseq.modules"]
+    mods.TransformerDecoderLayer = TransformerDecoderLayer
+    mods.PositionalEmbedding = PositionalEmbedding
+    _sys.modules["fairseq"].utils.fill_with_neg_inf = (
+        lambda t: t.float().fill_(float("-inf")).type_as(t))
+    _sys.modules["fairseq.search"].BeamSearch = BeamSearch
+    _sys.modules["fairseq"].search.BeamSearch = BeamSearch
+    return Dictionary
+
+
+def import_reference_seq2seq_decoder():
+    """Install the upgraded fairseq stub and import the vendored
+    ``speechbrain/lobes/models/decoder.py`` + ``sequence_generator.py``
+    (the AV-HuBERT seq2seq ASR decode path). Returns
+    (decoder_module, generator_module, Dictionary)."""
+    install_fairseq_stub()
+    Dictionary = install_fairseq_decoder_stub()
+    lobes = os.path.join(REFERENCE_ROOT, "speechbrain", "lobes", "models")
+    dec = load_reference_module(os.path.join(lobes, "decoder.py"),
+                                "_ref_seq2seq_decoder")
+    gen = load_reference_module(
+        os.path.join(lobes, "sequence_generator.py"), "_ref_seq2seq_gen")
+    return dec, gen, Dictionary

@@ -179,3 +179,43 @@ def test_avhubert_conversion_covers_all_keys_and_shapes():
     want_s = tree_shapes(jax.eval_shape(model.init_state))
     assert tree_shapes(params) == want_p, "params tree != model.init tree"
     assert tree_shapes(state) == want_s, "state tree != model.init_state tree"
+
+
+@pytest.mark.skipif(not reference_available(),
+                    reason="avhubert manifest needs the reference resnet")
+def test_avhubert_asr_seq2seq_conversion_covers_all_keys_and_shapes():
+    """The seq2seq ASR family: encoder.w2v_model.* + decoder.* both consumed
+    and both converted trees match the models' init trees exactly."""
+    import jax
+    from svt_speechbrain_tpu.models.avhubert import (
+        AVHubertConfig, AVHubertModel)
+    from svt_speechbrain_tpu.models.convert_fairseq import (
+        convert_fairseq_avhubert_asr)
+    from svt_speechbrain_tpu.models.seq2seq_decoder import (
+        FairseqDecoderConfig, FairseqTransformerDecoder)
+
+    manifest = load_manifest("avhubert-asr-seq2seq")
+    enc_cfg = AVHubertConfig.large()
+    dec_cfg = FairseqDecoderConfig(
+        vocab_size=1000, embed_dim=1024, ffn_dim=4096, num_layers=6,
+        num_heads=8, normalize_before=False, no_scale_embedding=True)
+    sd, tags = tagged_sd(manifest)
+    enc_params, enc_state, dec_params = convert_fairseq_avhubert_asr(
+        sd, enc_cfg, dec_cfg)
+
+    unconsumed = set(manifest) - consumed_keys(
+        (enc_params, enc_state, dec_params), tags)
+    unconsumed = {k for k in unconsumed
+                  if not k.endswith("num_batches_tracked")}
+    # the sinusoidal position buffer carries no information
+    assert unconsumed == {"decoder.embed_positions._float_tensor"}, (
+        f"seq2seq: converter silently dropped {sorted(unconsumed)}")
+
+    enc_model = AVHubertModel(enc_cfg)
+    assert tree_shapes(enc_params) == tree_shapes(
+        jax.eval_shape(enc_model.init, jax.random.PRNGKey(0)))
+    assert tree_shapes(enc_state) == tree_shapes(
+        jax.eval_shape(enc_model.init_state))
+    dec_model = FairseqTransformerDecoder(dec_cfg)
+    assert tree_shapes(dec_params) == tree_shapes(
+        jax.eval_shape(dec_model.init, jax.random.PRNGKey(0)))

@@ -112,6 +112,42 @@ def avhubert_large_manifest():
     return m
 
 
+def avhubert_asr_seq2seq_manifest():
+    """fairseq ``av_hubert_seq2seq`` ASR fine-tune checkpoint keys
+    (``N20EMv2/video_only/hubert_asr.py:406``): the pretrained encoder
+    wrapped as ``encoder.w2v_model.*`` (``remove_pretraining_modules()``
+    drops final_proj/label_embs; ``mask_emb`` stays — it is a module
+    param), plus the fairseq ``decoder.*`` TransformerDecoder. Decoder
+    sized to the large encoder (1024 embed — fairseq cross-attention
+    requires decoder dim == encoder dim here, ``decoder.py:94-110``),
+    unigram-1000 target vocab; the converter is config-driven, so any
+    published size maps the same way."""
+    m = {}
+    for k, v in avhubert_large_manifest().items():
+        if k.startswith(("final_proj.", "label_embs_concat")):
+            continue
+        m[f"encoder.w2v_model.{k}"] = v
+    d, ffn, layers, vocab = 1024, 4096, 6, 1000
+    m["decoder.embed_tokens.weight"] = [vocab, d]
+    m["decoder.embed_out"] = [vocab, d]
+    m["decoder.embed_positions._float_tensor"] = [1]  # sinusoidal buffer
+    for i in range(layers):
+        pre = f"decoder.layers.{i}."
+        for a in ("self_attn", "encoder_attn"):
+            for p in ("q_proj", "k_proj", "v_proj", "out_proj"):
+                m[pre + f"{a}.{p}.weight"] = [d, d]
+                m[pre + f"{a}.{p}.bias"] = [d]
+            m[pre + f"{a}_layer_norm.weight"] = [d]
+            m[pre + f"{a}_layer_norm.bias"] = [d]
+        m[pre + "fc1.weight"] = [ffn, d]
+        m[pre + "fc1.bias"] = [ffn]
+        m[pre + "fc2.weight"] = [d, ffn]
+        m[pre + "fc2.bias"] = [d]
+        m[pre + "final_layer_norm.weight"] = [d]
+        m[pre + "final_layer_norm.bias"] = [d]
+    return m
+
+
 def main():
     manifests = {}
     for name, (cls, cfg) in hf_families().items():
@@ -120,6 +156,9 @@ def main():
     if os.path.isdir("/root/reference"):
         manifests["avhubert-large"] = avhubert_large_manifest()
         print(f"avhubert-large: {len(manifests['avhubert-large'])} keys")
+        manifests["avhubert-asr-seq2seq"] = avhubert_asr_seq2seq_manifest()
+        print(f"avhubert-asr-seq2seq: "
+              f"{len(manifests['avhubert-asr-seq2seq'])} keys")
     os.makedirs(os.path.dirname(OUT_PATH), exist_ok=True)
     with open(OUT_PATH, "w") as f:
         json.dump(manifests, f, indent=1, sort_keys=True)
