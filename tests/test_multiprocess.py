@@ -199,3 +199,55 @@ def test_two_process_brain_matches_single(tmp_path):
         wsum = float(out.split("MPBRAIN_WSUM ")[1].split()[0])
         assert abs(loss - float(ref_loss)) < 1e-4, (loss, float(ref_loss))
         assert abs(wsum - ref_wsum) < 1e-4, (wsum, ref_wsum)
+
+
+def test_multiprocess_fsdp_tp_spanning_processes(tmp_path):
+    """Model sharding ACROSS the process boundary (the DCN layout of a real
+    multi-host deployment): 2 OS processes x 4 virtual devices, mesh built
+    transposed so every TP pair / FSDP gather group contains one device
+    from each process, one checkpoint save/restore on that exact layout,
+    then continued training. Both processes must agree bit-exactly; the
+    pre-checkpoint phase must be bit-equal to the identical single-process
+    8-device run (post-restore values are allclose — a different process
+    topology compiles a different collective schedule, so the loss scalar
+    may move by an ulp even when the weights do not)."""
+    demo = os.path.join(REPO_ROOT, "tools", "multiproc_sharding_demo.py")
+
+    def run(args, ckpt, n_local):
+        env = dict(os.environ)
+        env["XLA_FLAGS"] = (
+            f"--xla_force_host_platform_device_count={n_local}")
+        return subprocess.Popen(
+            [sys.executable, demo, *args, str(ckpt)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
+            text=True)
+
+    def metrics(out):
+        return {k: float(out.split(f"MPSHARD_{k} ")[1].split()[0])
+                for k in ("LOSS", "WSUM", "LOSS2", "WSUM2")}
+
+    single = run(["-1", "0", "2"], tmp_path / "ck_single", 8)
+    out, _ = single.communicate(timeout=300)
+    assert single.returncode == 0, out[-2000:]
+    ref = metrics(out)
+
+    port = str(_free_port())
+    procs = [run([str(i), port, "2"], tmp_path / "ck_multi", 4)
+             for i in range(2)]
+    outs = []
+    for i, p in enumerate(procs):
+        try:
+            out, _ = p.communicate(timeout=300)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            out, _ = p.communicate()
+        assert p.returncode == 0, f"proc {i} failed:\n{out[-2000:]}"
+        assert f"MPSHARD_OK {i}" in out
+        outs.append(metrics(out))
+
+    assert outs[0] == outs[1], "processes disagree"
+    assert outs[0]["LOSS"] == ref["LOSS"]       # bit-equal pre-checkpoint
+    assert outs[0]["WSUM"] == ref["WSUM"]
+    for k in ("LOSS2", "WSUM2"):                # post-restore: allclose
+        assert abs(outs[0][k] - ref[k]) <= 2e-6 * abs(ref[k]), (
+            k, outs[0][k], ref[k])
