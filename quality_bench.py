@@ -23,11 +23,19 @@ The dataset is tuned so COnPOff lands in a sensitive mid band (not a
 saturated 1.0 and not majority-class floor), where regressions move the
 number.
 
-Prints ONE JSON line: {"metric": "synthetic_COnPOff_f1_vs_reference",
-"value", "reference_value", "delta", per-metric pairs, epochs}.
+Three families ship in one artifact (schema v2 — see the PINNED block
+below for the exact layout): the MIR-ST500 audio recipe (ours vs the
+reference torch Brain, COnPOff delta), the N20EMv2 video recipe (AV-HuBERT,
+pitch-coded mouth apertures; COnPOff delta), and the RCA fusion noise sweep
+(AV vs audio-only per SNR). Every family also carries an int8 line — the
+same trained weights re-scored through the a8w8 serving path.
 
-Runtime ~8-12 min (QBENCH_EPOCHS=6 default; COnPOff ~0.79 = the sensitive band). Set QBENCH_SKIP_REFERENCE=1
-for the ours-only legacy behavior (e.g. without /root/reference).
+Prints ONE JSON line: {"metric": "synthetic_COnPOff_f1_vs_reference",
+"value", "reference_value", "delta", per-metric pairs, families, schema}.
+
+Runtime ~20-30 min at the pinned epochs (MIR 6 / video 20 / rca 40).
+QBENCH_FAMILIES / QBENCH_*_EPOCHS / QBENCH_SKIP_REFERENCE narrow it for
+probing — any override flips ``pinned_overridden`` in the artifact.
 """
 import importlib.util
 import json
@@ -78,6 +86,36 @@ feat_dim: 64
 # big lrs so the tiny model reaches its plateau within the epoch budget
 LR_MODEL = 1.0      # Adadelta head (yaml key "lr")
 LR_WAV2VEC = 0.004  # Adam encoder
+
+# ---------------------------------------------------------------------------
+# PINNED artifact contract: QUALITY_r{N}.json stays diffable round-over-round
+# only while this block is fixed. Bump "schema" whenever a pinned value or
+# any dataset-synthesis recipe in this file changes, and note what moved.
+#
+# Artifact schema v2 (r05; v1 = r04 without the version fields, video at 6
+# epochs with colliding pitch classes, int8 line on the MIR family only):
+#   metric                          "synthetic_COnPOff_f1_vs_reference"
+#   value / reference_value / delta MIR-family COnPOff, ours vs reference
+#   COnP_f1 / COn_f1 (+ ref_*)      supporting MIR metrics
+#   int8                            {COnPOff_f1, COnP_f1, COn_f1,
+#                                    delta_vs_bf16} — a8w8 serving path
+#   families.video                  value/reference_value/delta (COnPOff),
+#                                   COnP_f1, COn_f1, delta_COn, loss pair,
+#                                   epochs, int8 (same shape as MIR's)
+#   families.rca                    av / audio_only per-SNR
+#                                   {COnPOff, COnP, COn},
+#                                   delta_av_minus_a_COnP per SNR,
+#                                   headline_low_snr, av_beats_a_at_low_snr,
+#                                   int8 {per_snr,
+#                                   delta_vs_bf16_COnP_low_snr}, epochs
+#   schema / pinned_overridden      contract echo: artifacts with
+#                                   pinned_overridden true (env knobs moved
+#                                   off the pinned values) are probes, not
+#                                   round-over-round comparable
+PINNED = {
+    "schema": 2,
+    "epochs": {"mir": 6, "video": 20, "rca": 40},
+}
 
 
 def _load(path, name):
@@ -368,8 +406,11 @@ feat_dim: 64
 """
 
 # pitch (midi) -> mouth aperture in pixels: the ONLY visual pitch cue, so
-# the tiny model must become aperture-selective to score COnP
-VIDEO_PITCHES = (45, 52, 57, 64)
+# the tiny model must become aperture-selective to score COnP. The four
+# pitches carry four DISTINCT pitch classes (9, 2, 7, 0) — with colliding
+# classes (the old 45/52/57/64 set: {9, 4, 9, 4}) the class head could
+# only disambiguate through the octave head and COnP plateaued at 0.2
+VIDEO_PITCHES = (45, 50, 55, 60)
 
 
 def make_video_dataset(root):
@@ -380,7 +421,7 @@ def make_video_dataset(root):
     annotations = {}
     for i, split in enumerate(["train", "train", "valid"]):
         entry = f"vsong{i}"
-        duration = 4.0
+        duration = 6.0
         notes, t0 = [], 0.2
         while t0 < duration - 0.7:
             dur = float(rng.uniform(0.3, 0.6))
@@ -436,15 +477,38 @@ def _run_video_ours(train_batches, eval_examples, hparams, recipe,
         _, head_lr = hparams["lr_annealing_head"](valid)
         brain.set_learning_rate("head", head_lr)
 
-    brain.on_stage_start(Stage.VALID, 1)
-    eval_losses = [brain.evaluate_batch(PaddedBatch([dict(ex)]), Stage.VALID)
-                   for ex in eval_examples]
-    return {
-        "COnPOff_f1": brain.COnPOff_f1.avg,
-        "COnP_f1": brain.COnP_f1.avg,
-        "COn_f1": brain.COn_f1.avg,
-        "loss": float(np.mean(eval_losses)),
-    }
+    def _song_eval(params, epoch):
+        brain.on_stage_start(Stage.VALID, epoch)
+        saved = brain.params
+        brain.params = params
+        try:
+            eval_losses = [brain.evaluate_batch(PaddedBatch([dict(ex)]),
+                                                Stage.VALID)
+                           for ex in eval_examples]
+        finally:
+            brain.params = saved
+        return {
+            "COnPOff_f1": brain.COnPOff_f1.avg,
+            "COnP_f1": brain.COnP_f1.avg,
+            "COn_f1": brain.COn_f1.avg,
+            "loss": float(np.mean(eval_losses)),
+        }
+
+    result = _song_eval(brain.params, 1)
+    # int8 serving line for the video family (VERDICT r04 #3): the same
+    # trained AV-HuBERT encoder with a8w8 FFN/proj weights
+    from svt_speechbrain_tpu.models.quantize import quantize_avhubert
+
+    qparams = dict(brain.params)
+    qparams["encoder"] = {"model": quantize_avhubert(
+        brain.params["encoder"]["model"])}
+    q = _song_eval(qparams, 2)
+    result["int8"] = {"COnPOff_f1": round(q["COnPOff_f1"], 4),
+                      "COnP_f1": round(q["COnP_f1"], 4),
+                      "COn_f1": round(q["COn_f1"], 4),
+                      "delta_vs_bf16": round(q["COnPOff_f1"]
+                                             - result["COnPOff_f1"], 4)}
+    return result
 
 
 def _run_video_reference(train_batches, eval_examples, ref_model, fi,
@@ -632,6 +696,7 @@ lr_encoder: {LR_VIDEO_ENCODER}
             "COn_f1": round(mine["COn_f1"], 4),
             "final_eval_loss": round(mine["loss"], 4),
             "epochs": epochs,
+            "int8": mine["int8"],
         }
         if not skip_ref:
             ref = _run_video_reference(train_batches, eval_examples,
@@ -795,7 +860,7 @@ def run_rca_family(epochs):
                   * 0.05)
         head_b = np.zeros(20, np.float32)
 
-        def train_and_eval(recipe_mod):
+        def train_and_eval(recipe_mod, int8=False):
             hparams = _rca_hparams(root, csv_dir,
                                    os.path.join(root, "res"), "clean")
             brain = recipe_mod.AMT(
@@ -813,19 +878,47 @@ def run_rca_family(epochs):
                     for group in plan]
                 _, lr = hparams["lr_annealing_model"](float(np.mean(losses)))
                 brain.set_learning_rate("model", lr)
-            scores = {}
-            for snr in levels:
-                brain.on_stage_start(Stage.VALID, 1)
-                for ex in eval_ex[snr]:
-                    brain.evaluate_batch(PaddedBatch([dict(ex)]),
-                                         Stage.VALID)
-                scores[str(snr)] = {
-                    "COnPOff": round(brain.COnPOff_f1.avg, 4),
-                    "COnP": round(brain.COnP_f1.avg, 4),
-                    "COn": round(brain.COn_f1.avg, 4)}
+            def score_all(params):
+                saved = brain.params
+                brain.params = params
+                try:
+                    scores = {}
+                    for snr in levels:
+                        brain.on_stage_start(Stage.VALID, 1)
+                        for ex in eval_ex[snr]:
+                            brain.evaluate_batch(PaddedBatch([dict(ex)]),
+                                                 Stage.VALID)
+                        scores[str(snr)] = {
+                            "COnPOff": round(brain.COnPOff_f1.avg, 4),
+                            "COnP": round(brain.COnP_f1.avg, 4),
+                            "COn": round(brain.COn_f1.avg, 4)}
+                    return scores
+                finally:
+                    brain.params = saved
+
+            scores = score_all(brain.params)
+            if int8:
+                # int8 serving line for the fusion family. Note the
+                # regime: at the lowest SNR the 24-dim toy fusion runs on
+                # activations that are ~10x noise, where per-token int8
+                # scales lose a little headroom (measured COnP -0.08 at
+                # -10 dB, exactly 0.0 delta at clean/0 dB) — the full-size
+                # encoders show delta 0.0 (MIR + video families)
+                from svt_speechbrain_tpu.models.quantize import (
+                    quantize_fusion)
+
+                qscores = score_all(dict(
+                    brain.params,
+                    fusion=quantize_fusion(brain.params["fusion"])))
+                low = str(min(RCA_SNRS))
+                scores["int8"] = {
+                    "per_snr": qscores,
+                    "delta_vs_bf16_COnP_low_snr": round(
+                        qscores[low]["COnP"] - scores[low]["COnP"], 4)}
             return scores
 
-        av = train_and_eval(recipe_av)
+        av = train_and_eval(recipe_av, int8=True)
+        av_int8 = av.pop("int8")
         a = train_and_eval(recipe_a)
         low = str(min(RCA_SNRS))
         # COnP is the headline band: COnPOff saturates to 0 for BOTH
@@ -838,6 +931,7 @@ def run_rca_family(epochs):
             "headline_low_snr": low,
             "av_beats_a_at_low_snr": bool(
                 av[low]["COnP"] >= a[low]["COnP"]),
+            "int8": av_int8,
             "epochs": epochs,
         }
     finally:
@@ -850,19 +944,26 @@ def main():
         convert_wav2vec2_state_dict)
     from svt_speechbrain_tpu.models.wav2vec2 import Wav2Vec2Config
 
-    epochs = int(os.environ.get("QBENCH_EPOCHS", "6"))
+    epochs = int(os.environ.get("QBENCH_EPOCHS", PINNED["epochs"]["mir"]))
+    video_epochs = int(os.environ.get("QBENCH_VIDEO_EPOCHS",
+                                      PINNED["epochs"]["video"]))
+    rca_epochs = int(os.environ.get("QBENCH_RCA_EPOCHS",
+                                    PINNED["epochs"]["rca"]))
     skip_ref = (os.environ.get("QBENCH_SKIP_REFERENCE") == "1"
                 or not os.path.isdir(REFERENCE_ROOT))
     families = os.environ.get("QBENCH_FAMILIES", "mir,video,rca").split(",")
+    overridden = (skip_ref or set(families) != {"mir", "video", "rca"}
+                  or {"mir": epochs, "video": video_epochs,
+                      "rca": rca_epochs} != PINNED["epochs"])
     extra = {}
     if "video" in families:
-        extra["video"] = run_video_family(
-            skip_ref, int(os.environ.get("QBENCH_VIDEO_EPOCHS", "6")))
+        extra["video"] = run_video_family(skip_ref, video_epochs)
     if "rca" in families:
-        extra["rca"] = run_rca_family(
-            int(os.environ.get("QBENCH_RCA_EPOCHS", "40")))
+        extra["rca"] = run_rca_family(rca_epochs)
     if "mir" not in families:
         print(json.dumps({"metric": "synthetic_quality_families",
+                          "schema": PINNED["schema"],
+                          "pinned_overridden": overridden,
                           "families": extra}))
         return
     root = tempfile.mkdtemp(prefix="quality_bench_")
@@ -935,6 +1036,8 @@ lr_wav2vec: 0.004
             result["reference_value"] = None
         if extra:
             result["families"] = extra
+        result["schema"] = PINNED["schema"]
+        result["pinned_overridden"] = overridden
         print(json.dumps(result))
     finally:
         shutil.rmtree(root, ignore_errors=True)

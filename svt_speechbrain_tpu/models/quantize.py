@@ -118,3 +118,39 @@ def quantize_avhubert(params, quantize_attn=False):
     dtype('int8')
     """
     return _quantize_encoder_tree(params, quantize_attn, "post_extract_proj")
+
+
+def quantize_fusion(params, quantize_attn=False):
+    """Int8-quantize a `FusionRCA`/`RCANet` params tree
+    (`models/fusion.py`): each RCA layer's FFN linears, plus the shared
+    self/cross attention projections when ``quantize_attn`` (FFN-only is
+    the measured-win default, as for the encoders).
+
+    Example
+    -------
+    >>> import jax
+    >>> from svt_speechbrain_tpu.models.fusion import FusionRCA
+    >>> from svt_speechbrain_tpu.models.quantize import quantize_fusion
+    >>> m = FusionRCA(alpha=0.5, nhead=4, d_ffn=32, d_model=16)
+    >>> q = quantize_fusion(m.init(jax.random.PRNGKey(0)))
+    >>> q["fusion"]["layer1"]["pos_ffn"]["ffn1"]["w_q8"].dtype
+    dtype('int8')
+    """
+    def quantize_rca_layer(layer):
+        layer = dict(layer)
+        ffn = dict(layer["pos_ffn"])
+        ffn["ffn1"] = quantize_linear_params(ffn["ffn1"])
+        ffn["ffn2"] = quantize_linear_params(ffn["ffn2"])
+        layer["pos_ffn"] = ffn
+        if quantize_attn:
+            layer["self_att"] = quantize_mha_params(layer["self_att"])
+        return layer
+
+    def walk(tree):
+        if isinstance(tree, dict):
+            if "pos_ffn" in tree and "self_att" in tree:
+                return quantize_rca_layer(tree)
+            return {k: walk(v) for k, v in tree.items()}
+        return tree
+
+    return walk(dict(params))

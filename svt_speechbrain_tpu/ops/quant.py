@@ -32,6 +32,11 @@ True
 """
 from __future__ import annotations
 
+import os
+
+import numpy as np
+
+import jax
 import jax.numpy as jnp
 from jax import lax
 
@@ -68,10 +73,106 @@ def int8_matmul(x, w8, w_scale, out_dtype=None):
     ``x`` is float (any leading axes, contraction over the last axis);
     activations are quantized on the fly per token. Accumulation is
     int32; the two scales are folded back in one fused multiply.
+
+    ``SVT_INT8_FUSED=1`` (read at trace time) routes TPU-backend calls with
+    MXU-tileable dims through the fused Pallas kernel
+    (``int8_matmul_fused``) instead of the separate-quant-pass XLA lowering.
     """
     out_dtype = out_dtype or x.dtype
+    if (os.environ.get("SVT_INT8_FUSED", "0") == "1"
+            and jax.default_backend() == "tpu"
+            and x.shape[-1] % 128 == 0 and w8.shape[1] % 128 == 0):
+        return int8_matmul_fused(x, w8, w_scale, out_dtype=out_dtype)
     x8, x_scale = quantize_activation(x)
     y = lax.dot_general(x8, w8, (((x.ndim - 1,), (0,)), ((), ())),
                         preferred_element_type=jnp.int32)
     y = y.astype(jnp.float32) * x_scale * w_scale
     return y.astype(out_dtype)
+
+
+# ---------------------------------------------------------------------------
+# Fused quantize+matmul Pallas kernel: the XLA path above quantizes x in a
+# separate VPU pass (an extra HBM round-trip of the activations per matmul);
+# this kernel folds the per-token amax/round into the operand load — x is
+# read ONCE, quantized into a VMEM scratch on the first output-column block,
+# and reused for every column block of that row block.
+# ---------------------------------------------------------------------------
+
+def _qmm_kernel(x_ref, w_ref, ws_ref, out_ref, x8_ref, xs_ref):
+    from jax.experimental import pallas as pl
+
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _quantize_rows():
+        xa = x_ref[...].astype(jnp.float32)
+        amax = jnp.max(jnp.abs(xa), axis=1, keepdims=True)
+        scale = jnp.maximum(amax, 1e-8) / 127.0
+        x8_ref[...] = jnp.clip(jnp.round(xa / scale),
+                               -127, 127).astype(jnp.int8)
+        xs_ref[...] = scale
+
+    acc = jnp.dot(x8_ref[...], w_ref[...],
+                  preferred_element_type=jnp.int32)
+    out_ref[...] = (acc.astype(jnp.float32) * xs_ref[...]
+                    * ws_ref[...].astype(jnp.float32)).astype(out_ref.dtype)
+
+
+def int8_matmul_fused(x, w8, w_scale, out_dtype=None, block_m=256,
+                      block_n=512, interpret=False):
+    """``int8_matmul`` with the activation quantization fused into the
+    matmul's operand load (one Pallas program; x8 + per-token scales live
+    in VMEM scratch across the output-column grid).
+
+    Requirements: K and N multiples of 128 (model dims are); M is padded
+    here. Inference-only, like the XLA path.
+
+    Example
+    -------
+    >>> import jax, jax.numpy as jnp
+    >>> from svt_speechbrain_tpu.ops.quant import (quantize_weight,
+    ...     int8_matmul, int8_matmul_fused)
+    >>> w8, ws = quantize_weight(
+    ...     jax.random.normal(jax.random.PRNGKey(0), (256, 128)))
+    >>> x = jax.random.normal(jax.random.PRNGKey(1), (4, 10, 256))
+    >>> a = int8_matmul(x, w8, ws)
+    >>> b = int8_matmul_fused(x, w8, ws, interpret=True)
+    >>> bool(jnp.allclose(a, b, atol=1e-5))
+    True
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    out_dtype = out_dtype or x.dtype
+    lead = x.shape[:-1]
+    k = x.shape[-1]
+    n = w8.shape[1]
+    m = int(np.prod(lead)) if lead else 1
+    x2 = x.reshape(m, k)
+    # prefer a block that DIVIDES m: jnp.pad would copy the whole
+    # activation tensor per matmul (measured as a model-level loss)
+    bm = next((b for b in range(min(block_m, m), 31, -8) if m % b == 0),
+              min(block_m, max(32, m)))
+    bn = min(block_n, n)
+    pad_m = (-m) % bm
+    if pad_m:
+        x2 = jnp.pad(x2, ((0, pad_m), (0, 0)))
+    mp = m + pad_m
+
+    out = pl.pallas_call(
+        _qmm_kernel,
+        grid=(mp // bm, n // bn),
+        in_specs=[
+            pl.BlockSpec((bm, k), lambda i, j: (i, 0)),
+            pl.BlockSpec((k, bn), lambda i, j: (0, j)),
+            pl.BlockSpec((1, bn), lambda i, j: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((mp, n), out_dtype),
+        scratch_shapes=[pltpu.VMEM((bm, k), jnp.int8),
+                        pltpu.VMEM((bm, 1), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+        interpret=interpret,
+    )(x2, w8, w_scale.reshape(1, n))
+    return out[:m].reshape(*lead, n)

@@ -213,3 +213,31 @@ def test_singing_transcriber_stream_int8_matches_offline():
     s2 = iface.stream()
     again = s2.feed(wav) + s2.flush()
     assert again == expected
+
+
+def test_fused_qmm_matches_xla_path():
+    """The fused Pallas kernel (interpret mode on CPU) reproduces the XLA
+    quantize-then-dot path across odd M (row padding), 3-D leading axes,
+    bf16 inputs, and block-boundary N."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from svt_speechbrain_tpu.ops.quant import (int8_matmul,
+                                               int8_matmul_fused,
+                                               quantize_weight)
+
+    rng = jax.random.PRNGKey(0)
+    for shape, k, n, dtype in [((37,), 256, 128, jnp.float32),
+                               ((2, 5), 128, 256, jnp.float32),
+                               ((3, 33), 256, 384, jnp.bfloat16)]:
+        k1, k2, rng = jax.random.split(rng, 3)
+        x = jax.random.normal(k1, shape + (k,), dtype)
+        w8, ws = quantize_weight(jax.random.normal(k2, (k, n)))
+        a = int8_matmul(x, w8, ws)
+        b = int8_matmul_fused(x, w8, ws, interpret=True, block_m=32,
+                              block_n=128)
+        assert a.dtype == b.dtype == dtype
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32),
+                                   rtol=2e-2, atol=2e-2)

@@ -9,6 +9,15 @@ all: its eval is offline batch-1, ``MIR_ST500/train_audio_ssl.py:84-141``).
 
 Knobs: B (sessions per batch, default 32), ROUNDS (timed rounds, default 4),
 INT8 (a8w8 FFNs), COMPACT (u16 halves the downlink bytes).
+
+SWEEP=1 runs the latency frontier instead: chunk_seconds {1, 2, 5} x
+batch {8, 32}, per-config p50/p99 cycle and first-note latency (docs/
+SERVING.md carries the table + SLO reading). First-note latency for a
+note ending in window k is buffering (chunk_seconds, waiting for the
+window to fill) + the pump cycle; p50/p99 come from the measured cycle
+distribution, which through the tunneled link is weather-dominated —
+the probe prints a downlink estimate first so a table from a degraded
+window is recognizable.
 """
 import sys, os, time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -25,7 +34,7 @@ from svt_speechbrain_tpu.inference import StreamingServer
 
 B = int(os.environ.get("B", "32"))
 ROUNDS = int(os.environ.get("ROUNDS", "4"))
-CHUNK_S = 5.0
+CHUNK_S = float(os.environ.get("CHUNK_S", "5.0"))
 
 bridge = HuggingFaceWav2Vec2(source="facebook/wav2vec2-large-lv60",
                              output_norm=True, freeze=True)
@@ -37,6 +46,72 @@ if os.environ.get("INT8"):
 
     params["wav2vec2"] = quantize_wav2vec2(params["wav2vec2"])
     print("int8: encoder FFNs quantized (a8w8)")
+
+def probe_downlink():
+    probe = jnp.asarray(np.zeros((1 << 16,), np.float32))
+    probe.block_until_ready()
+    t0 = time.perf_counter()
+    np.asarray(probe)
+    return 0.25 / max(time.perf_counter() - t0, 1e-9)
+
+
+def run_config(chunk_s, b, rounds, params, quantized):
+    """One frontier point: p50/p99 cycle + first-note latency."""
+    server = StreamingServer(bridge, head, params, batch_size=b,
+                             chunk_seconds=chunk_s, compact="u16")
+    sessions = [server.open() for _ in range(b)]
+    rng = np.random.default_rng(0)
+    wins = [(rng.normal(size=int(chunk_s * 16000)) * 4000).astype(np.int16)
+            for _ in range(b)]
+
+    def cycle():
+        for sess, w in zip(sessions, wins):
+            sess.feed(w)
+        assert server.pending == 0
+
+    cycle()  # compile + warm
+    times = []
+    for _ in range(rounds):
+        t0 = time.perf_counter()
+        cycle()
+        times.append(time.perf_counter() - t0)
+    times = np.sort(times)
+    p50 = float(np.percentile(times, 50))
+    p99 = float(np.percentile(times, 99))
+    return {"chunk_s": chunk_s, "B": b, "int8": quantized,
+            "cycle_p50_ms": round(p50 * 1e3, 1),
+            "cycle_p99_ms": round(p99 * 1e3, 1),
+            "first_note_p50_ms": round((chunk_s + p50) * 1e3, 1),
+            "first_note_p99_ms": round((chunk_s + p99) * 1e3, 1),
+            "streams_per_chip": round(b * chunk_s / p50, 1)}
+
+
+def sweep():
+    import json
+
+    rounds = int(os.environ.get("ROUNDS", "8"))
+    print(f"downlink ~{probe_downlink():.1f} MB/s (link weather context)")
+    rows = []
+    for chunk_s in (1.0, 2.0, 5.0):
+        for b in (8, 32):
+            r = run_config(chunk_s, b, rounds, params,
+                           bool(os.environ.get("INT8")))
+            rows.append(r)
+            print(json.dumps(r))
+    print()
+    print("| chunk (s) | B | cycle p50/p99 (ms) | first-note p50/p99 (ms)"
+          " | realtime streams/chip |")
+    print("|---|---|---|---|---|")
+    for r in rows:
+        print(f"| {r['chunk_s']:.0f} | {r['B']} "
+              f"| {r['cycle_p50_ms']:.0f} / {r['cycle_p99_ms']:.0f} "
+              f"| {r['first_note_p50_ms']:.0f} / {r['first_note_p99_ms']:.0f} "
+              f"| {r['streams_per_chip']:.0f} |")
+
+
+if os.environ.get("SWEEP") == "1":
+    sweep()
+    sys.exit(0)
 
 server = StreamingServer(
     bridge, head, params, batch_size=B, chunk_seconds=CHUNK_S,
