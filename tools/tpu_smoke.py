@@ -220,6 +220,33 @@ def smoke_transducer_lattice():
         assert err < 1e-2, f"{name} vs autodiff: {err}"
 
 
+def smoke_fused_qmm():
+    """Fused quantize+matmul Pallas kernel (ops/quant.int8_matmul_fused):
+    Mosaic compile + parity vs the XLA int8 path at model shapes, incl.
+    a non-divisible M (the padded branch)."""
+    from svt_speechbrain_tpu.ops.quant import (int8_matmul,
+                                               int8_matmul_fused,
+                                               quantize_weight)
+
+    interp = jax.default_backend() != "tpu"
+
+    @jax.jit
+    def rel_err(x, w8, ws):
+        # compare on device; only the scalar crosses the (possibly dead)
+        # downlink
+        a = int8_matmul(x, w8, ws).astype(jnp.float32)
+        b = int8_matmul_fused(x, w8, ws,
+                              interpret=interp).astype(jnp.float32)
+        return jnp.abs(a - b).max() / jnp.maximum(jnp.abs(a).max(), 1e-6)
+
+    for m, k, n in [(1024, 1024, 4096), (777, 4096, 1024)]:
+        kx, kw = jax.random.split(jax.random.PRNGKey(m))
+        x = jax.random.normal(kx, (m, k), jnp.bfloat16)
+        w8, ws = quantize_weight(jax.random.normal(kw, (k, n)))
+        err = float(np.asarray(rel_err(x, w8, ws)))
+        assert err < 2e-2, f"fused qmm mismatch: rel {err} at ({m},{k},{n})"
+
+
 def smoke_inference_pipeline():
     from svt_speechbrain_tpu.models.wav2vec2 import (
         HuggingFaceWav2Vec2, Wav2Vec2Config)
@@ -363,6 +390,8 @@ def main():
     check("fused conv frontend (512ch + 32ch fallback)", smoke_conv_frontend)
     check("transducer lattice (scan + pallas vs autodiff)",
           smoke_transducer_lattice)
+    check("fused quant-matmul kernel (a8w8, padded branch)",
+          smoke_fused_qmm)
     check("batched + streaming inference pipeline", smoke_inference_pipeline)
     check("resample + speed perturb + specaugment (jitted)",
           smoke_resample_and_specaugment)
