@@ -54,8 +54,13 @@ class FairseqSequenceGenerator:
     def __init__(self, decoder, beam_size=5, max_len_a=0.0, max_len_b=200,
                  min_len=1, normalize_scores=True, len_penalty=1.0,
                  unk_penalty=0.0, temperature=1.0, pad=None, unk=None,
-                 eos=None):
+                 eos=None, lm=None, lm_weight=1.0):
         self.decoder = decoder
+        # shallow-fusion LM (reference ``sequence_generator.py:344-351``):
+        # a callable tokens_so_far (N, t+1) -> last-position LOG-probs
+        # (N, V); fairseq multiplies the log-probs by lm_weight
+        self.lm = lm
+        self.lm_weight = lm_weight
         vocab = decoder.cfg.vocab_size
         self.vocab_size = vocab
         self.beam_size = min(beam_size, vocab - 1)
@@ -97,12 +102,43 @@ class FairseqSequenceGenerator:
         cand_tokens = order % vocab if step > 0 else order
         return cand_scores, cand_tokens, cand_beams
 
+    def _prefix_tokens(self, step, lprobs, scores, tokens, prefix_tokens,
+                       beam, bsz):
+        """Force ``prefix_tokens[:, step]`` (reference ``:568-597``): rows
+        with a non-pad prefix token keep ONLY that token's lprob; an EOS in
+        the prefix replicates beam 0 across the sentence's beams."""
+        ptoks = np.repeat(prefix_tokens[:, step], beam)          # (B*beam,)
+        plp = lprobs[np.arange(len(ptoks)), ptoks].copy()
+        forced = np.where(ptoks != self.pad)[0]
+        lprobs[forced, :] = -np.inf
+        lprobs[forced, ptoks[forced]] = plp[forced]
+        eos_rows = ptoks == self.eos
+        if eos_rows.any():
+            sent_mask = eos_rows.reshape(bsz, beam)[:, 0]
+
+            def replicate_first_beam(arr):
+                v = arr.reshape(bsz, beam, -1)
+                v[sent_mask] = v[sent_mask][:, :1, :]
+                return v.reshape(bsz * beam, -1)
+
+            tokens = replicate_first_beam(tokens)
+            scores = replicate_first_beam(scores)
+            lprobs = replicate_first_beam(lprobs)
+        return lprobs, tokens, scores
+
     def generate(self, params, encoder_out, encoder_padding_mask=None,
-                 bos_token=None):
+                 bos_token=None, prefix_tokens=None):
         """Decode a batch. Returns, per sentence, ``beam_size`` hypothesis
         dicts (``tokens`` incl. the final EOS, ``score``,
         ``positional_scores``) sorted by descending score — the reference
-        generator's ``finalized`` contract."""
+        generator's ``finalized`` contract.
+
+        ``params`` may be a LIST of param trees for the same decoder
+        architecture: an ensemble, scored as fairseq's ``EnsembleModel``
+        (logsumexp-average of member log-probs). ``prefix_tokens``
+        (B, P) int forces the first P tokens per sentence (pad = no
+        constraint at that position)."""
+        members = params if isinstance(params, (list, tuple)) else [params]
         bsz = int(encoder_out.shape[0])
         beam = self.beam_size
         src_len = int(encoder_out.shape[1])
@@ -117,8 +153,9 @@ class FairseqSequenceGenerator:
         if encoder_padding_mask is not None:
             enc_mask = jnp.take(jnp.asarray(encoder_padding_mask),
                                 jnp.asarray(order), axis=0)
-        cache = self.decoder.init_cache(params, enc, max_len + 2,
-                                        encoder_padding_mask=enc_mask)
+        caches = [self.decoder.init_cache(p, enc, max_len + 2,
+                                          encoder_padding_mask=enc_mask)
+                  for p in members]
 
         tokens = np.full((bsz * beam, max_len + 2), self.pad, np.int32)
         tokens[:, 0] = bos
@@ -130,18 +167,38 @@ class FairseqSequenceGenerator:
         reorder = None
         for step in range(max_len + 1):
             if reorder is not None:
-                cache = self.decoder.reorder_cache(cache, jnp.asarray(reorder))
-            lprobs, cache = self._step(
-                params, cache, jnp.asarray(tokens[:, step]), step)
-            # a mutable fp32 copy (the reference accumulates fp32)
-            lprobs = np.array(lprobs, np.float32)
+                caches = [self.decoder.reorder_cache(c, jnp.asarray(reorder))
+                          for c in caches]
+            member_lps = []
+            for mi, p in enumerate(members):
+                lp, caches[mi] = self._step(
+                    p, caches[mi], jnp.asarray(tokens[:, step]), step)
+                member_lps.append(np.asarray(lp, np.float32))
+            if len(member_lps) == 1:
+                # a mutable fp32 copy (the reference accumulates fp32)
+                lprobs = np.array(member_lps[0], np.float32)
+            else:  # fairseq EnsembleModel: logsumexp average of log-probs
+                stacked = np.stack(member_lps)
+                mx = stacked.max(axis=0)
+                lprobs = (mx + np.log(np.exp(stacked - mx).sum(axis=0))
+                          - np.log(len(member_lps))).astype(np.float32)
+            if self.lm is not None:
+                lprobs = lprobs + self.lm_weight * np.asarray(
+                    self.lm(tokens[:, : step + 1]), np.float32)
             lprobs[np.isnan(lprobs)] = -np.inf
             lprobs[:, self.pad] = -np.inf
             lprobs[:, self.unk] -= self.unk_penalty
             if step >= max_len:                      # force EOS
                 lprobs[:, : self.eos] = -np.inf
                 lprobs[:, self.eos + 1:] = -np.inf
+
+            if (prefix_tokens is not None and step < prefix_tokens.shape[1]
+                    and step < max_len):
+                lprobs, tokens, scores = self._prefix_tokens(
+                    step, lprobs, scores, tokens,
+                    np.asarray(prefix_tokens), beam, bsz)
             elif step < self.min_len:
+                # min-length does not apply while forcing a prefix
                 lprobs[:, self.eos] = -np.inf
 
             cand_scores, cand_tokens, cand_beams = self._candidates(

@@ -229,3 +229,108 @@ def test_beam_decode_matches_reference_generator(ref_modules, gen_kw):
             np.testing.assert_allclose(
                 o["positional_scores"],
                 r["positional_scores"].numpy(), rtol=1e-3, atol=1e-4)
+
+
+def _compare(ref_out, our_out):
+    assert len(ref_out) == len(our_out)
+    for sent, (r_hyps, o_hyps) in enumerate(zip(ref_out, our_out)):
+        assert len(r_hyps) == len(o_hyps), f"sent {sent}: hyp count"
+        for rank, (r, o) in enumerate(zip(r_hyps, o_hyps)):
+            assert r["tokens"].tolist() == o["tokens"].tolist(), (
+                f"sent {sent} rank {rank}: tokens diverge")
+            np.testing.assert_allclose(o["score"], float(r["score"]),
+                                       rtol=1e-4, atol=1e-5)
+
+
+def _setup_beam_pair(ref_modules, gen_kw, our_extra=None, ref_extra=None,
+                     seed=7):
+    _, gen_mod, Dictionary = ref_modules
+    ref, ours, params = build_pair(ref_modules, seed=seed)
+    enc, pm = rand_enc(8, b=3, s=5)
+    model = _RefSeq2Seq(ref, torch.tensor(enc), torch.tensor(pm))
+    ref_gen = gen_mod.SequenceGenerator(
+        [model], Dictionary(V, PAD, EOS, UNK), max_len=32,
+        **gen_kw, **(ref_extra or {}))
+    sample = {"net_input": {
+        "source": {"audio": torch.zeros(3, 5), "video": None},
+        "padding_mask": torch.tensor(pm)}}
+    our_gen = FairseqSequenceGenerator(ours, pad=PAD, eos=EOS, unk=UNK,
+                                       **gen_kw, **(our_extra or {}))
+    return model, ref_gen, sample, our_gen, params, enc, pm
+
+
+def test_prefix_tokens_match_reference(ref_modules):
+    """Forced prefixes incl. ragged lengths (pad = unconstrained)."""
+    _, ref_gen, sample, our_gen, params, enc, pm = _setup_beam_pair(
+        ref_modules, {"beam_size": 3, "max_len_b": 8})
+    prefix = np.array([[5, 9], [7, PAD], [11, 4]], np.int64)
+    with torch.no_grad():
+        ref_out = ref_gen.generate([ref_gen.model.single_model], sample,
+                                   prefix_tokens=torch.tensor(prefix))
+    our_out = our_gen.generate(params, jnp.asarray(enc),
+                               encoder_padding_mask=jnp.asarray(pm),
+                               prefix_tokens=prefix)
+    _compare(ref_out, our_out)
+    for sent in range(3):  # the forced tokens really are forced
+        got = our_out[sent][0]["tokens"][:2].tolist()
+        want = [t if t != PAD else got[i]
+                for i, t in enumerate(prefix[sent].tolist())]
+        assert got == want
+
+
+class _TorchBigramLM(torch.nn.Module):
+    """Shared-weights bigram LM: logits[t] depend only on tokens[t]."""
+
+    def __init__(self, table):
+        super().__init__()
+        self.table = torch.tensor(table)
+
+    def forward(self, tokens):
+        return (self.table[tokens],)
+
+    def get_normalized_probs(self, out, log_probs, sample=None):
+        assert log_probs
+        return torch.nn.functional.log_softmax(out[0], dim=-1)
+
+
+def test_lm_fusion_matches_reference(ref_modules):
+    """Shallow LM fusion: fairseq adds lm_weight * LOG-probs."""
+    table = np.random.default_rng(5).normal(size=(V, V)).astype(np.float32)
+    log_table = np.asarray(
+        torch.log_softmax(torch.tensor(table), dim=-1))
+
+    def our_lm(tokens_so_far):
+        return log_table[tokens_so_far[:, -1]]
+
+    _, ref_gen, sample, our_gen, params, enc, pm = _setup_beam_pair(
+        ref_modules, {"beam_size": 3, "max_len_b": 8},
+        our_extra={"lm": our_lm, "lm_weight": 0.4},
+        ref_extra={"lm_model": _TorchBigramLM(table), "lm_weight": 0.4})
+    with torch.no_grad():
+        ref_out = ref_gen.generate([ref_gen.model.single_model], sample)
+    our_out = our_gen.generate(params, jnp.asarray(enc),
+                               encoder_padding_mask=jnp.asarray(pm))
+    _compare(ref_out, our_out)
+
+
+def test_ensemble_matches_reference(ref_modules):
+    """Two-member ensemble: logsumexp-averaged log-probs (EnsembleModel)."""
+    _, gen_mod, Dictionary = ref_modules
+    ref1, ours, params1 = build_pair(ref_modules, seed=11)
+    ref2, _, params2 = build_pair(ref_modules, seed=12)
+    enc, pm = rand_enc(13, b=2, s=5)
+    m1 = _RefSeq2Seq(ref1, torch.tensor(enc), torch.tensor(pm))
+    m2 = _RefSeq2Seq(ref2, torch.tensor(enc), torch.tensor(pm))
+    ref_gen = gen_mod.SequenceGenerator(
+        [m1, m2], Dictionary(V, PAD, EOS, UNK), beam_size=3, max_len_b=8,
+        max_len=32)
+    sample = {"net_input": {
+        "source": {"audio": torch.zeros(2, 5), "video": None},
+        "padding_mask": torch.tensor(pm)}}
+    with torch.no_grad():
+        ref_out = ref_gen.generate([m1, m2], sample)
+    our_gen = FairseqSequenceGenerator(ours, beam_size=3, max_len_b=8,
+                                       pad=PAD, eos=EOS, unk=UNK)
+    our_out = our_gen.generate([params1, params2], jnp.asarray(enc),
+                               encoder_padding_mask=jnp.asarray(pm))
+    _compare(ref_out, our_out)
