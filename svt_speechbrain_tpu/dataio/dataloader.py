@@ -180,18 +180,18 @@ class LoopedLoader:
         return self
 
     def __next__(self):
-        if self.step < self.epoch_length:
-            self.step += 1
-            self.total_steps += 1
-            try:
-                batch = next(self.iterator)
-            except StopIteration:
-                self.iterator = iter(self.loader)
-                batch = next(self.iterator)
-            self.total_samples += self.batchsize_fn(batch)
-            return batch
-        self.step = 0
-        raise StopIteration
+        if self.step >= self.epoch_length:
+            self.step = 0
+            raise StopIteration
+        self.step += 1
+        self.total_steps += 1
+        try:
+            batch = next(self.iterator)
+        except StopIteration:  # wrap around — the "epoch" here is virtual
+            self.iterator = iter(self.loader)
+            batch = next(self.iterator)
+        self.total_samples += self.batchsize_fn(batch)
+        return batch
 
     def __len__(self):
         return self.epoch_length

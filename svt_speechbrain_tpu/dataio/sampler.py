@@ -7,6 +7,8 @@ sampler's output across processes — the analogue of torch's
 """
 from __future__ import annotations
 
+import itertools
+
 import numpy as np
 
 
@@ -100,17 +102,19 @@ class ConcatDatasetBatchSampler:
         self.set_epoch(self.epoch)
 
     def _iter_one_dataset(self, c_batch_size, c_sampler, c_offset):
-        batch = []
-        for idx in c_sampler:
-            batch.append(c_offset + idx)
-            if len(batch) == c_batch_size:
-                yield batch
-                batch = []
+        it = iter(c_sampler)
+        while True:  # trailing partial batches are dropped, like the torch
+            batch = [c_offset + idx          # BatchSampler(drop_last=True)
+                     for idx in itertools.islice(it, c_batch_size)]
+            if len(batch) < c_batch_size:
+                return
+            yield batch
 
     def set_epoch(self, epoch):
-        if hasattr(self.samplers[0], "epoch"):
-            for s in self.samplers:
-                s.set_epoch(epoch)
+        if not hasattr(self.samplers[0], "epoch"):
+            return
+        for s in self.samplers:
+            s.set_epoch(epoch)
 
     def __iter__(self):
         iterators = [iter(i) for i in self.samplers]

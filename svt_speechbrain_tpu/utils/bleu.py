@@ -107,18 +107,18 @@ class BLEUStats:
     def append(self, ids, predict, targets, ind2lab=None):
         self.ids.extend(ids)
         if ind2lab is not None:
-            predict = ind2lab(predict)
-            targets = [ind2lab(t) for t in targets]
+            predict, targets = ind2lab(predict), [ind2lab(t)
+                                                  for t in targets]
         if self.merge_words:
-            predict = merge_words(predict)
-            targets = [merge_words(t) for t in targets]
+            predict, targets = merge_words(predict), [merge_words(t)
+                                                      for t in targets]
         self.predicts.extend(predict)
         if self.targets is None:
             self.targets = targets
         else:
             assert len(self.targets) == len(targets)
-            for i in range(len(self.targets)):
-                self.targets[i].extend(targets[i])
+            for seen, new in zip(self.targets, targets):
+                seen.extend(new)
 
     def summarize(self, field=None):
         try:

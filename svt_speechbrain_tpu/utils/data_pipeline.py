@@ -128,18 +128,16 @@ class DataPipeline:
     def __init__(self, static_data_keys, dynamic_items=(), output_keys=()):
         self.dg = DependencyGraph()
         self._exec_order = None
-        self.key_to_node = {}
-        self.unaccounted_keys = {}
-        self.dynamic_items = []
-        self.output_mapping = {}
+        self.key_to_node, self.unaccounted_keys = {}, {}
+        self.dynamic_items, self.output_mapping = [], {}
         self.add_static_keys(static_data_keys)
         self.add_dynamic_items(dynamic_items)
         self.set_output_keys(output_keys)
 
     def add_static_keys(self, static_keys):
-        for key in static_keys:
-            node_id = self.dg.add_node(data=StaticItem(key=key))
-            self.key_to_node[key] = node_id
+        self.key_to_node.update(
+            (key, self.dg.add_node(data=StaticItem(key=key)))
+            for key in static_keys)
 
     def add_dynamic_items(self, dynamic_items):
         for item in dynamic_items:

@@ -68,21 +68,20 @@ class EpochCounterWithStopper(EpochCounter):
 
     def __init__(self, limit, limit_to_stop, limit_warmup, direction):
         super().__init__(limit)
+        if limit_to_stop < 0:
+            raise ValueError("Stopper 'limit_to_stop' must be >= 0")
+        if limit_warmup < 0:
+            raise ValueError("Stopper 'limit_warmup' must be >= 0")
+        try:
+            self.th, self.sign = {"min": (float("inf"), 1),
+                                  "max": (-float("inf"), -1)}[direction]
+        except KeyError:
+            raise ValueError("Stopper 'direction' must be 'min' or 'max'")
         self.limit_to_stop = limit_to_stop
         self.limit_warmup = limit_warmup
         self.direction = direction
         self.best_limit = 0
         self.min_delta = 1e-6
-        if self.limit_to_stop < 0:
-            raise ValueError("Stopper 'limit_to_stop' must be >= 0")
-        if self.limit_warmup < 0:
-            raise ValueError("Stopper 'limit_warmup' must be >= 0")
-        if self.direction == "min":
-            self.th, self.sign = float("inf"), 1
-        elif self.direction == "max":
-            self.th, self.sign = -float("inf"), -1
-        else:
-            raise ValueError("Stopper 'direction' must be 'min' or 'max'")
 
     def should_stop(self, current, current_metric):
         """True once ``limit_to_stop`` epochs passed without a new best."""
