@@ -114,7 +114,7 @@ LR_WAV2VEC = 0.004  # Adam encoder
 #                                   round-over-round comparable
 PINNED = {
     "schema": 2,
-    "epochs": {"mir": 6, "video": 20, "rca": 40},
+    "epochs": {"mir": 6, "video": 34, "rca": 40},
 }
 
 
