@@ -102,15 +102,24 @@ class AVHubertASR:
         return self._encode(params, state, source)
 
     def transcribe(self, params, state, audio=None, video=None,
-                   frame_lengths=None):
+                   frame_lengths=None, tokenizer=None):
         """Beam-decode a batch. Returns per utterance the generator's
         hypothesis list (tokens incl. EOS, score, positional_scores),
-        best first."""
+        best first. With ``tokenizer`` (anything exposing ``decode_ids``,
+        e.g. ``tokenizers.spm_lite.SentencePieceProcessor`` loaded from a
+        real SentencePiece ``.model``) returns the best hypothesis per
+        utterance detokenized to text instead."""
         enc = self.encode(params, state, audio=audio, video=video)
         enc_mask = None
         if frame_lengths is not None:
             t = enc.shape[1]
             enc_mask = jnp.arange(t)[None] >= \
                 jnp.asarray(frame_lengths)[:, None]
-        return self.generator.generate(params["decoder"], enc,
+        hyps = self.generator.generate(params["decoder"], enc,
                                        encoder_padding_mask=enc_mask)
+        if tokenizer is None:
+            return hyps
+        eos = self.generator.eos
+        return [tokenizer.decode_ids(
+            [int(t) for t in h[0]["tokens"] if int(t) != eos])
+            for h in hyps]

@@ -204,3 +204,39 @@ def test_singing_transcriber_stream_full_precision_weights():
     assert all(s.dtype == jnp.float32 for s in sleaves)
     assert all(np.array_equal(np.asarray(s), np.asarray(i))
                for s, i in zip(sleaves, ileaves))
+
+
+def test_avhubert_asr_detokenizes_with_spm(tmp_path):
+    """The seq2seq decode path composes with the in-image SentencePiece
+    backend: AVHubertASR.transcribe(tokenizer=...) returns text."""
+    import jax
+    import jax.numpy as jnp
+
+    from svt_speechbrain_tpu.models.avhubert import AVHubertConfig
+    from svt_speechbrain_tpu.models.avhubert_asr import AVHubertASR
+    from svt_speechbrain_tpu.models.seq2seq_decoder import (
+        FairseqDecoderConfig)
+    from svt_speechbrain_tpu.tokenizers.spm_lite import (
+        SentencePieceProcessor, SentencePieceTrainer)
+
+    prefix = str(tmp_path / "toy")
+    corpus = tmp_path / "corpus.txt"
+    corpus.write_text("\n".join(["la la si do", "do re mi fa sol"] * 4))
+    SentencePieceTrainer.train(
+        input=str(corpus), model_prefix=prefix, vocab_size=24,
+        model_type="unigram")
+    sp = SentencePieceProcessor()
+    sp.load(prefix + ".model")
+
+    enc_cfg = AVHubertConfig(encoder_layers=1, encoder_embed_dim=16,
+                             encoder_ffn_embed_dim=32,
+                             encoder_attention_heads=2, audio_feat_dim=8)
+    dec_cfg = FairseqDecoderConfig(
+        vocab_size=sp.get_piece_size(), embed_dim=16, ffn_dim=32,
+        num_layers=1, num_heads=2, normalize_before=False,
+        no_scale_embedding=True)
+    asr = AVHubertASR(enc_cfg, dec_cfg, beam_size=2, max_len_b=5)
+    params, state = asr.init(jax.random.PRNGKey(0))
+    texts = asr.transcribe(params, state,
+                           audio=jnp.ones((2, 8, 8)), tokenizer=sp)
+    assert len(texts) == 2 and all(isinstance(t, str) for t in texts)
