@@ -42,28 +42,33 @@ SIDECAR = os.environ.get(
                  "bench_best_e2e.json"))
 
 
-def _sidecar_read():
+def _sidecar_read(path=None):
     try:
-        with open(SIDECAR) as f:
+        with open(path or SIDECAR) as f:
             return json.load(f)
     except Exception:
         return None
 
 
-def _sidecar_update(rtfx, batch_size):
-    """Record the best e2e RTFx seen in this round (any bench invocation)."""
-    best = _sidecar_read()
-    if best is not None and best.get("rtfx", 0.0) >= rtfx:
+def _sidecar_update_best(path, fields):
+    """Keep the best-``rtfx`` record seen this round at ``path`` (link-
+    weather insurance — shared by the e2e and train sidecars)."""
+    best = _sidecar_read(path)
+    if best is not None and best.get("rtfx", 0.0) >= fields["rtfx"]:
         return best
-    best = {"rtfx": round(rtfx, 2), "batch": batch_size,
-            "at": datetime.datetime.now(datetime.timezone.utc).isoformat(
-                timespec="seconds")}
+    best = dict(fields, at=datetime.datetime.now(
+        datetime.timezone.utc).isoformat(timespec="seconds"))
     try:
-        with open(SIDECAR, "w") as f:
+        with open(path, "w") as f:
             json.dump(best, f)
     except OSError:
         pass
     return best
+
+
+def _sidecar_update(rtfx, batch_size):
+    return _sidecar_update_best(SIDECAR, {"rtfx": round(rtfx, 2),
+                                          "batch": batch_size})
 
 
 TRAIN_SIDECAR = os.environ.get(
@@ -73,29 +78,13 @@ TRAIN_SIDECAR = os.environ.get(
 
 
 def _sidecar_read_train():
-    try:
-        with open(TRAIN_SIDECAR) as f:
-            return json.load(f)
-    except Exception:
-        return None
+    return _sidecar_read(TRAIN_SIDECAR)
 
 
 def _sidecar_update_train(result):
-    """Best train throughput seen this round (link-weather insurance, like
-    the e2e sidecar)."""
-    best = _sidecar_read_train()
-    if best is not None and best.get("rtfx", 0.0) >= result["value"]:
-        return best
-    best = {"rtfx": result["value"], "mfu": result["mfu"],
-            "batch": result["batch"],
-            "at": datetime.datetime.now(datetime.timezone.utc).isoformat(
-                timespec="seconds")}
-    try:
-        with open(TRAIN_SIDECAR, "w") as f:
-            json.dump(best, f)
-    except OSError:
-        pass
-    return best
+    return _sidecar_update_best(TRAIN_SIDECAR, {
+        "rtfx": result["value"], "mfu": result["mfu"],
+        "batch": result["batch"]})
 
 
 def main():

@@ -33,7 +33,7 @@ same trained weights re-scored through the a8w8 serving path.
 Prints ONE JSON line: {"metric": "synthetic_COnPOff_f1_vs_reference",
 "value", "reference_value", "delta", per-metric pairs, families, schema}.
 
-Runtime ~20-30 min at the pinned epochs (MIR 6 / video 20 / rca 40).
+Runtime ~45-60 min at the pinned epochs (MIR 6 / video 34 / rca 40).
 QBENCH_FAMILIES / QBENCH_*_EPOCHS / QBENCH_SKIP_REFERENCE narrow it for
 probing — any override flips ``pinned_overridden`` in the artifact.
 """

@@ -363,9 +363,13 @@ def _append_pcm(buffer, samples):
     samples = np.asarray(samples)
     if samples.ndim != 1:
         raise ValueError("feed() takes a 1-D sample array")
+    if not len(samples):
+        # empty feeds are no-ops — concatenating an empty float array
+        # would silently promote a buffered int16 window
+        return samples if buffer is None else buffer
     if buffer is None or not len(buffer):
         return samples
-    if len(samples) and samples.dtype != buffer.dtype:
+    if samples.dtype != buffer.dtype:
         raise ValueError(f"dtype switch mid-window: buffered "
                          f"{buffer.dtype}, fed {samples.dtype}")
     return np.concatenate([buffer, samples])

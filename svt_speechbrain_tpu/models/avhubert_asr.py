@@ -122,4 +122,4 @@ class AVHubertASR:
         eos = self.generator.eos
         return [tokenizer.decode_ids(
             [int(t) for t in h[0]["tokens"] if int(t) != eos])
-            for h in hyps]
+            if h else "" for h in hyps]

@@ -147,13 +147,19 @@ def int8_matmul_fused(x, w8, w_scale, out_dtype=None, block_m=256,
     lead = x.shape[:-1]
     k = x.shape[-1]
     n = w8.shape[1]
+    if k % 128 or n % 128:
+        raise ValueError(f"K and N must be lane-aligned (multiples of "
+                         f"128); got K={k}, N={n}")
     m = int(np.prod(lead)) if lead else 1
     x2 = x.reshape(m, k)
-    # prefer a block that DIVIDES m: jnp.pad would copy the whole
-    # activation tensor per matmul (measured as a model-level loss)
-    bm = next((b for b in range(min(block_m, m), 31, -8) if m % b == 0),
-              min(block_m, max(32, m)))
-    bn = min(block_n, n)
+    # prefer a sublane-aligned block that DIVIDES m: jnp.pad would copy
+    # the whole activation tensor per matmul (measured model-level loss)
+    top = min(block_m, m) // 8 * 8
+    bm = next((b for b in range(top, 31, -8) if m % b == 0),
+              min(block_m, max(32, -(-m // 8) * 8)))  # aligned fallback+pad
+    # bn must tile n exactly — a floor-divided grid would silently leave
+    # trailing output columns unwritten
+    bn = next(b for b in range(min(block_n, n), 127, -128) if n % b == 0)
     pad_m = (-m) % bm
     if pad_m:
         x2 = jnp.pad(x2, ((0, pad_m), (0, 0)))

@@ -115,9 +115,15 @@ class SingingTranscriber(Pretrained):
         never on a tree a previous transcriber already cast to bf16."""
         w2v_params = self.params["wav2vec2"]
         if self.quantize == "int8":
-            from svt_speechbrain_tpu.models.quantize import quantize_wav2vec2
+            if getattr(self, "_int8_w2v", None) is None:
+                from svt_speechbrain_tpu.models.quantize import (
+                    quantize_wav2vec2)
 
-            w2v_params = quantize_wav2vec2(w2v_params)
+                # one shared int8 tree for every session/server — derived
+                # from the full-precision params (NOT a bf16-cast copy),
+                # so the compute_dtype guarantee above still holds
+                self._int8_w2v = quantize_wav2vec2(w2v_params)
+            w2v_params = self._int8_w2v
         return {"wav2vec2": w2v_params, "model": self.params["model"]}
 
     def _get_transcriber(self):

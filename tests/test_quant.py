@@ -241,3 +241,24 @@ def test_fused_qmm_matches_xla_path():
         np.testing.assert_allclose(np.asarray(a, np.float32),
                                    np.asarray(b, np.float32),
                                    rtol=2e-2, atol=2e-2)
+
+
+def test_fused_qmm_nondividing_block_and_odd_m():
+    """Regression: n not divisible by the default block_n must still cover
+    every output column (the grid used floor division), and an odd small m
+    (batch-1 serving) must get a sublane-aligned padded block."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from svt_speechbrain_tpu.ops.quant import (int8_matmul,
+                                               int8_matmul_fused,
+                                               quantize_weight)
+
+    for m, k, n in [(16, 128, 640), (249, 128, 256)]:
+        kx, kw = jax.random.split(jax.random.PRNGKey(n + m))
+        x = jax.random.normal(kx, (m, k))
+        w8, ws = quantize_weight(jax.random.normal(kw, (k, n)))
+        a = np.asarray(int8_matmul(x, w8, ws))
+        b = np.asarray(int8_matmul_fused(x, w8, ws, interpret=True))
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)

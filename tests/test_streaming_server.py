@@ -212,3 +212,17 @@ def test_dedicated_stream_dtype_switch_guard(tiny_model):
     tr.feed(np.zeros(1000, np.int16))  # buffered partial window
     with pytest.raises(ValueError, match="dtype switch"):
         tr.feed(np.zeros(1000, np.float32))
+
+
+def test_empty_feed_is_noop_not_dtype_event():
+    """Regression: an empty float array fed mid-int16-window must not
+    promote the buffer (or raise) — empty feeds are no-ops."""
+    import numpy as np
+
+    from svt_speechbrain_tpu.inference import _append_pcm
+
+    buf = _append_pcm(None, np.ones(100, np.int16))
+    buf = _append_pcm(buf, np.zeros(0, np.float32))
+    assert buf.dtype == np.int16 and len(buf) == 100
+    buf = _append_pcm(buf, np.ones(50, np.int16))
+    assert buf.dtype == np.int16 and len(buf) == 150
