@@ -85,6 +85,31 @@ class FairseqSequenceGenerator:
 
         self._step = _step
 
+        beam, pad, unk, eos = (self.beam_size, self.pad, self.unk, self.eos)
+
+        @jax.jit
+        def _step_select(params, cache, tokens_t, t, cum, max_len):
+            """Fast path: decoder step + candidate selection ON DEVICE —
+            only three (B, 2*beam) arrays cross the link per step instead
+            of the whole (B*beam, V) lprobs matrix. ``t``/``max_len`` are
+            traced scalars, so ONE program serves every step."""
+            lp, cache = _step(params, cache, tokens_t, t)
+            v = lp.shape[-1]
+            col = jnp.arange(v)[None, :]
+            lp = jnp.where(jnp.isnan(lp), -jnp.inf, lp)
+            lp = lp.at[:, pad].set(-jnp.inf)
+            lp = lp.at[:, unk].add(-self.unk_penalty)
+            lp = jnp.where((t >= max_len) & (col != eos), -jnp.inf, lp)
+            lp = jnp.where((t < self.min_len) & (col == eos), -jnp.inf, lp)
+            flat = (lp + cum[:, None]).reshape(-1, beam * v)
+            # step 0: every beam is identical — only beam 0 competes
+            beam_ix = jnp.repeat(jnp.arange(beam), v)[None, :]
+            flat = jnp.where((t == 0) & (beam_ix > 0), -jnp.inf, flat)
+            cs, idx = jax.lax.top_k(flat, 2 * beam)
+            return cs, idx % v, idx // v, cache
+
+        self._step_select = _step_select
+
     # ------------------------------------------------------------------
 
     def _candidates(self, step, lprobs, scores):
@@ -126,6 +151,49 @@ class FairseqSequenceGenerator:
             lprobs = replicate_first_beam(lprobs)
         return lprobs, tokens, scores
 
+    def _host_candidates(self, members, caches, tokens, scores,
+                         prefix_tokens, step, max_len, bsz, beam):
+        """Full-lprobs host path (LM fusion / prefix forcing / ensembles /
+        tiny vocabs). Mutates ``tokens``/``scores`` in place for the
+        eos-in-prefix replication case."""
+        member_lps = []
+        for mi, p in enumerate(members):
+            lp, caches[mi] = self._step(
+                p, caches[mi], jnp.asarray(tokens[:, step]), step)
+            member_lps.append(np.asarray(lp, np.float32))
+        if len(member_lps) == 1:
+            # a mutable fp32 copy (the reference accumulates fp32)
+            lprobs = np.array(member_lps[0], np.float32)
+        else:  # fairseq EnsembleModel: logsumexp average of log-probs
+            stacked = np.stack(member_lps)
+            mx = stacked.max(axis=0)
+            lprobs = (mx + np.log(np.exp(stacked - mx).sum(axis=0))
+                      - np.log(len(member_lps))).astype(np.float32)
+        if self.lm is not None:
+            lprobs = lprobs + self.lm_weight * np.asarray(
+                self.lm(tokens[:, : step + 1]), np.float32)
+        lprobs[np.isnan(lprobs)] = -np.inf
+        lprobs[:, self.pad] = -np.inf
+        lprobs[:, self.unk] -= self.unk_penalty
+        if step >= max_len:                      # force EOS
+            lprobs[:, : self.eos] = -np.inf
+            lprobs[:, self.eos + 1:] = -np.inf
+
+        if (prefix_tokens is not None and step < prefix_tokens.shape[1]
+                and step < max_len):
+            lprobs, new_tokens, new_scores = self._prefix_tokens(
+                step, lprobs, scores, tokens,
+                np.asarray(prefix_tokens), beam, bsz)
+            tokens[:] = new_tokens
+            scores[:] = new_scores
+        elif step < self.min_len:
+            # min-length does not apply while forcing a prefix
+            lprobs[:, self.eos] = -np.inf
+
+        return self._candidates(
+            step, lprobs.reshape(bsz, beam, -1),
+            scores[:, step - 1].reshape(bsz, beam) if step > 0 else None)
+
     def generate(self, params, encoder_out, encoder_padding_mask=None,
                  bos_token=None, prefix_tokens=None):
         """Decode a batch. Returns, per sentence, ``beam_size`` hypothesis
@@ -164,46 +232,32 @@ class FairseqSequenceGenerator:
         finalized = [[] for _ in range(bsz)]
         finished = [False] * bsz
 
+        # fast path: LM fusion, prefix forcing and ensembles need the full
+        # lprobs on the host; the common single-model case keeps candidate
+        # selection on device (the host k equals 2*beam iff vocab-2 covers
+        # it, which the host path's min() would otherwise clip)
+        fast = (self.lm is None and prefix_tokens is None
+                and len(members) == 1
+                and self.vocab_size - 2 >= 2 * beam)
         reorder = None
         for step in range(max_len + 1):
             if reorder is not None:
                 caches = [self.decoder.reorder_cache(c, jnp.asarray(reorder))
                           for c in caches]
-            member_lps = []
-            for mi, p in enumerate(members):
-                lp, caches[mi] = self._step(
-                    p, caches[mi], jnp.asarray(tokens[:, step]), step)
-                member_lps.append(np.asarray(lp, np.float32))
-            if len(member_lps) == 1:
-                # a mutable fp32 copy (the reference accumulates fp32)
-                lprobs = np.array(member_lps[0], np.float32)
-            else:  # fairseq EnsembleModel: logsumexp average of log-probs
-                stacked = np.stack(member_lps)
-                mx = stacked.max(axis=0)
-                lprobs = (mx + np.log(np.exp(stacked - mx).sum(axis=0))
-                          - np.log(len(member_lps))).astype(np.float32)
-            if self.lm is not None:
-                lprobs = lprobs + self.lm_weight * np.asarray(
-                    self.lm(tokens[:, : step + 1]), np.float32)
-            lprobs[np.isnan(lprobs)] = -np.inf
-            lprobs[:, self.pad] = -np.inf
-            lprobs[:, self.unk] -= self.unk_penalty
-            if step >= max_len:                      # force EOS
-                lprobs[:, : self.eos] = -np.inf
-                lprobs[:, self.eos + 1:] = -np.inf
-
-            if (prefix_tokens is not None and step < prefix_tokens.shape[1]
-                    and step < max_len):
-                lprobs, tokens, scores = self._prefix_tokens(
-                    step, lprobs, scores, tokens,
-                    np.asarray(prefix_tokens), beam, bsz)
-            elif step < self.min_len:
-                # min-length does not apply while forcing a prefix
-                lprobs[:, self.eos] = -np.inf
-
-            cand_scores, cand_tokens, cand_beams = self._candidates(
-                step, lprobs.reshape(bsz, beam, -1),
-                scores[:, step - 1].reshape(bsz, beam) if step > 0 else None)
+            if fast:
+                cum = (scores[:, step - 1] if step > 0
+                       else np.zeros(bsz * beam, np.float32))
+                cs, ct, cb, caches[0] = self._step_select(
+                    members[0], caches[0], jnp.asarray(tokens[:, step]),
+                    step, jnp.asarray(cum), max_len)
+                cand_scores = np.asarray(cs, np.float32)
+                cand_tokens = np.asarray(ct)
+                cand_beams = np.asarray(cb)
+            else:
+                cand_scores, cand_tokens, cand_beams = \
+                    self._host_candidates(members, caches, tokens, scores,
+                                          prefix_tokens, step, max_len,
+                                          bsz, beam)
             cand_rows = cand_beams + np.arange(bsz)[:, None] * beam
 
             # finalize EOS candidates that rank in the top `beam`

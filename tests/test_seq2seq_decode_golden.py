@@ -334,3 +334,26 @@ def test_ensemble_matches_reference(ref_modules):
     our_out = our_gen.generate([params1, params2], jnp.asarray(enc),
                                encoder_padding_mask=jnp.asarray(pm))
     _compare(ref_out, our_out)
+
+
+def test_device_selection_fast_path_equals_host_path(ref_modules):
+    """The on-device top-2k fast path returns exactly what the full-lprobs
+    host path returns (a zero LM with weight 0 forces the host path while
+    leaving the math untouched)."""
+    _, ours, params = build_pair(ref_modules, seed=21)
+    enc, pm = rand_enc(22, b=3, s=5)
+    kw = dict(beam_size=3, max_len_b=8, min_len=2, unk_penalty=0.5,
+              pad=PAD, eos=EOS, unk=UNK)
+    fast = FairseqSequenceGenerator(ours, **kw)
+    host = FairseqSequenceGenerator(
+        ours, lm=lambda toks: np.zeros((toks.shape[0], V), np.float32),
+        lm_weight=0.0, **kw)
+    a = fast.generate(params, jnp.asarray(enc),
+                      encoder_padding_mask=jnp.asarray(pm))
+    b = host.generate(params, jnp.asarray(enc),
+                      encoder_padding_mask=jnp.asarray(pm))
+    for r_hyps, o_hyps in zip(a, b):
+        assert len(r_hyps) == len(o_hyps)
+        for r, o in zip(r_hyps, o_hyps):
+            assert r["tokens"].tolist() == o["tokens"].tolist()
+            np.testing.assert_allclose(r["score"], o["score"], rtol=1e-6)
