@@ -1,4 +1,4 @@
-"""Tensor-parallel sharding rules for the SSL encoders.
+"""Tensor-parallel sharding rules for the SSL encoders and seq2seq decoder.
 
 The reference has no tensor parallelism (SURVEY.md §2.4 — pure data
 parallelism); on TPU it falls out of the sharding system: annotate the big
@@ -24,17 +24,22 @@ def _spec_for_path(path, model_axis):
     if "layers" in keys:
         leaf = keys[-1]
         parent = keys[-2] if len(keys) >= 2 else None
-        if parent == "ffn1" and leaf == "w":
+        # encoder layers name these ffn1/ffn2 + attn; the seq2seq decoder
+        # (models/seq2seq_decoder.py) fc1/fc2 + self_attn/encoder_attn —
+        # same Megatron column/row/head-parallel rules
+        if parent in ("ffn1", "fc1") and leaf == "w":
             return P(None, model_axis)
-        if parent == "ffn1" and leaf == "b":
+        if parent in ("ffn1", "fc1") and leaf == "b":
             return P(model_axis)
-        if parent == "ffn2" and leaf == "w":
+        if parent in ("ffn2", "fc2") and leaf == "w":
             return P(model_axis, None)
-        if parent == "attn" and leaf in ("wq", "wk", "wv"):
+        if parent in ("attn", "self_attn", "encoder_attn") \
+                and leaf in ("wq", "wk", "wv"):
             return P(None, model_axis)
-        if parent == "attn" and leaf in ("bq", "bk", "bv"):
+        if parent in ("attn", "self_attn", "encoder_attn") \
+                and leaf in ("bq", "bk", "bv"):
             return P(model_axis)
-        if parent == "attn" and leaf == "wo":
+        if parent in ("attn", "self_attn", "encoder_attn") and leaf == "wo":
             return P(model_axis, None)
     return P()
 

@@ -391,3 +391,50 @@ def test_driver_dryrun_entry_in_process():
     import __graft_entry__
 
     __graft_entry__.dryrun_multichip(8)
+
+
+def test_seq2seq_decoder_tp_decode_matches_single():
+    """The seq2seq decode path under tensor parallelism: decoder params
+    sharded by the extended TP rules (fc1/fc2 column/row, self/encoder
+    attention head-parallel) over an 8-device mesh beam-decode to exactly
+    the single-device hypotheses."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from svt_speechbrain_tpu.decoders.fairseq_generator import (
+        FairseqSequenceGenerator)
+    from svt_speechbrain_tpu.models.seq2seq_decoder import (
+        FairseqDecoderConfig, FairseqTransformerDecoder)
+    from svt_speechbrain_tpu.parallel.mesh import make_mesh
+    from svt_speechbrain_tpu.parallel.tp import apply_tp, encoder_tp_shardings
+
+    cfg = FairseqDecoderConfig(vocab_size=27, embed_dim=16, ffn_dim=32,
+                               num_layers=2, num_heads=4,
+                               normalize_before=False,
+                               no_scale_embedding=True)
+    dec = FairseqTransformerDecoder(cfg)
+    params = dec.init(jax.random.PRNGKey(0))
+    enc = jax.random.normal(jax.random.PRNGKey(1), (2, 5, 16))
+
+    gen = FairseqSequenceGenerator(dec, beam_size=3, max_len_b=7)
+    single = gen.generate(params, enc)
+
+    mesh = make_mesh(axis_names=("data", "model"), shape=(2, 4))
+    sh = encoder_tp_shardings(params, mesh)
+    # the big decoder matrices really are model-sharded
+    l0 = sh["layers"]["0"]
+    assert str(l0["fc1"]["w"].spec) == "PartitionSpec(None, 'model')"
+    assert str(l0["self_attn"]["wo"].spec) == "PartitionSpec('model', None)"
+    assert str(l0["encoder_attn"]["wq"].spec) == \
+        "PartitionSpec(None, 'model')"
+    tp_params = apply_tp(params, mesh)
+    sharded = FairseqSequenceGenerator(dec, beam_size=3,
+                                       max_len_b=7).generate(tp_params, enc)
+
+    for s_hyps, m_hyps in zip(single, sharded):
+        assert len(s_hyps) == len(m_hyps)
+        for a, b in zip(s_hyps, m_hyps):
+            assert a["tokens"].tolist() == b["tokens"].tolist()
+            np.testing.assert_allclose(a["score"], b["score"], rtol=1e-5,
+                                       atol=1e-6)
