@@ -36,9 +36,15 @@ B = int(os.environ.get("B", "32"))
 ROUNDS = int(os.environ.get("ROUNDS", "4"))
 CHUNK_S = float(os.environ.get("CHUNK_S", "5.0"))
 
+# TINY=1: validate the probe/sweep machinery off-chip (CI-sized model)
+TINY = os.environ.get("TINY") == "1"
+arch = dict(hidden_size=64, num_layers=2, num_heads=4, ffn_size=128,
+            conv_dim=(32,) * 7, num_conv_pos_embeddings=16,
+            num_conv_pos_embedding_groups=4) if TINY else None
 bridge = HuggingFaceWav2Vec2(source="facebook/wav2vec2-large-lv60",
-                             output_norm=True, freeze=True)
-head = Linear(input_size=1024, n_neurons=20)
+                             output_norm=True, freeze=True,
+                             arch_overrides=arch)
+head = Linear(input_size=64 if TINY else 1024, n_neurons=20)
 k1, k2 = jax.random.split(jax.random.PRNGKey(0))
 params = {"wav2vec2": bridge.init(k1), "model": head.init(k2)}
 if os.environ.get("INT8"):
