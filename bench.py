@@ -20,6 +20,7 @@ import datetime
 import json
 import os
 import sys
+import threading
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -96,17 +97,14 @@ def main():
     # hangs indefinitely (even jax.devices()); without this guard the
     # driver's round artifact would be empty instead of an explicit
     # "the link was dead" record.
-    import threading
+    from svt_speechbrain_tpu.utils.linkprobe import (probe_backend_init,
+                                                     probe_downlink_mbps)
 
-    ready = threading.Event()
-
-    def _init_probe():
-        jax.devices()
-        ready.set()
-
-    threading.Thread(target=_init_probe, daemon=True).start()
-    if not ready.wait(timeout=float(os.environ.get("BENCH_INIT_TIMEOUT",
-                                                   "180"))):
+    n_dev, init_err = probe_backend_init(
+        timeout=float(os.environ.get("BENCH_INIT_TIMEOUT", "180")))
+    if init_err is not None:
+        raise init_err  # broken env (not link weather): fail loudly
+    if n_dev is None:
         print("# device backend unreachable: emitting dead-link artifact",
               file=sys.stderr)
         best = _sidecar_read()
@@ -154,17 +152,8 @@ def main():
     probe.block_until_ready()
 
     def _probe_downlink():
-        result = {}
-
-        def _probe():
-            t0 = time.perf_counter()
-            np.asarray(probe)
-            result["dt"] = time.perf_counter() - t0
-
-        th = threading.Thread(target=_probe, daemon=True)
-        th.start()
-        th.join(timeout=60.0)  # a dead link can hang even a 256 KB transfer
-        return 0.25 / max(result.get("dt", 60.0), 1e-9)
+        # a dead link can hang even a 256 KB transfer — watchdogged
+        return probe_downlink_mbps(probe, 1 << 18, timeout=60.0)
 
     down_mbps = _probe_downlink()
     # link weather changes on ~10-minute scales; re-probe a few times before

@@ -90,9 +90,12 @@ class FairseqSequenceGenerator:
         @jax.jit
         def _step_select(params, cache, tokens_t, t, cum, max_len):
             """Fast path: decoder step + candidate selection ON DEVICE —
-            only three (B, 2*beam) arrays cross the link per step instead
-            of the whole (B*beam, V) lprobs matrix. ``t``/``max_len`` are
-            traced scalars, so ONE program serves every step."""
+            ONE packed (3, B, 2*beam) int32 array crosses the link per
+            step (scores bitcast to int32) instead of the whole
+            (B*beam, V) lprobs matrix; a single fetch per step matters
+            because the relayed link charges a fixed latency PER
+            transfer, not just per byte. ``t``/``max_len`` are traced
+            scalars, so ONE program serves every step."""
             lp, cache = _step(params, cache, tokens_t, t)
             v = lp.shape[-1]
             col = jnp.arange(v)[None, :]
@@ -106,7 +109,13 @@ class FairseqSequenceGenerator:
             beam_ix = jnp.repeat(jnp.arange(beam), v)[None, :]
             flat = jnp.where((t == 0) & (beam_ix > 0), -jnp.inf, flat)
             cs, idx = jax.lax.top_k(flat, 2 * beam)
-            return cs, idx % v, idx // v, cache
+            packed = jnp.stack([
+                jax.lax.bitcast_convert_type(cs.astype(jnp.float32),
+                                             jnp.int32),
+                (idx % v).astype(jnp.int32),
+                (idx // v).astype(jnp.int32),
+            ])
+            return packed, cache
 
         self._step_select = _step_select
 
@@ -234,8 +243,12 @@ class FairseqSequenceGenerator:
 
         # fast path: LM fusion, prefix forcing and ensembles need the full
         # lprobs on the host; the common single-model case keeps candidate
-        # selection on device (the host k equals 2*beam iff vocab-2 covers
-        # it, which the host path's min() would otherwise clip)
+        # selection on device. The vocab guard keeps every one of the
+        # 2*beam device candidates FINITE even with pad (and possibly
+        # eos) masked to -inf — top_k tie order among -inf rows is what
+        # the host path's min(k, vocab-1) clip avoids, so require
+        # vocab-2 >= 2*beam (one stricter than the host's vocab-1 clip,
+        # conservatively safe).
         fast = (self.lm is None and prefix_tokens is None
                 and len(members) == 1
                 and self.vocab_size - 2 >= 2 * beam)
@@ -247,12 +260,13 @@ class FairseqSequenceGenerator:
             if fast:
                 cum = (scores[:, step - 1] if step > 0
                        else np.zeros(bsz * beam, np.float32))
-                cs, ct, cb, caches[0] = self._step_select(
+                packed, caches[0] = self._step_select(
                     members[0], caches[0], jnp.asarray(tokens[:, step]),
                     step, jnp.asarray(cum), max_len)
-                cand_scores = np.asarray(cs, np.float32)
-                cand_tokens = np.asarray(ct)
-                cand_beams = np.asarray(cb)
+                packed = np.asarray(packed)  # the ONE d2h of this step
+                cand_scores = packed[0].view(np.float32)
+                cand_tokens = packed[1]
+                cand_beams = packed[2]
             else:
                 cand_scores, cand_tokens, cand_beams = \
                     self._host_candidates(members, caches, tokens, scores,

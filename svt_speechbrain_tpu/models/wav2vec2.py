@@ -43,6 +43,15 @@ from svt_speechbrain_tpu.nnet.attention import MultiheadAttention
 from svt_speechbrain_tpu.nnet.dropout import dropout as _dropout
 from svt_speechbrain_tpu.nnet.activations import fast_gelu
 
+# The one CI-sized architecture shared by every off-chip harness
+# (__graft_entry__ tiny flagship, tools/serving_probe TINY mode): keep it
+# in ONE place so "validate the machinery on a small model" always means
+# the SAME small model. TINY_FEAT_DIM is the matching head input size.
+TINY_ARCH = dict(hidden_size=64, num_layers=2, num_heads=4, ffn_size=128,
+                 conv_dim=(32,) * 7, num_conv_pos_embeddings=16,
+                 num_conv_pos_embedding_groups=4)
+TINY_FEAT_DIM = 64
+
 
 @dataclasses.dataclass
 class Wav2Vec2Config:

@@ -28,6 +28,12 @@ try:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 except Exception:
     pass
+if os.environ.get("TINY") == "1":
+    # TINY validates the probe/sweep machinery OFF-chip: force the CPU
+    # backend before init so a dead tunnel can't stall the validation run
+    # (the config route, not the env var — the axon sitecustomize already
+    # set JAX_PLATFORMS before we run)
+    jax.config.update("jax_platforms", "cpu")
 from svt_speechbrain_tpu.models.wav2vec2 import HuggingFaceWav2Vec2
 from svt_speechbrain_tpu.nnet.linear import Linear
 from svt_speechbrain_tpu.inference import StreamingServer
@@ -36,15 +42,15 @@ B = int(os.environ.get("B", "32"))
 ROUNDS = int(os.environ.get("ROUNDS", "4"))
 CHUNK_S = float(os.environ.get("CHUNK_S", "5.0"))
 
-# TINY=1: validate the probe/sweep machinery off-chip (CI-sized model)
+# TINY=1: validate the probe/sweep machinery off-chip — on the SAME
+# CI-sized architecture as __graft_entry__'s tiny flagship
 TINY = os.environ.get("TINY") == "1"
-arch = dict(hidden_size=64, num_layers=2, num_heads=4, ffn_size=128,
-            conv_dim=(32,) * 7, num_conv_pos_embeddings=16,
-            num_conv_pos_embedding_groups=4) if TINY else None
+from svt_speechbrain_tpu.models.wav2vec2 import TINY_ARCH, TINY_FEAT_DIM
+
 bridge = HuggingFaceWav2Vec2(source="facebook/wav2vec2-large-lv60",
                              output_norm=True, freeze=True,
-                             arch_overrides=arch)
-head = Linear(input_size=64 if TINY else 1024, n_neurons=20)
+                             arch_overrides=dict(TINY_ARCH) if TINY else None)
+head = Linear(input_size=TINY_FEAT_DIM if TINY else 1024, n_neurons=20)
 k1, k2 = jax.random.split(jax.random.PRNGKey(0))
 params = {"wav2vec2": bridge.init(k1), "model": head.init(k2)}
 if os.environ.get("INT8"):
@@ -54,11 +60,13 @@ if os.environ.get("INT8"):
     print("int8: encoder FFNs quantized (a8w8)")
 
 def probe_downlink():
+    # watchdogged: a dead downlink hangs even a 256 KB fetch; the probe
+    # must print ~0 MB/s in that regime, never hang the sweep at line one
+    from svt_speechbrain_tpu.utils.linkprobe import probe_downlink_mbps
+
     probe = jnp.asarray(np.zeros((1 << 16,), np.float32))
     probe.block_until_ready()
-    t0 = time.perf_counter()
-    np.asarray(probe)
-    return 0.25 / max(time.perf_counter() - t0, 1e-9)
+    return probe_downlink_mbps(probe, 1 << 18, timeout=60.0)
 
 
 def run_config(chunk_s, b, rounds, params, quantized):
