@@ -41,6 +41,7 @@ _CORE_FILES = {
     "test_losses.py", "test_dataloader_resume.py",
     "test_checkpoint_backends.py", "test_checkpoint_reshard.py",
     "test_amt_utils.py", "test_quant.py", "test_streaming_server.py",
+    "test_linkprobe.py",
 }
 _CORE_TESTS = {  # recipe smoke: one end-to-end per family
     "test_recipe_end_to_end",
