@@ -365,6 +365,41 @@ def smoke_resample_and_specaugment():
     assert (np.asarray(masked) == 0).any()
 
 
+def smoke_seq2seq_decode():
+    """The AV-HuBERT seq2seq beam decoder's on-device fast path (jitted
+    incremental step + top-2k candidate selection, ONE packed d2h per
+    step) against the full-lprobs host path — XLA-only, but the KV-cache
+    dynamic-update/top_k lowering and the packed bitcast transfer deserve
+    a real-chip run (CPU goldens cover the math; this covers the chip)."""
+    from svt_speechbrain_tpu.decoders.fairseq_generator import (
+        FairseqSequenceGenerator)
+    from svt_speechbrain_tpu.models.seq2seq_decoder import (
+        FairseqDecoderConfig, FairseqTransformerDecoder)
+
+    V, PAD, EOS, UNK = 31, 1, 2, 3
+    cfg = FairseqDecoderConfig(
+        vocab_size=V, embed_dim=16, ffn_dim=32, num_layers=2, num_heads=2,
+        max_target_positions=64, padding_idx=PAD)
+    dec = FairseqTransformerDecoder(cfg)
+    params = dec.init(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(7)
+    enc = jnp.asarray(rng.normal(size=(2, 5, 16)).astype(np.float32))
+    kw = dict(beam_size=3, max_len_b=4, min_len=1, pad=PAD, eos=EOS,
+              unk=UNK)  # short decode: each step pays a link round-trip
+    fast = FairseqSequenceGenerator(dec, **kw)
+    # a zero LM with weight 0 forces the host path, math untouched
+    host = FairseqSequenceGenerator(
+        dec, lm=lambda toks: np.zeros((toks.shape[0], V), np.float32),
+        lm_weight=0.0, **kw)
+    a = fast.generate(params, enc)
+    b = host.generate(params, enc)
+    for a_hyps, b_hyps in zip(a, b):
+        assert len(a_hyps) == len(b_hyps) > 0
+        for x, y in zip(a_hyps, b_hyps):
+            assert x["tokens"].tolist() == y["tokens"].tolist()
+            np.testing.assert_allclose(x["score"], y["score"], rtol=1e-4)
+
+
 def smoke_flagship_forward():
     from __graft_entry__ import entry
 
@@ -396,6 +431,8 @@ def main():
     check("resample + speed perturb + specaugment (jitted)",
           smoke_resample_and_specaugment)
     if not fast:
+        check("seq2seq beam decode (device fast path == host path)",
+              smoke_seq2seq_decode)
         check("flagship wav2vec2-large forward", smoke_flagship_forward)
     print("ALL SMOKE CHECKS PASSED")
 
