@@ -15,12 +15,22 @@ the speechbrain searchers in ``decoders/seq2seq.py``:
 - a sentence finishes when ``beam`` hypotheses are finalized or the step
   loop hits ``max_len``; hypotheses are returned sorted by normalized score.
 
-This module reimplements those semantics TPU-first: the per-step decoder
-call is ONE jitted static-shape program (KV-cache incremental step from
-``models/seq2seq_decoder.py``) shared by every step, while the O(beam)
-bookkeeping above runs host-side in numpy — it is branch-heavy, tiny, and
-would only pessimize XLA. Golden-tested token-for-token against the vendored
-reference generator in ``tests/test_seq2seq_decode_golden.py``.
+This module reimplements those semantics TPU-first, at three altitudes:
+
+- ``generate()`` — the per-step decoder call is ONE jitted static-shape
+  program (KV-cache incremental step from ``models/seq2seq_decoder.py``)
+  shared by every step; the O(beam) bookkeeping runs host-side in numpy.
+  This is the fully general path (LM fusion, prefix forcing, ensembles).
+- the in-``generate()`` fast path — candidate selection moves on device
+  too, so only ONE packed (3, B, 2*beam) array crosses the link per step.
+- ``generate_on_device()`` — the WHOLE search (finalization, the
+  active_mask survivor trick, cache reorder) is a single
+  ``lax.while_loop`` program: one dispatch and one fetch per utterance
+  batch, the TPU-serving decode path.
+
+All three are golden-tested token-for-token against the vendored reference
+generator (directly, or via equality with the host loop) in
+``tests/test_seq2seq_decode_golden.py``.
 """
 from __future__ import annotations
 
@@ -328,4 +338,178 @@ class FairseqSequenceGenerator:
 
         for sent in range(bsz):
             finalized[sent].sort(key=lambda h: -h["score"])
+        return finalized
+
+    # ------------------------------------------------------------------
+
+    def _build_device_search(self):
+        """ONE jitted program for the WHOLE beam search: every per-step
+        structure above (candidate ranking, top-beam EOS finalization,
+        the active_mask survivor trick, cache reorder) runs inside a
+        ``lax.while_loop`` on device, so a decode costs a single dispatch
+        and a single d2h fetch per utterance batch — the TPU-native
+        serving path (the per-step host loop pays one link round-trip per
+        token, which through a relayed link dominates end-to-end decode
+        latency). Finalized slots come back as fixed-shape buffers the
+        host trims with ``n_fin``/``fin_len``."""
+        beam, pad, unk, eos = (self.beam_size, self.pad, self.unk, self.eos)
+        decoder = self.decoder
+        neg_inf = jnp.float32(-jnp.inf)
+
+        def search(params, enc, enc_mask, bos, max_len):
+            bsz = enc.shape[0]
+            R, L, ML1 = bsz * beam, max_len + 2, max_len + 1
+            order = jnp.repeat(jnp.arange(bsz), beam)
+            enc_b = jnp.take(enc, order, axis=0)
+            mask_b = (None if enc_mask is None
+                      else jnp.take(enc_mask, order, axis=0))
+            cache = decoder.init_cache(params, enc_b, L,
+                                       encoder_padding_mask=mask_b)
+            sent_of = jnp.arange(bsz)[:, None]
+
+            def body(st):
+                (step, tokens, scores, cache, ignore, finished, n_fin,
+                 fin_tok, fin_scr, fin_raw, fin_len) = st
+                cum = jnp.where(step > 0,
+                                scores[:, jnp.maximum(step - 1, 0)], 0.0)
+                logits, cache = decoder.step(params, cache,
+                                             tokens[:, step], step)
+                lp = jax.nn.log_softmax(
+                    logits.astype(jnp.float32) / self.temperature, axis=-1)
+                v = lp.shape[-1]
+                col = jnp.arange(v)[None, :]
+                lp = jnp.where(jnp.isnan(lp), neg_inf, lp)
+                lp = lp.at[:, pad].set(neg_inf)
+                lp = lp.at[:, unk].add(-self.unk_penalty)
+                lp = jnp.where((step >= max_len) & (col != eos), neg_inf, lp)
+                lp = jnp.where((step < self.min_len) & (col == eos),
+                               neg_inf, lp)
+                flat = (lp + cum[:, None]).reshape(bsz, beam * v)
+                beam_ix = jnp.repeat(jnp.arange(beam), v)[None, :]
+                flat = jnp.where((step == 0) & (beam_ix > 0), neg_inf, flat)
+                cs, idx = jax.lax.top_k(flat, 2 * beam)
+                ct, cb = idx % v, idx // v
+                cand_rows = cb + sent_of * beam
+
+                # top-beam EOS finalization (host: for j in range(beam))
+                eos_cand = (ct == eos) & (cs != neg_inf)
+                do_fin = (eos_cand[:, :beam] & ~ignore
+                          & ~finished[:, None])
+                slot = n_fin[:, None] + jnp.cumsum(do_fin, axis=1) - 1
+                accept = do_fin & (slot < beam)
+                rows = cand_rows[:, :beam].reshape(-1)
+                rows_tok = tokens[rows].reshape(bsz, beam, L)
+                rows_tok = jnp.where(jnp.arange(L)[None, None, :]
+                                     == step + 1, eos, rows_tok)
+                rows_scr = scores[rows].reshape(bsz, beam, ML1)
+                rows_scr = jnp.where(jnp.arange(ML1)[None, None, :] == step,
+                                     cs[:, :beam, None], rows_scr)
+                final = (cs[:, :beam]
+                         / (step + 1.0) ** self.len_penalty
+                         if self.normalize_scores else cs[:, :beam])
+                onehot = (accept[:, :, None]
+                          & (slot[:, :, None]
+                             == jnp.arange(beam)[None, None, :]))
+                sel = onehot.any(axis=1)
+                fin_tok = jnp.where(
+                    sel[:, :, None],
+                    (onehot[..., None] * rows_tok[:, :, None, :]).sum(1),
+                    fin_tok)
+                fin_raw = jnp.where(
+                    sel[:, :, None],
+                    (onehot[..., None] * rows_scr[:, :, None, :]).sum(1),
+                    fin_raw)
+                fin_scr = jnp.where(sel, (onehot * final[:, :, None]).sum(1),
+                                    fin_scr)
+                fin_len = jnp.where(sel, step + 1, fin_len)
+                n_fin = n_fin + accept.sum(axis=1)
+                finished = finished | (n_fin == beam) | (step == max_len)
+
+                # survivors: beam smallest of the eos/ignore-penalized rank
+                cand_size = 2 * beam
+                eos_pen = eos_cand.at[:, :beam].set(eos_cand[:, :beam]
+                                                    | ignore)
+                active_mask = (eos_pen.astype(jnp.int32) * cand_size
+                               + jnp.arange(cand_size)[None, :])
+                active_hypos = jnp.argsort(active_mask, axis=1,
+                                           stable=True)[:, :beam]
+                ignore = jnp.take_along_axis(active_mask, active_hypos,
+                                             axis=1) >= cand_size
+                active_rows = jnp.take_along_axis(cand_rows, active_hypos,
+                                                  axis=1)
+                reorder = active_rows.reshape(-1)
+                tokens = jnp.where(
+                    jnp.arange(L)[None, :] == step + 1,
+                    jnp.take_along_axis(ct, active_hypos,
+                                        axis=1).reshape(-1)[:, None],
+                    tokens[reorder])
+                scores = jnp.where(
+                    jnp.arange(ML1)[None, :] == step,
+                    jnp.take_along_axis(cs, active_hypos,
+                                        axis=1).reshape(-1)[:, None],
+                    scores[reorder])
+                cache = decoder.reorder_cache(cache, reorder)
+                return (step + 1, tokens, scores, cache, ignore, finished,
+                        n_fin, fin_tok, fin_scr, fin_raw, fin_len)
+
+            init = (
+                jnp.int32(0),
+                jnp.full((R, L), pad, jnp.int32).at[:, 0].set(bos),
+                jnp.zeros((R, ML1), jnp.float32),
+                cache,
+                jnp.zeros((bsz, beam), bool),
+                jnp.zeros((bsz,), bool),
+                jnp.zeros((bsz,), jnp.int32),
+                jnp.full((bsz, beam, L), pad, jnp.int32),
+                jnp.zeros((bsz, beam), jnp.float32),
+                jnp.zeros((bsz, beam, ML1), jnp.float32),
+                jnp.zeros((bsz, beam), jnp.int32),
+            )
+            out = jax.lax.while_loop(
+                lambda st: (st[0] <= max_len) & ~st[5].all(), body, init)
+            (_, _, _, _, _, _, n_fin, fin_tok, fin_scr, fin_raw,
+             fin_len) = out
+            return n_fin, fin_tok, fin_scr, fin_raw, fin_len
+
+        return jax.jit(search, static_argnames=("max_len",))
+
+    def generate_on_device(self, params, encoder_out,
+                           encoder_padding_mask=None, bos_token=None):
+        """``generate()`` with the whole search device-resident (one
+        compiled program per (shape, max_len); one d2h per batch). Same
+        return contract and — hypothesis-for-hypothesis — the same output
+        as the host loop for the single-model case; LM fusion, prefix
+        forcing and ensembles stay host-side (``generate``). Matches the
+        reference's decode surface (``sequence_generator.py:20``) at
+        serving latency the per-step host loop cannot reach off-chip."""
+        if self.lm is not None:
+            raise ValueError("generate_on_device: LM fusion is host-side; "
+                             "use generate()")
+        if self.vocab_size - 2 < 2 * self.beam_size:
+            raise ValueError("generate_on_device needs vocab-2 >= 2*beam "
+                             "(finite top-2*beam under pad/eos masking)")
+        if not hasattr(self, "_device_search"):
+            self._device_search = self._build_device_search()
+        src_len = int(encoder_out.shape[1])
+        max_len = min(int(self.max_len_a * src_len + self.max_len_b),
+                      self.decoder.cfg.max_target_positions - 1)
+        bos = self.eos if bos_token is None else bos_token
+        enc_mask = (None if encoder_padding_mask is None
+                    else jnp.asarray(encoder_padding_mask))
+        n_fin, fin_tok, fin_scr, fin_raw, fin_len = jax.tree_util.tree_map(
+            np.asarray,
+            self._device_search(params, jnp.asarray(encoder_out), enc_mask,
+                                jnp.int32(bos), max_len=max_len))
+        finalized = []
+        for sent in range(fin_tok.shape[0]):
+            hyps = []
+            for s in range(int(n_fin[sent])):
+                ln = int(fin_len[sent, s])      # hyp length incl. final EOS
+                pos = fin_raw[sent, s, :ln].copy()
+                pos[1:] -= pos[:-1].copy()
+                hyps.append({"tokens": fin_tok[sent, s, 1: ln + 1].copy(),
+                             "score": float(fin_scr[sent, s]),
+                             "positional_scores": pos})
+            hyps.sort(key=lambda h: -h["score"])
+            finalized.append(hyps)
         return finalized

@@ -102,21 +102,27 @@ class AVHubertASR:
         return self._encode(params, state, source)
 
     def transcribe(self, params, state, audio=None, video=None,
-                   frame_lengths=None, tokenizer=None):
+                   frame_lengths=None, tokenizer=None,
+                   device_search=False):
         """Beam-decode a batch. Returns per utterance the generator's
         hypothesis list (tokens incl. EOS, score, positional_scores),
         best first. With ``tokenizer`` (anything exposing ``decode_ids``,
         e.g. ``tokenizers.spm_lite.SentencePieceProcessor`` loaded from a
         real SentencePiece ``.model``) returns the best hypothesis per
-        utterance detokenized to text instead."""
+        utterance detokenized to text instead. ``device_search=True``
+        runs the whole beam search device-resident (one program, one d2h
+        per batch — the serving path; equality-tested vs the host loop),
+        for the single-model no-LM case."""
         enc = self.encode(params, state, audio=audio, video=video)
         enc_mask = None
         if frame_lengths is not None:
             t = enc.shape[1]
             enc_mask = jnp.arange(t)[None] >= \
                 jnp.asarray(frame_lengths)[:, None]
-        hyps = self.generator.generate(params["decoder"], enc,
-                                       encoder_padding_mask=enc_mask)
+        decode = (self.generator.generate_on_device if device_search
+                  else self.generator.generate)
+        hyps = decode(params["decoder"], enc,
+                      encoder_padding_mask=enc_mask)
         if tokenizer is None:
             return hyps
         eos = self.generator.eos

@@ -357,3 +357,47 @@ def test_device_selection_fast_path_equals_host_path(ref_modules):
         for r, o in zip(r_hyps, o_hyps):
             assert r["tokens"].tolist() == o["tokens"].tolist()
             np.testing.assert_allclose(r["score"], o["score"], rtol=1e-6)
+
+
+@pytest.mark.parametrize("kw", [
+    dict(beam_size=3, max_len_b=8, min_len=2, unk_penalty=0.5),
+    dict(beam_size=2, max_len_b=20, min_len=1, normalize_scores=False),
+    dict(beam_size=4, max_len_b=12, len_penalty=2.0),
+    dict(beam_size=3, max_len_b=3),        # max_len squeezes the search
+])
+def test_device_resident_search_equals_host_loop(ref_modules, kw):
+    """``generate_on_device`` (the WHOLE search in one ``lax.while_loop``
+    program, one d2h per batch) returns hypothesis-for-hypothesis what the
+    per-step host loop returns — tokens, normalized scores AND positional
+    scores — so the TPU-serving decode path inherits the reference-golden
+    semantics transitively."""
+    _, ours, params = build_pair(ref_modules, seed=31)
+    enc, pm = rand_enc(32, b=3, s=5)
+    gen = FairseqSequenceGenerator(ours, pad=PAD, eos=EOS, unk=UNK, **kw)
+    a = gen.generate(params, jnp.asarray(enc),
+                     encoder_padding_mask=jnp.asarray(pm))
+    d = gen.generate_on_device(params, jnp.asarray(enc),
+                               encoder_padding_mask=jnp.asarray(pm))
+    assert len(a) == len(d)
+    for a_hyps, d_hyps in zip(a, d):
+        assert len(a_hyps) == len(d_hyps) > 0
+        for x, y in zip(a_hyps, d_hyps):
+            assert x["tokens"].tolist() == y["tokens"].tolist()
+            np.testing.assert_allclose(x["score"], y["score"], rtol=1e-5)
+            np.testing.assert_allclose(x["positional_scores"],
+                                       y["positional_scores"], rtol=1e-4,
+                                       atol=1e-5)
+
+
+def test_device_resident_search_rejects_host_only_features(ref_modules):
+    _, ours, params = build_pair(ref_modules, seed=33)
+    lm = lambda toks: np.zeros((toks.shape[0], V), np.float32)  # noqa: E731
+    gen = FairseqSequenceGenerator(ours, beam_size=3, lm=lm, lm_weight=0.1,
+                                   pad=PAD, eos=EOS, unk=UNK)
+    enc, pm = rand_enc(34, b=2, s=4)
+    with pytest.raises(ValueError, match="host-side"):
+        gen.generate_on_device(params, jnp.asarray(enc))
+    wide = FairseqSequenceGenerator(ours, beam_size=15, pad=PAD, eos=EOS,
+                                    unk=UNK)
+    with pytest.raises(ValueError, match="vocab"):
+        wide.generate_on_device(params, jnp.asarray(enc))

@@ -393,11 +393,15 @@ def smoke_seq2seq_decode():
         lm_weight=0.0, **kw)
     a = fast.generate(params, enc)
     b = host.generate(params, enc)
-    for a_hyps, b_hyps in zip(a, b):
-        assert len(a_hyps) == len(b_hyps) > 0
-        for x, y in zip(a_hyps, b_hyps):
+    # device-RESIDENT search: the whole loop as one program, one d2h
+    c = fast.generate_on_device(params, enc)
+    for a_hyps, b_hyps, c_hyps in zip(a, b, c):
+        assert len(a_hyps) == len(b_hyps) == len(c_hyps) > 0
+        for x, y, z in zip(a_hyps, b_hyps, c_hyps):
             assert x["tokens"].tolist() == y["tokens"].tolist()
+            assert x["tokens"].tolist() == z["tokens"].tolist()
             np.testing.assert_allclose(x["score"], y["score"], rtol=1e-4)
+            np.testing.assert_allclose(x["score"], z["score"], rtol=1e-4)
 
 
 def smoke_flagship_forward():
